@@ -1,0 +1,238 @@
+"""Build orchestrator — the analog of ``Suffix_Array::construct()``
+(/root/reference/src/Suffix_Array.cpp:466-494: a stage sequencer with
+per-stage wall-clock instrumentation), plus what the reference lacks:
+partition-grained checkpoint/resume, lineage, and build metrics.
+
+Stages (each records a manifest row; resume skips rows marked done):
+
+  docs        doc_id assignment, staged to <out>/docs           (scan 1)
+  stats       doc_stats + corpus_stats (N, avgdl)               (scan 2)
+  plan        seeded sample -> PartitionPlan, persisted verbatim
+              into the manifest (lineage: the exact shuffle plan)
+  pairs       (term, doc_id, tf, dl, part_id, wave) staged to
+              <out>/pairs partitioned by wave — the double-buffer
+              analog (Suffix_Array.hpp:33-34), and the resume anchor
+  wave=K      range shuffle + sort + assemble for part_ids in wave K,
+              written to <out>/postings/wave=K; independent, idempotent,
+              individually checkpointed Spark jobs
+  hot_merge   salted-partial stitch -> <out>/postings/wave=hot
+
+Every wave is verified by a read-back checksum (xxhash64 aggregate) —
+the spirit of the reference's is_sorted() validation hook
+(Suffix_Array.cpp:512-536) applied to the persisted artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from capsbm25.config import BuildConfig
+from capsbm25.docids import assign_doc_ids
+from capsbm25.partition import PartitionPlan, plan_from_sample
+from capsbm25.postings import (
+    assemble_postings,
+    extract_pairs,
+    merge_hot_partials,
+    with_part_id,
+)
+from capsbm25.tokenize import tokens_expr
+
+
+@dataclass
+class BuildResult:
+    out_dir: str
+    N: int
+    avgdl: float
+    plan: PartitionPlan
+    metrics: dict
+
+
+class Manifest:
+    """Append-only JSONL build manifest (per-stage lineage + metrics)."""
+
+    def __init__(self, out_dir: str):
+        self.path = os.path.join(out_dir, "build_manifest.jsonl")
+
+    def records(self) -> list[dict]:
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def done(self, stage: str) -> dict | None:
+        for r in self.records():
+            if r["stage"] == stage and r["status"] == "done":
+                return r
+        return None
+
+    def add(self, stage: str, status: str, started: float, **kw) -> dict:
+        rec = {
+            "stage": stage,
+            "status": status,
+            "started_ts": started,
+            "finished_ts": time.time(),
+            **kw,
+        }
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        return rec
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        recs = self.records()
+        return spark.createDataFrame(
+            recs
+            or [{"stage": "", "status": "", "started_ts": 0.0, "finished_ts": 0.0}]
+        )
+
+
+def _checksum(df: DataFrame) -> int:
+    cols = [F.col(c) for c in ("term", "df", "cf")]
+    row = df.agg(
+        F.coalesce(F.bit_xor(F.xxhash64(*cols)), F.lit(0)).alias("h"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    return int(row["h"]), int(row["n"])
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    cfg: BuildConfig | None = None,
+    resume: bool = False,
+    stop_after_wave: int | None = None,
+) -> BuildResult:
+    """Build the full index under out_dir. stop_after_wave is a fault-
+    injection hook for the kill-and-resume test."""
+    cfg = cfg or BuildConfig()
+    if not resume and os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    man = Manifest(out_dir)
+    metrics: dict = {}
+
+    def timed(stage, fn):
+        t0 = time.time()
+        done = man.done(stage)
+        if resume and done:
+            metrics[stage] = {"skipped": True}
+            return done
+        kw = fn() or {}
+        rec = man.add(stage, "done", t0, **kw)
+        metrics[stage] = {"sec": round(rec["finished_ts"] - t0, 3), **kw}
+        return rec
+
+    docs_path = os.path.join(out_dir, "docs")
+    stats_path = os.path.join(out_dir, "doc_stats")
+    pairs_path = os.path.join(out_dir, "pairs")
+    postings_path = os.path.join(out_dir, "postings")
+
+    # --- stage: docs (doc_id assignment, staged) ---
+    def stage_docs():
+        docs = assign_doc_ids(transcripts, cfg, method="distributed")
+        docs.write.mode("overwrite").parquet(docs_path)
+        return {"rows": spark.read.parquet(docs_path).count()}
+
+    timed("docs", stage_docs)
+    docs = spark.read.parquet(docs_path)
+
+    # --- stage: stats (doc_stats + corpus_stats) ---
+    def stage_stats():
+        ds = docs.select(
+            "doc_id",
+            "conv_id",
+            "turn_idx",
+            F.size(tokens_expr(F.col("text"), cfg)).cast("long").alias("dl"),
+        )
+        ds.write.mode("overwrite").parquet(stats_path)
+        row = (
+            spark.read.parquet(stats_path)
+            .agg(F.count("*").alias("N"), F.avg("dl").alias("avgdl"))
+            .collect()[0]
+        )
+        corpus = {"N": int(row["N"]), "avgdl": float(row["avgdl"] or 0.0)}
+        with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
+            json.dump(corpus, f)
+        return corpus
+
+    timed("stats", stage_stats)
+    with open(os.path.join(out_dir, "corpus_stats.json")) as f:
+        corpus = json.load(f)
+    N, avgdl = corpus["N"], corpus["avgdl"]
+
+    # --- stage: plan (samplesort splitters + hot terms; lineage) ---
+    def stage_plan():
+        target = cfg.num_part_ids * cfg.samples_per_part
+        frac = cfg.sample_fraction or min(1.0, target / max(1, N * 20))
+        sample = extract_pairs(docs.sample(fraction=frac, seed=cfg.seed), cfg)
+        plan = plan_from_sample(sample.select("term", "tf").toPandas(), cfg)
+        return {"plan": plan.to_json(), "sample_fraction": frac}
+
+    timed("plan", stage_plan)
+    plan = PartitionPlan.from_json(man.done("plan")["plan"])
+
+    # --- stage: pairs (staged, wave-partitioned — the resume anchor) ---
+    def stage_pairs():
+        pw = with_part_id(extract_pairs(docs, cfg), plan).withColumn(
+            "wave", (F.col("part_id") / cfg.parts_per_wave).cast("int")
+        )
+        pw.write.mode("overwrite").partitionBy("wave").parquet(pairs_path)
+        return {"rows": spark.read.parquet(pairs_path).count()}
+
+    timed("pairs", stage_pairs)
+
+    # --- stages: per-wave assembly (independent, idempotent) ---
+    waves = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(pairs_path)
+        if d.startswith("wave=")
+    )
+    for w in waves:
+        def stage_wave(w=w):
+            wave_pairs = spark.read.parquet(os.path.join(pairs_path, f"wave={w}"))
+            out = assemble_postings(wave_pairs, plan, N, avgdl, cfg)
+            dst = os.path.join(postings_path, f"wave={w}")
+            out.write.mode("overwrite").parquet(dst)
+            h, n = _checksum(spark.read.parquet(dst))
+            return {"rows": n, "checksum": h}
+
+        timed(f"wave={w}", stage_wave)
+        if stop_after_wave is not None and w >= stop_after_wave:
+            return BuildResult(out_dir, N, avgdl, plan, metrics)
+
+    # --- stage: hot-term partial merge (boundary fix-up) ---
+    def stage_hot():
+        allp = spark.read.parquet(postings_path)
+        partials = allp.where(F.col("partial"))
+        dst = os.path.join(postings_path, "wave=9999")
+        if partials.isEmpty():
+            from capsbm25.postings import POSTINGS_SCHEMA
+
+            merged = spark.createDataFrame([], POSTINGS_SCHEMA)
+        else:
+            merged = merge_hot_partials(partials.drop("wave"), N, avgdl, cfg)
+        merged.write.mode("overwrite").parquet(dst)
+        h, n = _checksum(spark.read.parquet(dst))
+        return {"rows": n, "checksum": h}
+
+    timed("hot_merge", stage_hot)
+    return BuildResult(out_dir, N, avgdl, plan, metrics)
+
+
+def load_postings(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Final postings: all waves, salted partials replaced by merged."""
+    return spark.read.parquet(os.path.join(out_dir, "postings")).where(
+        ~F.col("partial")
+    )
+
+
+def load_corpus_stats(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, "corpus_stats.json")) as f:
+        return json.load(f)

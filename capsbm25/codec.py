@@ -1,0 +1,82 @@
+"""Delta + LEB128-varint codec for posting lists, fully numpy-vectorized.
+
+Plays the role the LCP array plays in the reference: redundant metadata
+derived from sortedness that makes downstream merging/scanning cheap
+(SURVEY.md §1.3; /root/reference/include/Suffix_Array.hpp:32). A sorted
+doc_id list is stored as varint-encoded first-order gaps; tf/dl lists as
+plain varints. Encoding is LEB128: 7 payload bits per byte, MSB = 1 means
+"continue".
+
+All hot paths are numpy array ops (no per-element Python loops), so the
+same code runs inside Arrow-batched Spark kernels at full speed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_THRESH = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative int64/uint64 values."""
+    v = np.asarray(values).astype(np.uint64, copy=False)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: 1 + number of 7-bit thresholds crossed
+    nbytes = np.ones(v.size, dtype=np.int64)
+    for t in _THRESH:
+        nbytes += (v >= t).astype(np.int64)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    work = v.copy()
+    for j in range(10):
+        sel = nbytes > j
+        if not sel.any():
+            break
+        idx = starts[sel] + j
+        byte = (work[sel] & np.uint64(0x7F)).astype(np.uint8)
+        more = (j + 1) < nbytes[sel]
+        out[idx] = byte | (more.astype(np.uint8) << np.uint8(7))
+        work[sel] >>= np.uint64(7)
+    return out.tobytes()
+
+
+def decode_varints(buf: bytes) -> np.ndarray:
+    """Decode a LEB128 byte string into a uint64 array."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_last = (raw & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    vals = np.zeros(ends.size, dtype=np.uint64)
+    for j in range(int(lengths.max())):
+        sel = lengths > j
+        vals[sel] |= (raw[starts[sel] + j] & np.uint64(0x7F)).astype(
+            np.uint64
+        ) << np.uint64(7 * j)
+    return vals
+
+
+def delta_encode(sorted_ids: np.ndarray) -> bytes:
+    """Encode a strictly-increasing int64 array as varint gaps."""
+    a = np.asarray(sorted_ids, dtype=np.int64)
+    if a.size == 0:
+        return b""
+    gaps = np.empty(a.size, dtype=np.int64)
+    gaps[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=gaps[1:])
+    if a.size > 1 and gaps[1:].min() <= 0:
+        raise ValueError("doc_ids must be strictly increasing")
+    return encode_varints(gaps)
+
+
+def delta_decode(buf: bytes) -> np.ndarray:
+    """Inverse of delta_encode -> int64 array."""
+    gaps = decode_varints(buf).astype(np.int64)
+    return np.cumsum(gaps)

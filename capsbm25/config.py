@@ -1,0 +1,56 @@
+"""Build/query configuration.
+
+Knob parity with the reference (/root/reference):
+  num_part_ids      ~ subproblem count p_ = min(8192, n/16)
+                      (include/Suffix_Array.hpp:42, src/Suffix_Array.cpp:24)
+  samples_per_part  ~ pivot oversampling 32*ln(n) (src/Suffix_Array.cpp:27)
+  max_token_len     ~ bounded comparison context max_context
+                      (include/Suffix_Array.hpp:36)
+The reference oversubscribes subproblems (8192) vs threads for load
+balance; we do the same: num_part_ids >> shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class BuildConfig:
+    # --- partitioning (the samplesort graft) ---
+    num_part_ids: int = 512          # logical range partitions (oversubscribed)
+    shuffle_partitions: int = 32     # physical Spark shuffle partitions
+    samples_per_part: int = 32       # splitter oversampling per logical part
+    sample_fraction: float | None = None  # None = derived from corpus estimate
+    seed: int = 42
+
+    # --- skew / salting ---
+    # a term is "hot" when its share of sampled (term, doc_id) pairs
+    # exceeds hot_share_threshold; it gets salt_buckets-way salting with
+    # a dedicated reserved part-id range and a merge fix-up pass
+    # (the analog of compute_partition_boundary_lcp,
+    #  /root/reference/src/Suffix_Array.cpp:431-447).
+    hot_share_threshold: float = 0.005
+    max_salt_buckets: int = 32
+
+    # --- tokenizer ---
+    token_pattern: str = "[a-z0-9]+"
+    max_token_len: int | None = None  # truncate tokens (max_context analog)
+    use_pandas_tokenizer: bool = False  # False = JVM regexp_extract_all (faster)
+
+    # --- posting encoding ---
+    block_size: int = 128            # entries per block-max block
+
+    # --- BM25 ---
+    k1: float = 1.2
+    b: float = 0.75
+
+    # --- build orchestration / resume ---
+    num_waves: int = 4               # partition-grained checkpoint waves
+
+    # --- misc ---
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def parts_per_wave(self) -> int:
+        return max(1, -(-self.num_part_ids // self.num_waves))

@@ -1,0 +1,129 @@
+"""Stable doc_id assignment — the graft analog of ``permute()``
+(/root/reference/src/Suffix_Array.cpp:148-158: assign global position
+ids before sorting).
+
+doc_id = dense rank of (conv_id, turn_idx) under stable ordering,
+LongType (the uint64-path analog of /root/reference/src/main.cpp:83-87 —
+target scale is 10^12 turns, beyond int32).
+
+Two methods, tested equal:
+
+* ``window``  — ``row_number() over (order by conv_id, turn_idx)``;
+  single-partition sort, test scale only.
+* ``distributed`` (default) — the samplesort pattern: seeded sample of
+  sort keys -> driver-side splitters -> range-assign part_id via a
+  vectorized searchsorted kernel -> per-part counts (map-side partial
+  agg, tiny shuffle) -> prefix-sum offsets on the driver (analog of the
+  sequential prefix-sum at /root/reference/src/Suffix_Array.cpp:320-330)
+  -> repartition + sortWithinPartitions + mapInPandas adding
+  offset + local index. No global sort, no single-partition bottleneck.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from capsbm25.config import BuildConfig
+
+# conv_id cannot contain \x00 (fixture/corpus contract); turn_idx is
+# int32 so 10 digits zero-padded keeps lexicographic == numeric order.
+_SEP = "\x00"
+
+
+def _key(conv_id: pd.Series, turn_idx: pd.Series) -> np.ndarray:
+    return (
+        conv_id.astype(str) + _SEP + turn_idx.astype(np.int64).map("{:010d}".format)
+    ).to_numpy(dtype=object)
+
+
+def assign_doc_ids(
+    df: DataFrame, cfg: BuildConfig | None = None, method: str = "distributed"
+) -> DataFrame:
+    """Return df + doc_id:long, densely ranked by (conv_id, turn_idx)."""
+    cfg = cfg or BuildConfig()
+    if method == "window":
+        w = Window.orderBy("conv_id", "turn_idx")
+        return df.withColumn("doc_id", (F.row_number().over(w) - 1).cast("long"))
+    if method != "distributed":
+        raise ValueError(method)
+
+    spark = df.sparkSession
+    n_parts = cfg.num_part_ids
+
+    # 1. seeded sample of sort keys -> splitters (regular sampling, the
+    #    analog of sample_pivots/select_pivots, Suffix_Array.cpp:187-222)
+    target = n_parts * cfg.samples_per_part
+    n_rows = df.count()
+    if n_rows == 0:
+        return df.withColumn("doc_id", F.lit(None).cast("long"))
+    frac = min(1.0, (target * 1.2) / max(n_rows, 1))
+    sample = (
+        df.select("conv_id", "turn_idx").sample(fraction=frac, seed=cfg.seed).toPandas()
+    )
+    keys = np.sort(_key(sample["conv_id"], sample["turn_idx"]))
+    n_eff = min(n_parts, max(1, keys.size))
+    cuts = [keys[int(len(keys) * (i + 1) / n_eff) - 1] for i in range(n_eff - 1)]
+    splitters = np.array(sorted(set(cuts)), dtype=object)
+
+    # 2. vectorized range assignment kernel
+    def assign_part(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["part_id"] = np.searchsorted(
+                splitters, _key(pdf["conv_id"], pdf["turn_idx"]), side="right"
+            ).astype(np.int32)
+            yield pdf
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    schema_with_part = StructType(
+        list(df.schema.fields) + [StructField("part_id", IntegerType())]
+    )
+    with_part = df.mapInPandas(assign_part, schema=schema_with_part)
+
+    # 3. per-part counts -> driver prefix-sum -> offsets
+    counts = {
+        r["part_id"]: r["cnt"]
+        for r in with_part.groupBy("part_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    # 4. range shuffle + local sort + offset addition
+    shuffled = with_part.repartition(
+        min(cfg.shuffle_partitions, len(counts) or 1), "part_id"
+    ).sortWithinPartitions("part_id", "conv_id", "turn_idx")
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("doc_id", LongType())]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    def add_ids(it):
+        seen: dict[int, int] = {}
+        off = b_offsets.value
+        for pdf in it:
+            parts = pdf["part_id"].to_numpy()
+            ids = np.empty(len(pdf), dtype=np.int64)
+            # parts are contiguous runs (sorted); vectorize per run
+            if len(pdf):
+                change = np.flatnonzero(np.diff(parts)) + 1
+                starts = np.concatenate(([0], change, [len(pdf)]))
+                for i in range(len(starts) - 1):
+                    lo, hi = starts[i], starts[i + 1]
+                    pid = int(parts[lo])
+                    base = off[pid] + seen.get(pid, 0)
+                    ids[lo:hi] = base + np.arange(hi - lo)
+                    seen[pid] = seen.get(pid, 0) + (hi - lo)
+            pdf = pdf.copy()
+            pdf["doc_id"] = ids
+            yield pdf[out_cols]
+
+    return shuffled.mapInPandas(add_ids, schema=out_schema)

@@ -1,0 +1,221 @@
+"""BM25 top-k query execution.
+
+Graft of the reference's search primitive ``upper_bound`` —
+LCP-bounded binary search with a skip cutoff
+(/root/reference/src/Suffix_Array.cpp:252-297) — onto posting-list
+retrieval: the stored order metadata (block-max upper bounds) lets the
+scorer skip whole blocks that provably cannot reach the top-k, exactly
+as the memoized LCP bounds let the reference skip character compares.
+
+Two execution modes, both rank-identical to the oracle (tested):
+
+* ``kernel`` (default): broadcast-join the (tiny) query-term table
+  against postings, then ``groupBy(query_id).applyInPandas`` — one
+  Arrow kernel per query does decode + two-phase block-max pruning +
+  exact rescoring + heap-free vectorized top-k. This is
+  document-at-a-time scoring with WAND-style block skipping.
+* ``distributed``: decode kernels emit (query_id, doc_id, contrib)
+  map-side, built-in hash aggregation sums scores, a per-query window
+  takes top-k. No pruning, arbitrarily scalable (no single task ever
+  holds a whole hot posting), pure built-in shuffle machinery — the
+  mode you'd run against 10^12 turns when a query term is pathological.
+
+Pruning exactness (kernel mode): θ = k-th best exact score among a
+seed candidate set; a block b of term t is skipped only when
+U(t,b) + Σ_{t'≠t} Umax(t') < θ. Any doc appearing ONLY in skipped
+blocks has true score < θ, and ≥ k docs score ≥ θ, so skipped docs can
+never enter the top-k (ties break by doc_id among survivors only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from capsbm25.codec import decode_varints, delta_decode
+from capsbm25.config import BuildConfig
+from capsbm25.scoring import idf as idf_fn
+from capsbm25.scoring import term_scores
+from capsbm25.tokenize import tokenize_py
+
+RESULT_SCHEMA = "query_id int, doc_id long, score double, rank int"
+
+
+def _query_terms_pdf(queries: pd.DataFrame, cfg: BuildConfig) -> pd.DataFrame:
+    rows = []
+    for q in queries.itertuples(index=False):
+        for t in sorted(set(tokenize_py(q.text, cfg))):
+            rows.append((int(q.query_id), t, int(q.k)))
+    return pd.DataFrame(rows, columns=["query_id", "term", "k"])
+
+
+def _decode_posting(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    return (
+        delta_decode(row.doc_ids),
+        decode_varints(row.tfs).astype(np.int64),
+        decode_varints(row.dls).astype(np.int64),
+    )
+
+
+def _topk(docs: np.ndarray, scores: np.ndarray, k: int):
+    order = np.lexsort((docs, -scores))[:k]
+    return docs[order], scores[order]
+
+
+def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
+                        cfg: BuildConfig, prune: bool) -> pd.DataFrame:
+    """Score one query's matched postings. pdf: one row per term."""
+    k = int(pdf["k"].iloc[0])
+    qid = int(pdf["query_id"].iloc[0])
+    pdf = pdf.sort_values("term")  # fixed summation order -> bit-stable
+    terms = []
+    for row in pdf.itertuples(index=False):
+        docs, tfs, dls = _decode_posting(row)
+        tidf = float(idf_fn(N, int(row.df)))
+        sc = term_scores(tfs, dls, tidf, avgdl, cfg.k1, cfg.b)
+        uppers = (
+            np.array([b["upper"] for b in row.block_max], dtype=np.float64)
+            if row.block_max is not None and len(row.block_max)
+            else np.array([sc.max() if sc.size else 0.0])
+        )
+        terms.append({"docs": docs, "scores": sc, "uppers": uppers})
+
+    def exact_scores(cand: np.ndarray) -> np.ndarray:
+        total = np.zeros(cand.size, dtype=np.float64)
+        for t in terms:  # already in sorted-term order
+            pos = np.searchsorted(t["docs"], cand)
+            pos = np.minimum(pos, t["docs"].size - 1)
+            hit = t["docs"][pos] == cand
+            total[hit] += t["scores"][pos[hit]]
+        return total
+
+    if not terms:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype=np.int32),
+                "doc_id": pd.Series(dtype=np.int64),
+                "score": pd.Series(dtype=np.float64),
+                "rank": pd.Series(dtype=np.int32),
+            }
+        )
+
+    n_total = sum(t["docs"].size for t in terms)
+    if not prune or n_total <= 4 * k or len(terms) == 1:
+        # exhaustive: concat contributions, segment-sum per doc
+        all_docs = np.concatenate([t["docs"] for t in terms])
+        all_sc = np.concatenate([t["scores"] for t in terms])
+        order = np.argsort(all_docs, kind="stable")
+        d, s = all_docs[order], all_sc[order]
+        new = np.ones(d.size, dtype=bool)
+        new[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(new)
+        sums = np.add.reduceat(s, starts)
+        top_d, top_s = _topk(d[starts], sums, k)
+    else:
+        # phase 1: seed θ from the most selective terms' full lists
+        by_df = sorted(range(len(terms)), key=lambda i: terms[i]["docs"].size)
+        seed: list[np.ndarray] = []
+        n_seed = 0
+        for i in by_df:
+            seed.append(terms[i]["docs"])
+            n_seed += terms[i]["docs"].size
+            if n_seed >= max(k, 64):
+                break
+        cand0 = np.unique(np.concatenate(seed))
+        s0 = exact_scores(cand0)
+        if cand0.size >= k:
+            theta = np.partition(s0, cand0.size - k)[cand0.size - k]
+        else:
+            theta = -np.inf
+        # phase 2: block-max survivors
+        umax = np.array([t["uppers"].max() for t in terms])
+        rest = umax.sum() - umax
+        keep_docs = [cand0]
+        B = cfg.block_size
+        for i, t in enumerate(terms):
+            ok = t["uppers"] + rest[i] >= theta
+            if ok.all():
+                keep_docs.append(t["docs"])
+                continue
+            for b in np.flatnonzero(ok):
+                keep_docs.append(t["docs"][b * B : (b + 1) * B])
+        cand = np.unique(np.concatenate(keep_docs))
+        top_d, top_s = _topk(cand, exact_scores(cand), k)
+
+    return pd.DataFrame(
+        {
+            "query_id": np.full(top_d.size, qid, dtype=np.int32),
+            "doc_id": top_d.astype(np.int64),
+            "score": top_s,
+            "rank": np.arange(1, top_d.size + 1, dtype=np.int32),
+        }
+    )
+
+
+def bm25_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: pd.DataFrame,
+    N: int,
+    avgdl: float,
+    cfg: BuildConfig | None = None,
+    mode: str = "kernel",
+    prune: bool = True,
+) -> DataFrame:
+    """Top-k BM25 over the index for a batch of queries.
+
+    queries: pandas (query_id, text, k). Returns a DataFrame
+    (query_id, doc_id, score, rank), rank 1-based, ties by doc_id.
+    """
+    cfg = cfg or BuildConfig()
+    qt = _query_terms_pdf(queries, cfg)
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qdf = spark.createDataFrame(qt)
+    matched = postings.join(F.broadcast(qdf), "term")
+
+    if mode == "kernel":
+        def kernel(key, pdf):
+            return _score_query_kernel(pdf, N, avgdl, cfg, prune)
+
+        return (
+            matched.groupBy("query_id")
+            .applyInPandas(kernel, schema=RESULT_SCHEMA)
+            .orderBy("query_id", "rank")
+        )
+
+    if mode == "distributed":
+        def contribs(it):
+            for pdf in it:
+                for row in pdf.itertuples(index=False):
+                    docs, tfs, dls = _decode_posting(row)
+                    sc = term_scores(
+                        tfs, dls, float(idf_fn(N, int(row.df))), avgdl, cfg.k1, cfg.b
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.full(docs.size, row.query_id, np.int32),
+                            "doc_id": docs.astype(np.int64),
+                            "contrib": sc,
+                            "k": np.full(docs.size, row.k, np.int32),
+                        }
+                    )
+
+        c = matched.mapInPandas(
+            contribs, schema="query_id int, doc_id long, contrib double, k int"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            c.groupBy("query_id", "doc_id")
+            .agg(F.sum("contrib").alias("score"), F.first("k").alias("k"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= F.col("k"))
+            .select("query_id", "doc_id", "score", F.col("rank").cast("int"))
+            .orderBy("query_id", "rank")
+        )
+
+    raise ValueError(mode)

@@ -1,0 +1,78 @@
+"""Pure-Python BM25 oracle — the "true program" of the differential-test
+pattern (analog of /root/reference/chatgpt_baseline.py: a naive,
+obviously-correct implementation the engine must match exactly;
+comparison pattern from /root/reference/utils/test-correctness.sh:36-40).
+
+Semantics pinned here (and mirrored by the engine):
+  doc        = one transcript turn
+  doc_id     = dense rank under stable (conv_id, turn_idx) ordering
+  tokens     = regex [a-z0-9]+ on lowercased text
+  BM25       = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+  idf        = ln(1 + (N - df + 0.5) / (df + 0.5))
+  k1=1.2 b=0.75; OR semantics over query terms; duplicate query terms
+  count once; ties broken by ascending doc_id.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pandas as pd
+
+from capsbm25.tokenize import tokenize_py
+
+
+class OracleIndex:
+    def __init__(self, transcripts: pd.DataFrame, k1: float = 1.2, b: float = 0.75):
+        self.k1, self.b = k1, b
+        ordered = transcripts.sort_values(
+            ["conv_id", "turn_idx"], kind="mergesort"
+        ).reset_index(drop=True)
+        self.doc_meta = ordered[["conv_id", "turn_idx"]]
+        self.docs: list[list[str]] = [tokenize_py(t) for t in ordered["text"]]
+        self.N = len(self.docs)
+        self.dl = [len(d) for d in self.docs]
+        self.avgdl = (sum(self.dl) / self.N) if self.N else 0.0
+        # postings: term -> {doc_id: tf}, doc ids ascending by construction
+        self.postings: dict[str, dict[int, int]] = defaultdict(dict)
+        for doc_id, toks in enumerate(self.docs):
+            for term, tf in Counter(toks).items():
+                self.postings[term][doc_id] = tf
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, {}))
+
+    def cf(self, term: str) -> int:
+        return sum(self.postings.get(term, {}).values())
+
+    def idf(self, term: str) -> float:
+        df = self.df(term)
+        return math.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
+
+    def score_doc(self, terms: list[str], doc_id: int) -> float:
+        # fixed summation order (sorted unique terms) for bit-stable floats
+        s = 0.0
+        dl = self.dl[doc_id]
+        denom_norm = self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+        for t in sorted(set(terms)):
+            tf = self.postings.get(t, {}).get(doc_id)
+            if tf:
+                s += self.idf(t) * (tf * (self.k1 + 1.0)) / (tf + denom_norm)
+        return s
+
+    def topk(self, query_text: str, k: int) -> list[tuple[int, float]]:
+        terms = sorted(set(tokenize_py(query_text)))
+        cand: set[int] = set()
+        for t in terms:
+            cand.update(self.postings.get(t, {}).keys())
+        scored = [(d, self.score_doc(terms, d)) for d in cand]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
+    def topk_pdf(self, queries: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for q in queries.itertuples(index=False):
+            for rank, (doc_id, score) in enumerate(self.topk(q.text, int(q.k)), 1):
+                rows.append((int(q.query_id), doc_id, score, rank))
+        return pd.DataFrame(rows, columns=["query_id", "doc_id", "score", "rank"])
