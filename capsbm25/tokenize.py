@@ -33,7 +33,9 @@ DEFAULT_PATTERN = "[a-z0-9]+"
 def tokens_expr(text: Column, cfg: BuildConfig | None = None) -> Column:
     """Token array as a native Catalyst expression (the fast path)."""
     cfg = cfg or BuildConfig()
-    toks = F.regexp_extract_all(F.lower(text), F.lit(cfg.token_pattern), 0)
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(text, F.lit(""))), F.lit(cfg.token_pattern), 0
+    )
     if cfg.max_token_len:
         toks = F.transform(toks, lambda t: F.substring(t, 1, cfg.max_token_len))
     return toks
@@ -76,7 +78,10 @@ def tokenize_py(text: str, cfg: BuildConfig | None = None) -> list[str]:
 def duckdb_tokens_sql(text_expr: str, cfg: BuildConfig | None = None) -> str:
     """DuckDB SQL expression producing the same token list (oracle side)."""
     cfg = cfg or BuildConfig()
-    base = f"regexp_extract_all(lower({text_expr}), '{cfg.token_pattern}')"
+    base = (
+        f"regexp_extract_all(lower(coalesce({text_expr}, '')), "
+        f"'{cfg.token_pattern}')"
+    )
     if cfg.max_token_len:
         base = f"list_transform({base}, t -> t[1:{cfg.max_token_len}])"
     return base

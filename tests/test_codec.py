@@ -1,0 +1,52 @@
+"""Codec invariants — encode∘decode == identity (the posting-side analog
+of the reference's is_sorted/LCP validation, Suffix_Array.cpp:512-536)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from capsbm25.codec import (
+    decode_varints,
+    delta_decode,
+    delta_encode,
+    encode_varints,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert decode_varints(encode_varints(arr)).tolist() == vals
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**62), min_size=1, max_size=500, unique=True
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_delta_roundtrip(vals):
+    arr = np.array(sorted(vals), dtype=np.int64)
+    assert delta_decode(delta_encode(arr)).tolist() == sorted(vals)
+
+
+def test_empty():
+    assert encode_varints(np.array([], dtype=np.uint64)) == b""
+    assert decode_varints(b"").size == 0
+    assert delta_decode(delta_encode(np.array([], dtype=np.int64))).size == 0
+
+
+def test_non_increasing_rejected():
+    import pytest
+
+    with pytest.raises(ValueError):
+        delta_encode(np.array([3, 3], dtype=np.int64))
+    with pytest.raises(ValueError):
+        delta_encode(np.array([5, 2], dtype=np.int64))
+
+
+def test_single_byte_density():
+    # gaps < 128 must take exactly one byte (index size matters at scale)
+    ids = np.arange(0, 1000, dtype=np.int64)
+    assert len(delta_encode(ids)) == 1000
