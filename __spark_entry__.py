@@ -1,38 +1,481 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: build the capsbm25 inverted index over the
+                 sf0.001 documents table (adapted to the transcript
+                 shape) and run a BM25 top-k query through the
+                 block-max-WAND kernel.
+queries()      — one entry per operator family from SURVEY.md §2 plus
+                 the training-data-pipeline ops; each runs over the
+                 driver tables at sf_dir.
+oracle_sql()   — DuckDB-equivalent ANSI SQL for every SQL-expressible
+                 entry (the differential-test pattern of
+                 /root/reference/utils/test-correctness.sh recast).
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from capsbm25.build import build_index, load_postings  # noqa: E402
+from capsbm25.config import BuildConfig  # noqa: E402
+from capsbm25.postings import extract_pairs  # noqa: E402
+from capsbm25.query import bm25_topk  # noqa: E402
+from capsbm25.tokenize import tokens_expr  # noqa: E402
+
+CFG = BuildConfig(num_part_ids=64, shuffle_partitions=8, num_waves=2,
+                  hot_share_threshold=0.01, max_salt_buckets=8)
+BM25_QUERY_TERMS = ("hash", "join", "merge")
+BM25_K = 15
+_K1, _B = CFG.k1, CFG.b
+_TOK = "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')"
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _as_transcripts(docs: DataFrame) -> DataFrame:
+    """Adapt the driver's documents table to the binding transcript
+    shape (conv_id, turn_idx, role, text, tool, ts); doc = one row,
+    ordered by (source, doc_id)."""
+    return docs.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit("none").alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+
+
+_BUILT: dict[str, dict] = {}
+
+
+def _index_for(spark: SparkSession, sf_dir: str) -> dict:
+    """Build (once per sf_dir) the real index over documents."""
+    if sf_dir not in _BUILT:
+        out = os.path.join(tempfile.mkdtemp(prefix="capsbm25_"), "idx")
+        res = build_index(
+            spark, _as_transcripts(_documents(spark, sf_dir)), out, CFG
+        )
+        _BUILT[sf_dir] = {"res": res, "out": out}
+    return _BUILT[sf_dir]
+
+
+def _engine_docid_map(spark: SparkSession, b: dict) -> DataFrame:
+    """engine doc_id -> original documents.doc_id (stored as turn_idx)."""
+    return (
+        spark.read.parquet(os.path.join(b["out"], "doc_stats"))
+        .select(
+            F.col("doc_id").alias("engine_doc_id"),
+            F.col("turn_idx").cast("long").alias("doc_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_tokenize_count(spark, sf_dir):
+    d = _documents(spark, sf_dir)
+    return d.select(
+        "doc_id", F.size(tokens_expr(F.col("text"), CFG)).cast("long").alias("n_tokens")
+    )
+
+
+def q_term_tf(spark, sf_dir):
+    pairs = extract_pairs(_documents(spark, sf_dir), CFG)
+    return pairs.select("term", "doc_id", F.col("tf").cast("long").alias("tf"))
+
+
+def q_term_df_cf(spark, sf_dir):
+    pairs = extract_pairs(_documents(spark, sf_dir), CFG)
+    return pairs.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").cast("long").alias("cf")
+    )
+
+
+def q_top_terms(spark, sf_dir):
+    return (
+        q_term_df_cf(spark, sf_dir)
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def q_corpus_stats(spark, sf_dir):
+    d = _documents(spark, sf_dir)
+    return d.select(
+        F.size(tokens_expr(F.col("text"), CFG)).cast("long").alias("dl")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl_r"),
+    )
+
+
+def q_doc_stats_by_source(spark, sf_dir):
+    d = _documents(spark, sf_dir)
+    return (
+        d.select(
+            "source",
+            F.size(tokens_expr(F.col("text"), CFG)).cast("long").alias("dl"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+            F.round(F.avg("dl"), 6).alias("avg_dl_r"),
+        )
+    )
+
+
+def q_doc_ids_dense(spark, sf_dir):
+    """The distributed samplesort doc-id assigner vs SQL row_number."""
+    from capsbm25.docids import assign_doc_ids
+
+    t = _as_transcripts(_documents(spark, sf_dir))
+    out = assign_doc_ids(t, CFG, method="distributed")
+    return out.select(
+        F.col("turn_idx").cast("long").alias("doc_id"),
+        F.col("doc_id").alias("dense_id"),
+    )
+
+
+def q_postings_df_cf(spark, sf_dir):
+    """Full samplesort build -> posting rows; df/cf checked against SQL
+    computed directly from the corpus (proves assembly + salting +
+    merge fix-up end-to-end)."""
+    b = _index_for(spark, sf_dir)
+    return load_postings(spark, b["out"]).select("term", "df", "cf")
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Index-backed BM25 top-k through the block-max WAND kernel."""
+    import numpy as np
+    import pandas as pd
+
+    b = _index_for(spark, sf_dir)
+    res = b["res"]
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [" ".join(BM25_QUERY_TERMS)],
+         "k": np.array([BM25_K], dtype=np.int32)}
+    )
+    got = bm25_topk(
+        spark, load_postings(spark, b["out"]), queries, res.N, res.avgdl, CFG,
+        mode="kernel", prune=True,
+    )
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.round("g.score", 6).alias("score_r"))
+    )
+
+
+def q_bm25_topk_dataframe(spark, sf_dir):
+    """Same BM25 computed with pure built-in DataFrame ops (no index) —
+    the minimum end-to-end slice of SURVEY §7.3 step 2."""
+    d = _documents(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"), CFG)).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs = d.count()
+    avgdl = dl.agg(F.sum("dl")).collect()[0][0] / n_docs
+    tf = (
+        toks.where(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "idf", F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf") * F.col("tf") * (_K1 + 1.0)
+            / (F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / avgdl)),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("score", 6).alias("score_r"))
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = _documents(spark, sf_dir)
+    return d.groupBy(F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h")).agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("keep_doc_id")
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """3-gram shingle Jaccard for nearby same-source doc pairs."""
+    d = _documents(spark, sf_dir).select(
+        "doc_id", "source", tokens_expr(F.col("text"), CFG).alias("toks")
+    )
+    g = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 2, 0)),"
+                " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+            )
+        ).alias("grams"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("b.doc_id") - F.col("a.doc_id") <= 45),
+    )
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    uni = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    return pairs.select(
+        F.col("a.doc_id").alias("doc1"),
+        F.col("b.doc_id").alias("doc2"),
+        F.round(inter.cast("double") / F.greatest(uni, F.lit(1)), 6).alias("jac_r"),
+    )
+
+
+def q_token_count_regex(spark, sf_dir):
+    """BPE-ish segmentation count: letter runs / digit runs / symbols."""
+    d = _documents(spark, sf_dir)
+    pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                                 F.lit(pat), 0)
+        ).cast("long").alias("n_pieces"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    d = _documents(spark, sf_dir)
+    toks = tokens_expr(F.col("text"), CFG)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("n_chars"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"),
+                        lambda acc, t: acc + F.length(t)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("avg_tok_len_r"),
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 neighbours of vec_id=0 (ANN baseline)."""
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+    )
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("v"), F.col("qv"))
+                / (F.sqrt(dot(F.col("v"), F.col("v")))
+                   * F.sqrt(dot(F.col("qv"), F.col("qv")))),
+                5,
+            ).alias("cos_r"),
+        )
+        .orderBy(F.desc("cos_r"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def q_transcripts_postings(spark, sf_dir):
+    """Rows-only check: full build over the synthetic transcript corpus
+    (the binding input shape) — no DuckDB view exists for it, so the
+    driver records the weaker rows-only verdict; pytest carries the
+    strong differential check (tests/test_postings.py)."""
+    from capsbm25 import fixtures as fx
+
+    if "transcripts" not in _BUILT:
+        out = os.path.join(tempfile.mkdtemp(prefix="capsbm25_t_"), "idx")
+        tdf = spark.createDataFrame(fx.gen_transcripts_pdf(120, 42))
+        build_index(spark, tdf, out, CFG)
+        _BUILT["transcripts"] = {"out": out}
+    return load_postings(spark, _BUILT["transcripts"]["out"]).select(
+        "term", "df", "cf"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tokenize_count": q_tokenize_count,
+        "term_tf": q_term_tf,
+        "term_df_cf": q_term_df_cf,
+        "top_terms": q_top_terms,
+        "corpus_stats": q_corpus_stats,
+        "doc_stats_by_source": q_doc_stats_by_source,
+        "doc_ids_dense": q_doc_ids_dense,
+        "postings_df_cf": q_postings_df_cf,
+        "bm25_topk": q_bm25_topk,
+        "bm25_topk_dataframe": q_bm25_topk_dataframe,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "token_count_regex": q_token_count_regex,
+        "text_quality": q_text_quality,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "transcripts_postings": q_transcripts_postings,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN {BM25_QUERY_TERMS!r}
+  GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * ({_K1} + 1)
+           / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / c.avgdl))
+         ) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus c
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score_r
+FROM scores ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tokenize_count": f"SELECT doc_id, len({_TOK}) AS n_tokens FROM documents",
+        "term_tf": f"""
+            SELECT term, doc_id, count(*) AS tf FROM (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ) GROUP BY term, doc_id""",
+        "term_df_cf": f"""
+            SELECT term, count(*) AS df, sum(tf) AS cf FROM (
+              SELECT term, doc_id, count(*) AS tf FROM (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents
+              ) GROUP BY term, doc_id
+            ) GROUP BY term""",
+        "top_terms": f"""
+            SELECT term, count(*) AS df, sum(tf) AS cf FROM (
+              SELECT term, doc_id, count(*) AS tf FROM (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents
+              ) GROUP BY term, doc_id
+            ) GROUP BY term
+            ORDER BY cf DESC, term ASC LIMIT 20""",
+        "corpus_stats": f"""
+            SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl_r FROM (
+              SELECT len({_TOK}) AS dl FROM documents
+            )""",
+        "doc_stats_by_source": f"""
+            SELECT source, count(*) AS n_docs, sum(dl) AS sum_dl,
+                   round(avg(dl), 6) AS avg_dl_r
+            FROM (SELECT source, len({_TOK}) AS dl FROM documents)
+            GROUP BY source""",
+        "doc_ids_dense": """
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY source, doc_id) - 1 AS dense_id
+            FROM documents""",
+        "postings_df_cf": f"""
+            SELECT term, count(*) AS df, sum(tf) AS cf FROM (
+              SELECT term, doc_id, count(*) AS tf FROM (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents
+              ) GROUP BY term, doc_id
+            ) GROUP BY term""",
+        "bm25_topk": _BM25_SQL,
+        "bm25_topk_dataframe": _BM25_SQL,
+        "dedup_exact": """
+            SELECT md5(coalesce(text, '')) AS h, count(*) AS n,
+                   min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY 1""",
+        "ngram_jaccard": f"""
+            WITH g AS (
+              SELECT doc_id, source,
+                     list_distinct(
+                       list_transform(
+                         range(1, greatest(len(toks) - 1, 1)),
+                         i -> array_to_string(toks[i:i+2], ' ')
+                       )
+                     ) AS grams
+              FROM (SELECT doc_id, source, {_TOK} AS toks FROM documents)
+            )
+            SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                   round(
+                     len(list_intersect(a.grams, b.grams))::DOUBLE
+                     / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1),
+                   6) AS jac_r
+            FROM g a JOIN g b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+             AND b.doc_id - a.doc_id <= 45""",
+        "token_count_regex": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(coalesce(text, '')),
+                       '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_pieces
+            FROM documents""",
+        "text_quality": f"""
+            SELECT doc_id, len(toks) AS n_tokens,
+                   length(coalesce(text, '')) AS n_chars,
+                   round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+                         / greatest(len(toks), 1), 6) AS avg_tok_len_r
+            FROM (SELECT doc_id, text, {_TOK} AS toks FROM documents)""",
+        "ann_cosine_topk": """
+            WITH q AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+              WHERE vec_id = 0
+            )
+            SELECT vec_id,
+                   round(
+                     list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+                     / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(q.qv, q.qv))),
+                   5) AS cos_r
+            FROM embeddings, q WHERE vec_id != 0
+            ORDER BY cos_r DESC, vec_id ASC LIMIT 10""",
+        # transcripts_postings: intentionally omitted (input is the
+        # synthetic transcript corpus, not a registered DuckDB view) ->
+        # rows-only check; the strong differential test lives in pytest.
+    }

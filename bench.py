@@ -1,0 +1,143 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipeline at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and
+prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {<phase>: sec, ...}, "sf": <sf>, ...extras}
+
+Headline = the north-rule workload: deterministic synthetic transcript
+corpus scaled by sf (generated in-Spark, written to parquet, generation
+NOT counted in build time), full samplesort index build, then the
+30-query reference set through both query modes; plus two
+documents-table queries for cross-engine comparability.
+
+Scaling evidence (two-cluster-size criterion) is produced by
+scripts/bench_scaling.py which runs this module at two core counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# ~300k convs (~2.1M turns) at sf=1.0
+CONVS_PER_SF = 300_000
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_bench(sf_dir: str, cpus: int, keep_session=None) -> dict:
+    from pyspark.sql import SparkSession
+
+    from capsbm25 import fixtures as fx
+    from capsbm25.build import build_index, load_postings
+    from capsbm25.config import BuildConfig
+    from capsbm25.query import bm25_topk
+
+    sf = _sf_from_dir(sf_dir)
+    n_convs = max(500, int(CONVS_PER_SF * sf))
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"capsbm25-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus * 2))
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    cfg = BuildConfig(
+        num_part_ids=max(256, cpus * 16),
+        shuffle_partitions=cpus * 2,
+        num_waves=2,
+    )
+    tmp = tempfile.mkdtemp(prefix="capsbm25_bench_")
+    timings: dict[str, float] = {}
+    extras: dict = {}
+    try:
+        # --- corpus generation (not counted as build) ---
+        t0 = time.time()
+        tpath = os.path.join(tmp, "transcripts")
+        fx.gen_transcripts_spark(
+            spark, n_convs, seed=42, partitions=cpus * 2
+        ).write.mode("overwrite").parquet(tpath)
+        timings["gen"] = round(time.time() - t0, 3)
+
+        transcripts = spark.read.parquet(tpath)
+
+        # --- index build (the headline) ---
+        t0 = time.time()
+        res = build_index(spark, transcripts, os.path.join(tmp, "idx"), cfg)
+        timings["build"] = round(time.time() - t0, 3)
+        extras["turns"] = res.N
+        extras["throughput_turns_per_sec"] = round(res.N / timings["build"], 1)
+        extras["build_stages"] = {
+            k: v.get("sec") for k, v in res.metrics.items() if "sec" in v
+        }
+
+        postings = load_postings(spark, res.out_dir)
+        queries = fx.queries_pdf(42)
+
+        t0 = time.time()
+        n1 = bm25_topk(
+            spark, postings, queries, res.N, res.avgdl, cfg,
+            mode="kernel", prune=True,
+        ).count()
+        timings["query_kernel_wand"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        n2 = bm25_topk(
+            spark, postings, queries, res.N, res.avgdl, cfg, mode="distributed"
+        ).count()
+        timings["query_distributed"] = round(time.time() - t0, 3)
+        extras["query_result_rows"] = {"kernel": n1, "distributed": n2}
+
+        # --- documents-table queries (driver tables) ---
+        if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+            import __spark_entry__ as E
+
+            t0 = time.time()
+            E.q_bm25_topk_dataframe(spark, sf_dir).collect()
+            timings["bm25_documents_dataframe"] = round(time.time() - t0, 3)
+
+            t0 = time.time()
+            E.q_term_df_cf(spark, sf_dir).count()
+            timings["term_df_cf_documents"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if keep_session is None:
+            spark.stop()
+
+    total = round(sum(timings.values()) - timings["gen"], 3)
+    return {
+        "metric": "index build + BM25 query wall-clock (synthetic transcript "
+                  "corpus, samplesort posting build, 30-query reference set)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        **extras,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    result = run_bench(sf_dir, cpus)
+    print(json.dumps(result))

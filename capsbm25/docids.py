@@ -28,9 +28,14 @@ from pyspark.sql import functions as F
 
 from capsbm25.config import BuildConfig
 
-# conv_id cannot contain \x00 (fixture/corpus contract); turn_idx is
-# int32 so 10 digits zero-padded keeps lexicographic == numeric order.
-_SEP = "\x00"
+# Separator must sort below every character that can appear in conv_id
+# so that key order == (conv_id, turn_idx) tuple order for
+# variable-length ids ("src1" < "src10"). \x01, not \x00: numpy's
+# fixed-width unicode coercion silently STRIPS trailing NUL codepoints
+# (np.str_("\x00") == ""), which pandas applies during Series+scalar
+# concat. turn_idx is int32, 10 zero-padded digits keep lexicographic
+# == numeric order.
+_SEP = "\x01"
 
 
 def _key(conv_id: pd.Series, turn_idx: pd.Series) -> np.ndarray:

@@ -1,0 +1,84 @@
+"""Mimic the driver's verify: run each __spark_entry__.queries() entry
+and its oracle_sql() via DuckDB at sf0.01, compare row count + sorted
+values. Exercises the same contract CORRECTNESS_r{N}.json grades."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as E
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    p = os.path.join(SF, f"{t}.parquet")
+    if os.path.exists(p):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+qs, oracles = E.queries(), E.oracle_sql()
+fails = []
+for name, fn in qs.items():
+    t0 = time.time()
+    try:
+        got = fn(spark, SF).toPandas()
+    except Exception as ex:
+        fails.append((name, f"SPARK ERROR: {ex}"))
+        print(f"{name:24s} SPARK ERROR: {str(ex)[:200]}")
+        continue
+    if name not in oracles:
+        print(f"{name:24s} rows-only: {len(got)} rows  ({time.time()-t0:.1f}s)")
+        if len(got) == 0:
+            fails.append((name, "0 rows"))
+        continue
+    try:
+        want = con.sql(oracles[name]).df()
+    except Exception as ex:
+        fails.append((name, f"DUCKDB ERROR: {ex}"))
+        print(f"{name:24s} DUCKDB ERROR: {str(ex)[:200]}")
+        continue
+    g, w = canon(got), canon(want)
+    status = "OK"
+    if len(g) != len(w):
+        status = f"ROWCOUNT {len(g)} vs {len(w)}"
+    elif list(g.columns) != list(w.columns):
+        status = f"COLS {list(g.columns)} vs {list(w.columns)}"
+    else:
+        try:
+            pd.testing.assert_frame_equal(g, w, check_dtype=False, atol=0, rtol=0)
+        except AssertionError as ex:
+            status = "VALUES DIFFER: " + str(ex).split("\n")[-2][:150]
+    if status != "OK":
+        fails.append((name, status))
+    print(f"{name:24s} {status}  rows={len(got)}  ({time.time()-t0:.1f}s)")
+
+print()
+print("FAILURES:" if fails else "ALL ENTRIES MATCH")
+for n, s in fails:
+    print(" -", n, s)
+spark.stop()
+sys.exit(1 if fails else 0)
