@@ -229,19 +229,12 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_ngram_jaccard(spark, sf_dir):
     """3-gram shingle Jaccard for nearby same-source doc pairs."""
+    from capsbm25.dataops import shingles
+
     d = _documents(spark, sf_dir).select(
         "doc_id", "source", tokens_expr(F.col("text"), CFG).alias("toks")
     )
-    g = d.select(
-        "doc_id",
-        "source",
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, greatest(size(toks) - 2, 0)),"
-                " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
-            )
-        ).alias("grams"),
-    )
+    g = d.select("doc_id", "source", shingles("toks", 3).alias("grams"))
     a, b = g.alias("a"), g.alias("b")
     pairs = a.join(
         b,
@@ -313,6 +306,51 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_minhash_lsh(spark, sf_dir):
+    from capsbm25.dataops import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_documents(spark, sf_dir), n_hashes=8, bands=4)
+
+
+def q_simhash(spark, sf_dir):
+    from capsbm25.dataops import simhash_bits
+
+    return simhash_bits(_documents(spark, sf_dir), n_bits=32)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from capsbm25.dataops import embedding_neardup_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_neardup_pairs(emb, threshold=0.45)
+
+
+def q_langid(spark, sf_dir):
+    from capsbm25.dataops import langid_heuristic
+
+    return langid_heuristic(_documents(spark, sf_dir))
+
+
+def q_events_sessionize(spark, sf_dir):
+    from capsbm25.dataops import events_sessionize
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return events_sessionize(ev, gap_minutes=30)
+
+
+def q_events_hourly(spark, sf_dir):
+    from capsbm25.dataops import events_hourly
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return events_hourly(ev)
+
+
+def q_binary_features(spark, sf_dir):
+    from capsbm25.dataops import binary_features
+
+    return binary_features(_documents(spark, sf_dir))
+
+
 def q_transcripts_postings(spark, sf_dir):
     """Rows-only check: full build over the synthetic transcript corpus
     (the binding input shape) — no DuckDB view exists for it, so the
@@ -352,8 +390,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_regex": q_token_count_regex,
         "text_quality": q_text_quality,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "embedding_neardup": q_embedding_neardup,
+        "langid": q_langid,
+        "events_sessionize": q_events_sessionize,
+        "events_hourly": q_events_hourly,
+        "binary_features": q_binary_features,
         "transcripts_postings": q_transcripts_postings,
     }
+
+
+_GRAMS_SQL = f"""
+  SELECT doc_id, list_distinct(
+           list_transform(range(1, greatest(len(toks) - 1, 1)),
+                          i -> array_to_string(toks[i:i+2], ' '))
+         ) AS grams
+  FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+"""
+
+_MINHASH_COLS = ",\n".join(
+    f"    list_min(list_transform(grams, x -> md5('{i}|' || x))) AS mh{i}"
+    for i in range(8)
+)
+_BUCKET_SELECTS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, md5('{b}|' || mh{2*b} || '|' || mh{2*b+1}) AS bucket FROM sig"
+    for b in range(4)
+)
+
+_MINHASH_SQL = f"""
+WITH g AS ({_GRAMS_SQL}),
+sig AS (
+  SELECT doc_id,
+{_MINHASH_COLS}
+  FROM g WHERE len(grams) > 0
+),
+buckets AS (
+{_BUCKET_SELECTS}
+)
+SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+FROM buckets a JOIN buckets b
+  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+_SIMHASH_SQL = f"""
+WITH g AS ({_GRAMS_SQL}),
+h AS (SELECT doc_id, md5(unnest(grams)) AS h FROM g),
+bits AS (
+  SELECT doc_id, j,
+         CAST(floor(
+           (instr('0123456789abcdef', substr(h, CAST(floor(j/4) AS INT) + 1, 1)) - 1)
+           / pow(2, 3 - j % 4)
+         ) AS INT) % 2 AS bit
+  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
+),
+agg AS (
+  SELECT doc_id, j, sum(bit * 2 - 1) AS s FROM bits GROUP BY doc_id, j
+)
+SELECT doc_id,
+       string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+FROM agg GROUP BY doc_id
+"""
+
+_STOPLIST_SQL = "['" + "','".join(
+    w for w in __import__("capsbm25.dataops", fromlist=["EN_STOPWORDS"]).EN_STOPWORDS
+) + "']"
 
 
 _BM25_SQL = f"""
@@ -475,6 +576,63 @@ def oracle_sql() -> dict[str, str]:
                    5) AS cos_r
             FROM embeddings, q WHERE vec_id != 0
             ORDER BY cos_r DESC, vec_id ASC LIMIT 10""",
+        "minhash_lsh": _MINHASH_SQL,
+        "simhash": _SIMHASH_SQL,
+        "embedding_neardup": """
+            SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+                   round(
+                     list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])))),
+                   5) AS cos_r
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(
+                     list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])))),
+                  5) >= 0.45""",
+        "langid": f"""
+            SELECT doc_id,
+                   CASE WHEN len(toks) = 0 THEN 'unknown'
+                        WHEN len(list_intersect(list_distinct(toks),
+                                                {_STOPLIST_SQL}))::DOUBLE
+                             / greatest(len(list_distinct(toks)), 1) >= 0.05
+                        THEN 'en' ELSE 'other' END AS lang_pred
+            FROM (SELECT doc_id, {_TOK} AS toks FROM documents)""",
+        "events_sessionize": """
+            WITH x AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT *, sum(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM x
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value_r
+            FROM s GROUP BY user_id, session_id""",
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(avg(value), 6) AS avg_value_r
+            FROM events GROUP BY 1, 2""",
+        "binary_features": """
+            SELECT doc_id,
+                   octet_length(encode(coalesce(text, ''))) AS n_bytes,
+                   left(lower(hex(encode(coalesce(text, '')))), 16) AS head_hex
+            FROM documents""",
         # transcripts_postings: intentionally omitted (input is the
         # synthetic transcript corpus, not a registered DuckDB view) ->
         # rows-only check; the strong differential test lives in pytest.

@@ -50,10 +50,14 @@ def run_bench(sf_dir: str, cpus: int, keep_session=None) -> dict:
     sf = _sf_from_dir(sf_dir)
     n_convs = max(500, int(CONVS_PER_SF * sf))
 
+    # IMPORTANT for the scaling experiment: the logical plan (partition
+    # counts, splitters, waves) is FIXED regardless of core count — only
+    # execution parallelism varies between local[8] and local[32],
+    # exactly as executor count (not plan) would vary on a real cluster.
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"capsbm25-bench-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(cpus * 2))
+        .config("spark.sql.shuffle.partitions", "64")
         .config("spark.driver.memory", "48g")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -62,8 +66,8 @@ def run_bench(sf_dir: str, cpus: int, keep_session=None) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
 
     cfg = BuildConfig(
-        num_part_ids=max(256, cpus * 16),
-        shuffle_partitions=cpus * 2,
+        num_part_ids=512,
+        shuffle_partitions=64,
         num_waves=2,
     )
     tmp = tempfile.mkdtemp(prefix="capsbm25_bench_")
@@ -74,7 +78,7 @@ def run_bench(sf_dir: str, cpus: int, keep_session=None) -> dict:
         t0 = time.time()
         tpath = os.path.join(tmp, "transcripts")
         fx.gen_transcripts_spark(
-            spark, n_convs, seed=42, partitions=cpus * 2
+            spark, n_convs, seed=42, partitions=64
         ).write.mode("overwrite").parquet(tpath)
         timings["gen"] = round(time.time() - t0, 3)
 

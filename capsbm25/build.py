@@ -40,7 +40,6 @@ from capsbm25.postings import (
     assemble_postings,
     extract_pairs,
     merge_hot_partials,
-    with_part_id,
 )
 from capsbm25.tokenize import tokens_expr
 
@@ -134,24 +133,23 @@ def build_index(
     pairs_path = os.path.join(out_dir, "pairs")
     postings_path = os.path.join(out_dir, "postings")
 
-    # --- stage: docs (doc_id assignment, staged) ---
+    # --- stage: docs (doc_id assignment, staged; dl fused into the
+    #     same write so no second tokenize pass is ever needed) ---
     def stage_docs():
         docs = assign_doc_ids(transcripts, cfg, method="distributed")
-        docs.write.mode("overwrite").parquet(docs_path)
+        docs.withColumn(
+            "dl", F.size(tokens_expr(F.col("text"), cfg)).cast("long")
+        ).write.mode("overwrite").parquet(docs_path)
         return {"rows": spark.read.parquet(docs_path).count()}
 
     timed("docs", stage_docs)
     docs = spark.read.parquet(docs_path)
 
-    # --- stage: stats (doc_stats + corpus_stats) ---
+    # --- stage: stats (doc_stats + corpus_stats; column-pruned scan) ---
     def stage_stats():
-        ds = docs.select(
-            "doc_id",
-            "conv_id",
-            "turn_idx",
-            F.size(tokens_expr(F.col("text"), cfg)).cast("long").alias("dl"),
-        )
-        ds.write.mode("overwrite").parquet(stats_path)
+        docs.select("doc_id", "conv_id", "turn_idx", "dl").write.mode(
+            "overwrite"
+        ).parquet(stats_path)
         row = (
             spark.read.parquet(stats_path)
             .agg(F.count("*").alias("N"), F.avg("dl").alias("avgdl"))
@@ -178,9 +176,10 @@ def build_index(
     timed("plan", stage_plan)
     plan = PartitionPlan.from_json(man.done("plan")["plan"])
 
-    # --- stage: pairs (staged, wave-partitioned — the resume anchor) ---
+    # --- stage: pairs (staged, wave-partitioned — the resume anchor;
+    #     tokenize + tf + dl + part assignment in ONE Arrow pass) ---
     def stage_pairs():
-        pw = with_part_id(extract_pairs(docs, cfg), plan).withColumn(
+        pw = extract_pairs(docs, cfg, plan=plan).withColumn(
             "wave", (F.col("part_id") / cfg.parts_per_wave).cast("int")
         )
         pw.write.mode("overwrite").partitionBy("wave").parquet(pairs_path)

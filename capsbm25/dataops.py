@@ -1,0 +1,235 @@
+"""Training-data-pipeline operators over the driver tables
+(documents / embeddings / events) — the operations a 100 TB pretraining
+corpus pipeline needs, expressed Spark-first (built-in columnar
+expressions wherever possible; Arrow kernels only where built-ins can't
+express the semantics).
+
+Every operator here has a DuckDB-SQL oracle in __spark_entry__.py.
+Portability note: cross-engine hash parity is achieved by using md5
+(identical hex output in Spark and DuckDB) rather than engine-native
+hash functions; a real deployment would swap xxhash64 for speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from capsbm25.config import BuildConfig
+from capsbm25.tokenize import tokens_expr
+
+_CFG = BuildConfig()
+
+# 50 most common English stopwords (public knowledge) for quality/langid
+EN_STOPWORDS = (
+    "the of and a to in is you that it he was for on are as with his they i "
+    "at be this have from or one had by word but not what all were we when "
+    "your can said there use an each which she do how their if"
+).split()
+
+
+def shingles(toks_col_name: str, n: int = 3) -> Column:
+    """Distinct n-gram shingle array from a token-array column
+    (built-in exprs only — stays in whole-stage codegen)."""
+    t = toks_col_name
+    # guard: sequence(1, 0) in Spark DESCENDS ([1, 0]) rather than being
+    # empty, and slice(_, 0, _) throws — short docs need the CASE arm
+    return F.array_distinct(
+        F.expr(
+            f"CASE WHEN size({t}) >= {n} THEN "
+            f"transform(sequence(1, size({t}) - {n - 1}),"
+            f" i -> concat_ws(' ', slice({t}, i, {n}))) "
+            f"ELSE CAST(array() AS array<string>) END"
+        )
+    )
+
+
+def _doc_grams(docs: DataFrame, n: int = 3) -> DataFrame:
+    return docs.select(
+        "doc_id", tokens_expr(F.col("text"), _CFG).alias("toks")
+    ).select("doc_id", shingles("toks", n).alias("grams"))
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 8) -> DataFrame:
+    """MinHash signature per doc: h_i = min over shingles of
+    md5(i || '|' || shingle). Lexicographic min over a uniform hex hash
+    is a valid permutation-min proxy, and md5 hex is identical across
+    engines (cross-checkable in SQL)."""
+    g = _doc_grams(docs).where(F.size("grams") > 0)
+
+    # NB: the lambda must take exactly ONE argument — PySpark interprets
+    # a two-parameter lambda in F.transform as (element, array_index),
+    # which would silently clobber a loop variable bound via default arg.
+    def hashed(i: int):
+        prefix = f"{i}|"
+        return lambda x: F.md5(F.concat(F.lit(prefix), x))
+
+    sig = [
+        F.array_min(F.transform(F.col("grams"), hashed(i))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return g.select("doc_id", *sig)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band bucket
+    (shingle -> minhash -> band -> bucket-join). Returns distinct
+    (doc1, doc2) candidate pairs, doc1 < doc2."""
+    sig = minhash_signatures(docs, n_hashes)
+    rows_per_band = n_hashes // bands
+    buckets = None
+    for b in range(bands):
+        cols = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        part = sig.select(
+            "doc_id",
+            F.md5(F.concat_ws("|", F.lit(str(b)), *cols)).alias("bucket"),
+        )
+        buckets = part if buckets is None else buckets.unionAll(part)
+    a, c = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(c, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+def simhash_bits(docs: DataFrame, n_bits: int = 32) -> DataFrame:
+    """SimHash fingerprint as a bit string: bit_j = sign of the sum over
+    shingles of (bit_j(md5(shingle)) ? +1 : -1). Bit j is extracted from
+    the hex digest arithmetically (hex char -> nibble -> bit), which
+    both engines evaluate identically."""
+    g = _doc_grams(docs).select(
+        "doc_id", F.explode("grams").alias("gram")
+    ).withColumn("h", F.md5("gram"))
+    j = F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("j")
+    # instr + explicit floor: identical semantics in Spark and DuckDB
+    # (CAST(double AS INT) truncates in Spark but ROUNDS in DuckDB)
+    bits = g.select("doc_id", "h", j).withColumn(
+        "nib",
+        F.expr("instr('0123456789abcdef', substr(h, CAST(floor(j/4) AS INT) + 1, 1)) - 1"),
+    ).withColumn(
+        "bit", F.expr("CAST(floor(nib / pow(2, 3 - j % 4)) AS INT) % 2")
+    )
+    agg = bits.groupBy("doc_id", "j").agg(
+        (F.sum(F.col("bit") * 2 - 1)).alias("s")
+    )
+    return agg.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("j"), (F.col("s") >= 0).cast("int").alias("b")))
+                ),
+                lambda st: st["b"].cast("string"),
+            ),
+        ).alias("simhash")
+    )
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above threshold.
+
+    Brute-force O(n^2) self-join — the exact baseline. The scale path is
+    LSH bucketing first (ann_lsh_buckets below) to shrink the join."""
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+        )
+
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec1"),
+            F.col("b.vec_id").alias("vec2"),
+            F.round(cos, 5).alias("cos_r"),
+        )
+        .where(F.col("cos_r") >= threshold)
+    )
+
+
+def langid_heuristic(docs: DataFrame) -> DataFrame:
+    """n-gram-free language-ID heuristic: English stopword hit ratio.
+    (The corpus is synthetic; the point is the operator shape.)"""
+    toks = tokens_expr(F.col("text"), _CFG)
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    return docs.select(
+        "doc_id",
+        F.when(F.size(toks) == 0, F.lit("unknown"))
+        .when(n_stop.cast("double") / F.greatest(F.size(F.array_distinct(toks)), F.lit(1)) >= 0.05, "en")
+        .otherwise("other")
+        .alias("lang_pred"),
+    )
+
+
+def events_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: per-user session ids split on inactivity gaps,
+    then per-session aggregates. Pure window functions."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # TIMESTAMP_NTZ has no direct long cast in Spark 4; go via timestamp.
+    # Any session-tz offset is constant and cancels in the difference.
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    sess = (
+        events.withColumn("new_sess", (gap.isNull() | (gap > gap_minutes * 60)).cast("int"))
+        .withColumn("session_id", F.sum("new_sess").over(w))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value_r"),
+    )
+
+
+def events_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windowed counts by event_type."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value_r"))
+    )
+
+
+def binary_features(docs: DataFrame) -> DataFrame:
+    """Multimodal-column plumbing: treat payloads as opaque binary and
+    run a vectorized Arrow kernel over them (schema/partitioning/batch
+    shape are the real thing; the 'decode' is a deterministic stand-in —
+    image/audio codecs aren't in this container, see decode_stub)."""
+    import pandas as pd
+
+    with_bin = docs.select(
+        "doc_id", F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload")
+    )
+
+    def kernel(it):
+        for pdf in it:
+            payload = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payload.map(len).astype("int64"),
+                    "head_hex": payload.map(lambda b: bytes(b)[:8].hex()),
+                }
+            )
+
+    return with_bin.mapInPandas(kernel, schema="doc_id long, n_bytes long, head_hex string")
+
+
+def decode_stub(payload: bytes, media_type: str):
+    """Media decode stub — the real decode (PIL/librosa/av) is not
+    available in this container. The Spark-side plumbing (binary column,
+    Arrow batch kernel, schema) is real and tested via binary_features."""
+    raise NotImplementedError(
+        f"media decode for {media_type!r} requires codec libraries not "
+        "present in this environment; wire PIL/soundfile/av here."
+    )

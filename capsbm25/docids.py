@@ -73,21 +73,21 @@ def assign_doc_ids(
     cuts = [keys[int(len(keys) * (i + 1) / n_eff) - 1] for i in range(n_eff - 1)]
     splitters = np.array(sorted(set(cuts)), dtype=object)
 
-    # 2. vectorized range assignment kernel
-    def assign_part(it):
-        for pdf in it:
-            pdf = pdf.copy()
-            pdf["part_id"] = np.searchsorted(
-                splitters, _key(pdf["conv_id"], pdf["turn_idx"]), side="right"
+    # 2. vectorized range assignment as a SCALAR pandas_udf: only the
+    #    two key columns cross the Arrow boundary, and Catalyst can
+    #    column-prune the count job below down to just those columns
+    #    (a mapInPandas here would ship every column, text included)
+    @F.pandas_udf("int")
+    def part_of(conv_id: pd.Series, turn_idx: pd.Series) -> pd.Series:
+        return pd.Series(
+            np.searchsorted(
+                splitters, _key(conv_id, turn_idx), side="right"
             ).astype(np.int32)
-            yield pdf
+        )
 
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    schema_with_part = StructType(
-        list(df.schema.fields) + [StructField("part_id", IntegerType())]
-    )
-    with_part = df.mapInPandas(assign_part, schema=schema_with_part)
+    with_part = df.withColumn("part_id", part_of("conv_id", "turn_idx"))
 
     # 3. per-part counts -> driver prefix-sum -> offsets
     counts = {

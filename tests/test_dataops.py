@@ -1,0 +1,70 @@
+"""Edge-case tests for the training-data-pipeline operators
+(cross-engine value parity is covered by scripts/check_entry.py against
+DuckDB; these pin the Spark-side semantics)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from capsbm25.dataops import (
+    binary_features,
+    langid_heuristic,
+    minhash_lsh_pairs,
+    shingles,
+    simhash_bits,
+)
+from capsbm25.tokenize import tokens_expr
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+
+def test_shingles_short_docs(spark):
+    """sequence(1,0) descends in Spark — the guard must keep 0/1/2-token
+    docs from throwing and yield empty gram arrays."""
+    d = _docs(spark, ["", "one", "two tokens", "three tokens here", "a b c d"])
+    out = (
+        d.select("doc_id", tokens_expr(F.col("text")).alias("toks"))
+        .select("doc_id", shingles("toks", 3).alias("g"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [len(r.g) for r in out] == [0, 0, 0, 1, 2]
+    assert out[3].g == ["three tokens here"]
+    assert sorted(out[4].g) == ["a b c", "b c d"]
+
+
+def test_minhash_identical_docs_always_pair(spark):
+    d = _docs(
+        spark,
+        ["alpha beta gamma delta epsilon"] * 2
+        + ["totally different words here now zz qq ww ee rr tt"],
+    )
+    pairs = minhash_lsh_pairs(d, n_hashes=8, bands=4).collect()
+    assert (0, 1) in {(r.doc1, r.doc2) for r in pairs}
+
+
+def test_simhash_identical_docs_same_fingerprint(spark):
+    d = _docs(spark, ["alpha beta gamma delta"] * 2 + ["other thing entirely xx"])
+    rows = {r.doc_id: r.simhash for r in simhash_bits(d, n_bits=32).collect()}
+    assert rows[0] == rows[1]
+    assert len(rows[0]) == 32 and set(rows[0]) <= {"0", "1"}
+    assert rows[0] != rows[2]
+
+
+def test_langid_empty_is_unknown(spark):
+    d = _docs(spark, ["", "the of and a to in is you that it", "w001 w002 w003"])
+    rows = {r.doc_id: r.lang_pred for r in langid_heuristic(d).collect()}
+    assert rows[0] == "unknown"
+    assert rows[1] == "en"
+    assert rows[2] == "other"
+
+
+def test_binary_features_roundtrip(spark):
+    d = _docs(spark, ["hello", ""])
+    rows = {r.doc_id: r for r in binary_features(d).collect()}
+    assert rows[0].n_bytes == 5
+    assert rows[0].head_hex == "hello".encode().hex()
+    assert rows[1].n_bytes == 0 and rows[1].head_hex == ""
