@@ -48,7 +48,11 @@ def run_bench(sf_dir: str, cpus: int, keep_session=None) -> dict:
     from capsbm25.query import bm25_topk
 
     sf = _sf_from_dir(sf_dir)
-    n_convs = max(500, int(CONVS_PER_SF * sf))
+    # SPARK_GRAFT_CONVS overrides corpus size (the scaling-evidence run
+    # uses a larger, compute-dominated corpus than the per-round bench)
+    n_convs = int(
+        os.environ.get("SPARK_GRAFT_CONVS", max(500, int(CONVS_PER_SF * sf)))
+    )
 
     # IMPORTANT for the scaling experiment: the logical plan (partition
     # counts, splitters, waves) is FIXED regardless of core count — only

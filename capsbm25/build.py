@@ -41,9 +41,6 @@ from capsbm25.postings import (
     extract_pairs,
     merge_hot_partials,
 )
-from capsbm25.tokenize import tokens_expr
-
-
 @dataclass
 class BuildResult:
     out_dir: str
@@ -136,10 +133,8 @@ def build_index(
     # --- stage: docs (doc_id assignment, staged; dl fused into the
     #     same write so no second tokenize pass is ever needed) ---
     def stage_docs():
-        docs = assign_doc_ids(transcripts, cfg, method="distributed")
-        docs.withColumn(
-            "dl", F.size(tokens_expr(F.col("text"), cfg)).cast("long")
-        ).write.mode("overwrite").parquet(docs_path)
+        docs = assign_doc_ids(transcripts, cfg, method="distributed", with_dl=True)
+        docs.write.mode("overwrite").parquet(docs_path)
         return {"rows": spark.read.parquet(docs_path).count()}
 
     timed("docs", stage_docs)

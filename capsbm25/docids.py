@@ -45,13 +45,28 @@ def _key(conv_id: pd.Series, turn_idx: pd.Series) -> np.ndarray:
 
 
 def assign_doc_ids(
-    df: DataFrame, cfg: BuildConfig | None = None, method: str = "distributed"
+    df: DataFrame,
+    cfg: BuildConfig | None = None,
+    method: str = "distributed",
+    with_dl: bool = False,
 ) -> DataFrame:
-    """Return df + doc_id:long, densely ranked by (conv_id, turn_idx)."""
+    """Return df + doc_id:long, densely ranked by (conv_id, turn_idx).
+
+    with_dl=True additionally emits dl (token count) computed inside the
+    same Arrow kernel that assigns ids — one regex pass, no extra scan
+    (Java regexp_extract_all measured ~4x slower since it materializes
+    every match string just to count them)."""
     cfg = cfg or BuildConfig()
     if method == "window":
         w = Window.orderBy("conv_id", "turn_idx")
-        return df.withColumn("doc_id", (F.row_number().over(w) - 1).cast("long"))
+        out = df.withColumn("doc_id", (F.row_number().over(w) - 1).cast("long"))
+        if with_dl:
+            from capsbm25.tokenize import tokens_expr
+
+            out = out.withColumn(
+                "dl", F.size(tokens_expr(F.col("text"), cfg)).cast("long")
+            )
+        return out
     if method != "distributed":
         raise ValueError(method)
 
@@ -105,11 +120,15 @@ def assign_doc_ids(
         min(cfg.shuffle_partitions, len(counts) or 1), "part_id"
     ).sortWithinPartitions("part_id", "conv_id", "turn_idx")
 
-    out_schema = StructType(
-        list(df.schema.fields) + [StructField("doc_id", LongType())]
-    )
+    extra = [StructField("doc_id", LongType())]
+    if with_dl:
+        extra.append(StructField("dl", LongType()))
+    out_schema = StructType(list(df.schema.fields) + extra)
     out_cols = [f.name for f in out_schema.fields]
     b_offsets = spark.sparkContext.broadcast(offsets)
+    import re
+
+    tok_re = re.compile(cfg.token_pattern)
 
     def add_ids(it):
         seen: dict[int, int] = {}
@@ -129,6 +148,10 @@ def assign_doc_ids(
                     seen[pid] = seen.get(pid, 0) + (hi - lo)
             pdf = pdf.copy()
             pdf["doc_id"] = ids
+            if with_dl:
+                pdf["dl"] = (
+                    pdf["text"].fillna("").str.lower().str.count(tok_re)
+                ).astype(np.int64)
             yield pdf[out_cols]
 
     return shuffled.mapInPandas(add_ids, schema=out_schema)

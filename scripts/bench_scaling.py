@@ -20,7 +20,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_at(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        # compute-dominated corpus (~1.05M turns) so the two-cluster-size
+        # criterion measures scaling of real work, not job overhead
+        SPARK_GRAFT_CONVS=os.environ.get("SPARK_GRAFT_CONVS", "150000"),
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600,
@@ -51,8 +58,11 @@ executors. Sandbox evidence (driver instruction): identical build at
 local[8] and local[32] on the same deterministic input, fresh JVM per
 run.
 
-Corpus: synthetic transcripts (seed=42), {r32.get('turns', '?')} turns,
-sf={r32['sf']} (see capsbm25/fixtures.py).
+Corpus: synthetic transcripts (seed=42), {r32.get('turns', '?')} turns
+(see capsbm25/fixtures.py). The logical plan (512 logical partitions,
+64 shuffle partitions, splitters, waves) is identical at both core
+counts — only execution parallelism differs, as executor count would
+on a real cluster.
 
 | metric | local[8] | local[32] |
 |---|---|---|
