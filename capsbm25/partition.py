@@ -92,10 +92,13 @@ def plan_from_sample(sample: pd.DataFrame, cfg: BuildConfig) -> PartitionPlan:
     total = float(agg.sum())
     shares = agg / total
 
-    # hot-term detection + bucket budget (at most half the part space)
-    hot_candidates = shares[shares > cfg.hot_share_threshold].sort_values(
-        ascending=False
-    )
+    # hot-term detection + bucket budget (at most half the part space).
+    # Adaptive floor: any term heavier than ~1.5 partition quanta MUST be
+    # salted — otherwise quantile cuts repeat on it, dedup collapses the
+    # repeats, and one reducer inherits several quanta of a single term
+    # (observed as a 4x heavy first wave at bench scale).
+    thr = min(cfg.hot_share_threshold, 1.5 / max(cfg.num_part_ids, 1))
+    hot_candidates = shares[shares > thr].sort_values(ascending=False)
     budget = cfg.num_part_ids // 2
     hot: dict[str, int] = {}
     for term, share in hot_candidates.items():

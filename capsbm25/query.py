@@ -174,7 +174,13 @@ def bm25_topk(
     if qt.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
     qdf = spark.createDataFrame(qt)
-    matched = postings.join(F.broadcast(qdf), "term")
+    # isin pre-filter: pushed to the parquet scan (PushedFilters: In(term))
+    # so row groups without query terms are skipped entirely — the
+    # broadcast join alone would still scan every posting row.
+    terms = sorted(qt["term"].unique().tolist())
+    matched = postings.where(F.col("term").isin(terms)).join(
+        F.broadcast(qdf), "term"
+    )
 
     if mode == "kernel":
         def kernel(key, pdf):

@@ -38,12 +38,18 @@ def run_at(cpus: int, sf_dir: str) -> dict:
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
     results = {}
     for cpus in (8, 32):
-        t0 = time.time()
-        results[cpus] = run_at(cpus, sf_dir)
-        print(f"local[{cpus}]: {json.dumps(results[cpus])}", flush=True)
-        print(f"  ({time.time()-t0:.0f}s wall)", flush=True)
+        best = None
+        for rep in range(repeats):
+            t0 = time.time()
+            r = run_at(cpus, sf_dir)
+            print(f"local[{cpus}] rep{rep}: {json.dumps(r)}", flush=True)
+            print(f"  ({time.time()-t0:.0f}s wall)", flush=True)
+            if best is None or r["queries"]["build"] < best["queries"]["build"]:
+                best = r
+        results[cpus] = best
 
     r8, r32 = results[8], results[32]
     thr8 = r8["throughput_turns_per_sec"]
