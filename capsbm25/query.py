@@ -71,15 +71,34 @@ def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
     qid = int(pdf["query_id"].iloc[0])
     pdf = pdf.sort_values("term")  # fixed summation order -> bit-stable
     terms = []
-    for row in pdf.itertuples(index=False):
-        docs, tfs, dls = _decode_posting(row)
-        tidf = float(idf_fn(N, int(row.df)))
+    for term, grp in pdf.groupby("term", sort=True):
+        # multiple rows per term = index segments (incremental builds);
+        # merge them and recompute bounds — stored block maxima were
+        # computed with segment-local df/avgdl and are not safe bounds
+        # for the merged corpus
+        parts = [_decode_posting(r) for r in grp.itertuples(index=False)]
+        docs = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        dls = np.concatenate([p[2] for p in parts])
+        if len(parts) > 1:
+            order = np.argsort(docs, kind="stable")
+            docs, tfs, dls = docs[order], tfs[order], dls[order]
+        df_total = int(grp["df"].sum())
+        tidf = float(idf_fn(N, df_total))
         sc = term_scores(tfs, dls, tidf, avgdl, cfg.k1, cfg.b)
-        uppers = (
-            np.array([b["upper"] for b in row.block_max], dtype=np.float64)
-            if row.block_max is not None and len(row.block_max)
-            else np.array([sc.max() if sc.size else 0.0])
-        )
+        row0 = grp.iloc[0]
+        if len(parts) == 1 and row0["block_max"] is not None and len(row0["block_max"]):
+            uppers = np.array(
+                [b["upper"] for b in row0["block_max"]], dtype=np.float64
+            )
+        elif sc.size:
+            B = cfg.block_size
+            nb = -(-sc.size // B)
+            uppers = np.array(
+                [sc[i * B : (i + 1) * B].max() for i in range(nb)]
+            )
+        else:
+            uppers = np.array([0.0])
         terms.append({"docs": docs, "scores": sc, "uppers": uppers})
 
     def exact_scores(cand: np.ndarray) -> np.ndarray:
@@ -193,12 +212,17 @@ def bm25_topk(
         )
 
     if mode == "distributed":
+        # global df per term (rows may be index segments with partial df)
+        term_df = matched.groupBy("term").agg(F.sum("df").alias("df_total"))
+        matched = matched.join(F.broadcast(term_df), "term")
+
         def contribs(it):
             for pdf in it:
                 for row in pdf.itertuples(index=False):
                     docs, tfs, dls = _decode_posting(row)
                     sc = term_scores(
-                        tfs, dls, float(idf_fn(N, int(row.df))), avgdl, cfg.k1, cfg.b
+                        tfs, dls, float(idf_fn(N, int(row.df_total))),
+                        avgdl, cfg.k1, cfg.b,
                     )
                     yield pd.DataFrame(
                         {

@@ -1,0 +1,148 @@
+"""Incremental index maintenance via Structured Streaming.
+
+The reference is strictly batch (SURVEY §2.2) and the north rule does
+not require streaming; this module is the natural Spark-native
+extension: new transcript turns arrive as files, each micro-batch
+becomes an immutable index SEGMENT (the classic Lucene-style design),
+and the query kernels merge segments at read time.
+
+  readStream(transcripts) --foreachBatch--> segments/seg=<id>/postings
+                                            + doc-id offsets + stats
+
+Exactness: query-time BM25 uses global N/avgdl (maintained in
+stats.json) and per-term df summed across segments inside the scoring
+kernel (capsbm25/query.py merges multi-segment terms and recomputes
+pruning bounds), so incremental == batch == oracle, rank-identically —
+tested in tests/test_streaming.py.
+
+doc_ids stay dense and stable: each micro-batch is assigned the range
+[N_so_far, N_so_far + batch_rows) in (conv_id, turn_idx) order within
+the batch (arrival order across batches — the streaming analog of the
+stable ordering contract; a periodic compaction could re-sort segments
+if strict global key order is required).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from capsbm25.config import BuildConfig
+from capsbm25.docids import assign_doc_ids
+from capsbm25.partition import plan_from_sample
+from capsbm25.postings import assemble_postings, extract_pairs
+
+
+def _stats_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "stats.json")
+
+
+def load_stream_stats(out_dir: str) -> dict:
+    p = _stats_path(out_dir)
+    if not os.path.exists(p):
+        return {"N": 0, "total_dl": 0, "segments": []}
+    with open(p) as f:
+        return json.load(f)
+
+
+def process_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    cfg: BuildConfig,
+) -> None:
+    """foreachBatch body: build one immutable segment. Idempotent on
+    batch_id (Structured Streaming may re-run a batch after failure)."""
+    stats = load_stream_stats(out_dir)
+    if batch_id in [s["id"] for s in stats["segments"]]:
+        return  # replay after restart — segment already committed
+    n_rows = batch_df.count()
+    if n_rows == 0:
+        return
+    t0 = time.time()
+    offset = stats["N"]
+
+    docs = assign_doc_ids(batch_df, cfg, method="distributed", with_dl=True)
+    docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+    seg = os.path.join(out_dir, "segments", f"seg={batch_id}")
+    docs.write.mode("overwrite").parquet(os.path.join(seg, "docs"))
+    docs = spark.read.parquet(os.path.join(seg, "docs"))
+
+    sample = extract_pairs(
+        docs.sample(fraction=min(1.0, 20000 / max(n_rows, 1)), seed=cfg.seed), cfg
+    )
+    plan = plan_from_sample(sample.select("term", "tf").toPandas(), cfg)
+
+    # block maxima inside a segment use segment-local stats; the query
+    # kernel recomputes bounds when merging segments (see query.py)
+    seg_dl = docs.agg(F.sum("dl").alias("s")).collect()[0]["s"] or 0
+    seg_avgdl = (seg_dl / n_rows) if n_rows else 0.0
+    postings = assemble_postings(
+        extract_pairs(docs, cfg, plan=plan), plan, n_rows, seg_avgdl, cfg
+    )
+    postings.write.mode("overwrite").parquet(os.path.join(seg, "postings"))
+
+    stats["N"] += n_rows
+    stats["total_dl"] += int(seg_dl)
+    stats["segments"].append(
+        {"id": batch_id, "rows": n_rows, "dl": int(seg_dl),
+         "sec": round(time.time() - t0, 3)}
+    )
+    tmp = _stats_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, _stats_path(out_dir))
+
+
+def start_incremental_build(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    cfg: BuildConfig | None = None,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """Start the streaming build; returns the StreamingQuery."""
+    from capsbm25.fixtures import TRANSCRIPT_SCHEMA
+
+    cfg = cfg or BuildConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    writer = stream.writeStream.foreachBatch(
+        lambda bdf, bid: process_batch(spark, bdf, bid, out_dir, cfg)
+    ).option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def load_segment_postings(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All live segments' postings (multiple rows per term possible —
+    the query kernels merge them; salted partials are merged here too
+    since segments skip the hot-merge pass: the kernel handles any
+    number of partial rows per term)."""
+    stats = load_stream_stats(out_dir)
+    paths = [
+        os.path.join(out_dir, "segments", f"seg={s['id']}", "postings")
+        for s in stats["segments"]
+    ]
+    if not paths:
+        from capsbm25.postings import POSTINGS_SCHEMA
+
+        return spark.createDataFrame([], POSTINGS_SCHEMA)
+    return spark.read.parquet(*paths)
+
+
+def stream_corpus_stats(out_dir: str) -> tuple[int, float]:
+    stats = load_stream_stats(out_dir)
+    n = stats["N"]
+    return n, (stats["total_dl"] / n if n else 0.0)

@@ -1,0 +1,83 @@
+"""Incremental (Structured Streaming) build == batch build == oracle,
+rank-identically, on the full reference query set."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from capsbm25 import fixtures as fx
+from capsbm25.config import BuildConfig
+from capsbm25.query import bm25_topk
+from capsbm25.streaming import (
+    load_segment_postings,
+    load_stream_stats,
+    start_incremental_build,
+    stream_corpus_stats,
+)
+from oracle import OracleIndex
+
+
+@pytest.fixture(scope="module")
+def streamed(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    src = str(base / "incoming")
+    out = str(base / "idx")
+    os.makedirs(src)
+    # three arrivals of conversations (files land over time)
+    pdf = fx.gen_transcripts_pdf(120, 42)
+    convs = sorted(pdf["conv_id"].unique())
+    chunks = [convs[:40], convs[40:80], convs[80:]]
+    for i, chunk in enumerate(chunks):
+        pdf[pdf["conv_id"].isin(chunk)].to_parquet(f"{src}/part{i}.parquet")
+
+    cfg = BuildConfig(num_part_ids=16, shuffle_partitions=4)
+    q = start_incremental_build(spark, src, out, cfg, max_files_per_trigger=1)
+    q.awaitTermination(300)
+    return {"pdf": pdf, "out": out, "cfg": cfg}
+
+
+def test_segments_created(streamed, spark):
+    stats = load_stream_stats(streamed["out"])
+    assert len(stats["segments"]) == 3
+    assert stats["N"] == len(streamed["pdf"])
+
+
+def test_incremental_rank_identical_to_oracle(streamed, spark):
+    # arrival order = file order = conv order here, so global doc order
+    # matches the oracle's stable (conv_id, turn_idx) ordering
+    oracle = OracleIndex(streamed["pdf"])
+    N, avgdl = stream_corpus_stats(streamed["out"])
+    assert N == oracle.N and abs(avgdl - oracle.avgdl) < 1e-9
+
+    postings = load_segment_postings(spark, streamed["out"])
+    queries = fx.queries_pdf(42)
+    want = oracle.topk_pdf(queries)
+    for mode, prune in [("kernel", True), ("kernel", False), ("distributed", False)]:
+        got = bm25_topk(
+            spark, postings, queries, N, avgdl, streamed["cfg"],
+            mode=mode, prune=prune,
+        ).toPandas()
+        assert len(got) == len(want), mode
+        for qid in queries["query_id"]:
+            g = got[got.query_id == qid].sort_values("rank")
+            w = want[want.query_id == qid].sort_values("rank")
+            assert list(g.doc_id) == list(w.doc_id), (mode, qid)
+            assert np.allclose(g.score, w.score, atol=1e-9), (mode, qid)
+
+
+def test_restart_is_idempotent(streamed, spark):
+    """Re-running the stream over the same input must not duplicate
+    segments (foreachBatch replay safety)."""
+    before = load_stream_stats(streamed["out"])
+    q = start_incremental_build(
+        spark, os.path.dirname(streamed["out"]) + "/incoming", streamed["out"],
+        streamed["cfg"], max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    after = load_stream_stats(streamed["out"])
+    assert after["N"] == before["N"]
+    assert [s["id"] for s in after["segments"]] == [
+        s["id"] for s in before["segments"]
+    ]
