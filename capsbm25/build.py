@@ -131,29 +131,33 @@ def build_index(
     postings_path = os.path.join(out_dir, "postings")
 
     # --- stage: docs (doc_id assignment, staged; dl fused into the
-    #     same write so no second tokenize pass is ever needed) ---
+    #     same write; N and sum(dl) captured by an Observation during
+    #     the write — zero read-back jobs) ---
     def stage_docs():
+        from pyspark.sql import Observation
+
         docs = assign_doc_ids(transcripts, cfg, method="distributed", with_dl=True)
+        obs = Observation("docs")
+        docs = docs.observe(obs, F.count(F.lit(1)).alias("n"),
+                            F.sum("dl").alias("sum_dl"))
         docs.write.mode("overwrite").parquet(docs_path)
-        return {"rows": spark.read.parquet(docs_path).count()}
+        m = obs.get
+        n = int(m["n"])
+        corpus = {"N": n, "avgdl": (m["sum_dl"] or 0) / n if n else 0.0}
+        with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
+            json.dump(corpus, f)
+        return {"rows": n, **corpus}
 
     timed("docs", stage_docs)
     docs = spark.read.parquet(docs_path)
 
-    # --- stage: stats (doc_stats + corpus_stats; column-pruned scan) ---
+    # --- stage: stats (doc_stats artifact; column-pruned scan) ---
     def stage_stats():
         docs.select("doc_id", "conv_id", "turn_idx", "dl").write.mode(
             "overwrite"
         ).parquet(stats_path)
-        row = (
-            spark.read.parquet(stats_path)
-            .agg(F.count("*").alias("N"), F.avg("dl").alias("avgdl"))
-            .collect()[0]
-        )
-        corpus = {"N": int(row["N"]), "avgdl": float(row["avgdl"] or 0.0)}
-        with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
-            json.dump(corpus, f)
-        return corpus
+        with open(os.path.join(out_dir, "corpus_stats.json")) as f:
+            return json.load(f)
 
     timed("stats", stage_stats)
     with open(os.path.join(out_dir, "corpus_stats.json")) as f:
@@ -174,11 +178,15 @@ def build_index(
     # --- stage: pairs (staged, wave-partitioned — the resume anchor;
     #     tokenize + tf + dl + part assignment in ONE Arrow pass) ---
     def stage_pairs():
+        from pyspark.sql import Observation
+
         pw = extract_pairs(docs, cfg, plan=plan).withColumn(
             "wave", (F.col("part_id") / cfg.parts_per_wave).cast("int")
         )
+        obs = Observation("pairs")
+        pw = pw.observe(obs, F.count(F.lit(1)).alias("n"))
         pw.write.mode("overwrite").partitionBy("wave").parquet(pairs_path)
-        return {"rows": spark.read.parquet(pairs_path).count()}
+        return {"rows": int(obs.get["n"])}
 
     timed("pairs", stage_pairs)
 

@@ -1,0 +1,65 @@
+"""Iceberg-or-Parquet table seam (SURVEY §7.1).
+
+The north rule targets Iceberg tables; this sandbox has no Iceberg
+runtime jar, so every engine write/read goes through this seam:
+
+* If an Iceberg catalog is configured (any ``spark.sql.catalog.<name>``
+  whose impl mentions iceberg) and the destination looks like a table
+  name (``db.table`` / ``cat.db.table``), use ``writeTo`` /
+  ``read.table`` — snapshot isolation, partition evolution, time travel
+  come free.
+* Otherwise fall back to partitioned Parquet paths. Engine code is
+  identical either way.
+
+The build orchestrator (build.py) passes filesystem paths in the
+sandbox; on a cluster, point BuildConfig.extra["table_prefix"] at a
+catalog namespace and the same build writes Iceberg tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_catalogs(spark: SparkSession) -> list[str]:
+    """Names of configured Iceberg catalogs (empty in this sandbox)."""
+    out = []
+    for k, v in spark.sparkContext.getConf().getAll():
+        if k.startswith("spark.sql.catalog.") and k.count(".") == 3:
+            if "iceberg" in str(v).lower():
+                out.append(k.rsplit(".", 1)[1])
+    return out
+
+
+def is_table_ident(dest: str) -> bool:
+    """Heuristic: catalog table ident vs filesystem path."""
+    return "/" not in dest and not dest.endswith(".parquet") and "." in dest
+
+
+def write_table(
+    df: DataFrame,
+    dest: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    if is_table_ident(dest):
+        w = df.writeTo(dest)
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "overwrite":
+            w.createOrReplace()
+        else:
+            w.append()
+        return
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(dest)
+
+
+def read_table(spark: SparkSession, src: str) -> DataFrame:
+    if is_table_ident(src):
+        return spark.read.table(src)
+    return spark.read.parquet(src)
