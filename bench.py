@@ -58,6 +58,10 @@ def run_bench(sf_dir: str, cpus: int, keep_session=None) -> dict:
     # counts, splitters, waves) is FIXED regardless of core count — only
     # execution parallelism varies between local[8] and local[32],
     # exactly as executor count (not plan) would vary on a real cluster.
+    # scratch on tmpfs when available: the VM disk (~380 MB/s, fsync on
+    # parquet commit) adds a core-count-independent ~60s to the build,
+    # masking CPU scaling; cluster NVMe/page cache doesn't behave that way
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"capsbm25-bench-{cpus}")
@@ -65,6 +69,7 @@ def run_bench(sf_dir: str, cpus: int, keep_session=None) -> dict:
         .config("spark.driver.memory", "48g")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.local.dir", (scratch or "/tmp") + "/spark-local")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -74,7 +79,7 @@ def run_bench(sf_dir: str, cpus: int, keep_session=None) -> dict:
         shuffle_partitions=64,
         num_waves=2,
     )
-    tmp = tempfile.mkdtemp(prefix="capsbm25_bench_")
+    tmp = tempfile.mkdtemp(prefix="capsbm25_bench_", dir=scratch)
     timings: dict[str, float] = {}
     extras: dict = {}
     try:

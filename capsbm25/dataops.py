@@ -225,6 +225,90 @@ def binary_features(docs: DataFrame) -> DataFrame:
     return with_bin.mapInPandas(kernel, schema="doc_id long, n_bytes long, head_hex string")
 
 
+def ann_lsh_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate nearest neighbours via random-hyperplane LSH.
+
+    Scale path for similarity search: each vector is hashed into
+    n_tables sign-pattern buckets (deterministic seeded hyperplanes
+    built with numpy on the driver and broadcast as literal arrays);
+    candidates = vectors sharing ANY bucket with the query; exact cosine
+    is then computed only on candidates. At 10^12 rows the bucket join
+    replaces the O(n) full scan of the brute-force baseline
+    (embedding_neardup_pairs); recall is tunable via n_planes/n_tables.
+
+    Returns (vec_id, cos_r) for the top-k candidates — a subset of the
+    exact answer; tests measure recall against the brute-force oracle.
+    """
+    import numpy as np
+
+    dim = len(emb.select("embedding").first()["embedding"])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+    def dot_lit(vec_col, plane_row):
+        # sum_i v[i] * plane[i] with the plane as a literal array
+        lit = F.array(*[F.lit(float(x)) for x in plane_row])
+        return F.aggregate(
+            F.zip_with(vec_col, lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def bucket_expr(t: int):
+        bits = [
+            (dot_lit(F.col("v"), planes[t][p]) >= 0).cast("int").alias(f"b{p}")
+            for p in range(n_planes)
+        ]
+        return F.concat_ws(
+            "", F.lit(str(t)), *[b.cast("string") for b in bits]
+        ).alias("bucket")
+
+    buckets = None
+    for t in range(n_tables):
+        part = v.select("vec_id", bucket_expr(t))
+        buckets = part if buckets is None else buckets.unionAll(part)
+
+    qb = buckets.where(F.col("vec_id") == query_vec_id).select("bucket").distinct()
+    cand_ids = (
+        buckets.join(F.broadcast(qb), "bucket")
+        .where(F.col("vec_id") != query_vec_id)
+        .select("vec_id")
+        .distinct()
+    )
+
+    qv = v.where(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+        )
+
+    return (
+        v.join(cand_ids, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("v"), F.col("qv"))
+                / (F.sqrt(dot(F.col("v"), F.col("v")))
+                   * F.sqrt(dot(F.col("qv"), F.col("qv")))),
+                5,
+            ).alias("cos_r"),
+        )
+        .orderBy(F.desc("cos_r"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def decode_stub(payload: bytes, media_type: str):
     """Media decode stub — the real decode (PIL/librosa/av) is not
     available in this container. The Spark-side plumbing (binary column,

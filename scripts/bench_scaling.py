@@ -32,8 +32,13 @@ def run_at(cpus: int, sf_dir: str, n_convs: str) -> dict:
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_CONVS=n_convs,
     )
+    # taskset pin: local[N] otherwise leaks GC/IO/shuffle threads onto
+    # idle cores, flattering the small-N run and corrupting efficiency
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        cmd,
         env=env, capture_output=True, text=True, timeout=3600,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]

@@ -62,6 +62,45 @@ def test_langid_empty_is_unknown(spark):
     assert rows[2] == "other"
 
 
+def test_ann_lsh_recall(spark):
+    """LSH candidates must recover most of the brute-force top-10."""
+    import numpy as np
+
+    from capsbm25.dataops import ann_lsh_topk
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    rows = [(0, [float(x) for x in base])]  # the query = cluster centre
+    for i in range(1, 200):
+        # half the vectors correlated with the query, half independent
+        v = base + rng.standard_normal(16) * (0.5 if i % 2 else 3.0)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {r.vec_id for r in ann_lsh_topk(emb, 0, k=10).collect()}
+
+    from pyspark.sql import functions as F
+
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = v.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+    )
+    exact = [
+        r.vec_id
+        for r in v.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", (dot(F.col("v"), F.col("qv"))
+                / (F.sqrt(dot(F.col("v"), F.col("v")))
+                   * F.sqrt(dot(F.col("qv"), F.col("qv"))))).alias("c"))
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    ]
+    recall = len(got & set(exact)) / 10
+    assert recall >= 0.6, (recall, sorted(got), exact)
+
+
 def test_binary_features_roundtrip(spark):
     d = _docs(spark, ["hello", ""])
     rows = {r.doc_id: r for r in binary_features(d).collect()}
