@@ -306,6 +306,41 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_bm25_topk_and(spark, sf_dir):
+    """Conjunctive (AND) BM25: posting-list intersection through the
+    engine's kernel; docs must contain every query term."""
+    import numpy as np
+    import pandas as pd
+
+    b = _index_for(spark, sf_dir)
+    res = b["res"]
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [" ".join(BM25_QUERY_TERMS)],
+         "k": np.array([BM25_K], dtype=np.int32)}
+    )
+    got = bm25_topk(
+        spark, load_postings(spark, b["out"]), queries, res.N, res.avgdl, CFG,
+        mode="kernel", conjunctive=True,
+    )
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.round("g.score", 6).alias("score_r"))
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Rows-only: LSH-bucketed approximate NN (the scale path; recall
+    vs the exact brute force is asserted in tests/test_dataops.py)."""
+    from capsbm25.dataops import ann_lsh_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ann_lsh_topk(emb, query_vec_id=0, k=10)
+
+
 def q_minhash_lsh(spark, sf_dir):
     from capsbm25.dataops import minhash_lsh_pairs
 
@@ -384,7 +419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ids_dense": q_doc_ids_dense,
         "postings_df_cf": q_postings_df_cf,
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_and": q_bm25_topk_and,
         "bm25_topk_dataframe": q_bm25_topk_dataframe,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "token_count_regex": q_token_count_regex,
@@ -487,6 +524,41 @@ FROM scores ORDER BY score DESC, doc_id LIMIT {BM25_K}
 """
 
 
+_BM25_AND_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN {BM25_QUERY_TERMS!r}
+  GROUP BY 1, 2
+),
+matched AS (
+  SELECT doc_id FROM tf GROUP BY doc_id
+  HAVING count(DISTINCT term) = {len(BM25_QUERY_TERMS)}
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * ({_K1} + 1)
+           / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / c.avgdl))
+         ) AS score
+  FROM tf JOIN matched USING (doc_id)
+          JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus c
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score_r
+FROM scores ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tokenize_count": f"SELECT doc_id, len({_TOK}) AS n_tokens FROM documents",
@@ -527,7 +599,11 @@ def oracle_sql() -> dict[str, str]:
               ) GROUP BY term, doc_id
             ) GROUP BY term""",
         "bm25_topk": _BM25_SQL,
+        "bm25_topk_and": _BM25_AND_SQL,
         "bm25_topk_dataframe": _BM25_SQL,
+        # ann_lsh_topk: rows-only (seeded hyperplanes live in numpy; the
+        # exact-cosine baseline ann_cosine_topk has the SQL oracle, and
+        # pytest asserts LSH recall against the exact answer)
         "dedup_exact": """
             SELECT md5(coalesce(text, '')) AS h, count(*) AS n,
                    min(doc_id) AS keep_doc_id

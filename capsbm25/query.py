@@ -46,9 +46,34 @@ RESULT_SCHEMA = "query_id int, doc_id long, score double, rank int"
 def _query_terms_pdf(queries: pd.DataFrame, cfg: BuildConfig) -> pd.DataFrame:
     rows = []
     for q in queries.itertuples(index=False):
-        for t in sorted(set(tokenize_py(q.text, cfg))):
-            rows.append((int(q.query_id), t, int(q.k)))
-    return pd.DataFrame(rows, columns=["query_id", "term", "k"])
+        terms = sorted(set(tokenize_py(q.text, cfg)))
+        for t in terms:
+            rows.append((int(q.query_id), t, int(q.k), len(terms)))
+    return pd.DataFrame(
+        rows, columns=["query_id", "term", "k", "n_query_terms"]
+    )
+
+
+def _empty_result() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype=np.int32),
+            "doc_id": pd.Series(dtype=np.int64),
+            "score": pd.Series(dtype=np.float64),
+            "rank": pd.Series(dtype=np.int32),
+        }
+    )
+
+
+def _result_pdf(qid: int, top_d: np.ndarray, top_s: np.ndarray) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": np.full(top_d.size, qid, dtype=np.int32),
+            "doc_id": top_d.astype(np.int64),
+            "score": top_s,
+            "rank": np.arange(1, top_d.size + 1, dtype=np.int32),
+        }
+    )
 
 
 def _decode_posting(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -65,7 +90,8 @@ def _topk(docs: np.ndarray, scores: np.ndarray, k: int):
 
 
 def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
-                        cfg: BuildConfig, prune: bool) -> pd.DataFrame:
+                        cfg: BuildConfig, prune: bool,
+                        conjunctive: bool = False) -> pd.DataFrame:
     """Score one query's matched postings. pdf: one row per term."""
     k = int(pdf["k"].iloc[0])
     qid = int(pdf["query_id"].iloc[0])
@@ -111,14 +137,27 @@ def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
         return total
 
     if not terms:
-        return pd.DataFrame(
-            {
-                "query_id": pd.Series(dtype=np.int32),
-                "doc_id": pd.Series(dtype=np.int64),
-                "score": pd.Series(dtype=np.float64),
-                "rank": pd.Series(dtype=np.int32),
-            }
-        )
+        return _empty_result()
+
+    n_terms_in_query = int(pdf["n_query_terms"].iloc[0])
+
+    if conjunctive:
+        # posting-list intersection (AND semantics): docs containing ALL
+        # query terms — sorted-array intersect, the graft analog of the
+        # reference's match-range search (upper_bound pairs,
+        # /root/reference/src/Suffix_Array.cpp:252-297). A query term
+        # missing from the index (no posting row) => empty result.
+        if len(terms) < n_terms_in_query:
+            return _empty_result()
+        cand = terms[0]["docs"]
+        for t in terms[1:]:
+            cand = np.intersect1d(cand, t["docs"], assume_unique=True)
+            if cand.size == 0:
+                break
+        if cand.size == 0:
+            return _empty_result()
+        top_d, top_s = _topk(cand, exact_scores(cand), k)
+        return _result_pdf(qid, top_d, top_s)
 
     n_total = sum(t["docs"].size for t in terms)
     if not prune or n_total <= 4 * k or len(terms) == 1:
@@ -163,14 +202,7 @@ def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
         cand = np.unique(np.concatenate(keep_docs))
         top_d, top_s = _topk(cand, exact_scores(cand), k)
 
-    return pd.DataFrame(
-        {
-            "query_id": np.full(top_d.size, qid, dtype=np.int32),
-            "doc_id": top_d.astype(np.int64),
-            "score": top_s,
-            "rank": np.arange(1, top_d.size + 1, dtype=np.int32),
-        }
-    )
+    return _result_pdf(qid, top_d, top_s)
 
 
 def bm25_topk(
@@ -182,11 +214,15 @@ def bm25_topk(
     cfg: BuildConfig | None = None,
     mode: str = "kernel",
     prune: bool = True,
+    conjunctive: bool = False,
 ) -> DataFrame:
     """Top-k BM25 over the index for a batch of queries.
 
     queries: pandas (query_id, text, k). Returns a DataFrame
     (query_id, doc_id, score, rank), rank 1-based, ties by doc_id.
+    conjunctive=True restricts candidates to docs containing ALL query
+    terms (posting-list intersection — AND semantics); scores are still
+    full BM25 over the query terms.
     """
     cfg = cfg or BuildConfig()
     qt = _query_terms_pdf(queries, cfg)
@@ -203,7 +239,7 @@ def bm25_topk(
 
     if mode == "kernel":
         def kernel(key, pdf):
-            return _score_query_kernel(pdf, N, avgdl, cfg, prune)
+            return _score_query_kernel(pdf, N, avgdl, cfg, prune, conjunctive)
 
         return (
             matched.groupBy("query_id")
@@ -227,22 +263,36 @@ def bm25_topk(
                     yield pd.DataFrame(
                         {
                             "query_id": np.full(docs.size, row.query_id, np.int32),
+                            "term": np.full(docs.size, row.term, dtype=object),
                             "doc_id": docs.astype(np.int64),
                             "contrib": sc,
                             "k": np.full(docs.size, row.k, np.int32),
+                            "n_query_terms": np.full(
+                                docs.size, row.n_query_terms, np.int32
+                            ),
                         }
                     )
 
         c = matched.mapInPandas(
-            contribs, schema="query_id int, doc_id long, contrib double, k int"
+            contribs,
+            schema="query_id int, term string, doc_id long, contrib double, "
+                   "k int, n_query_terms int",
         )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
+        scored = c.groupBy("query_id", "doc_id").agg(
+            F.sum("contrib").alias("score"),
+            F.first("k").alias("k"),
+            F.count_distinct(F.col("term")).alias("n_matched"),
+            F.first("n_query_terms").alias("nq"),
+        )
+        if conjunctive:
+            # AND semantics: doc must contain every distinct query term
+            # (segments may split one term across rows — count distinct)
+            scored = scored.where(F.col("n_matched") >= F.col("nq"))
         return (
-            c.groupBy("query_id", "doc_id")
-            .agg(F.sum("contrib").alias("score"), F.first("k").alias("k"))
-            .withColumn("rank", F.row_number().over(w))
+            scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= F.col("k"))
             .select("query_id", "doc_id", "score", F.col("rank").cast("int"))
             .orderBy("query_id", "rank")

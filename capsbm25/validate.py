@@ -1,0 +1,88 @@
+"""Index validation hook — the graft analog of ``is_sorted``
+(/root/reference/src/Suffix_Array.cpp:512-536: an order-invariant
+checker shipped with the engine, runnable on demand against the built
+artifact, not only inside the test suite).
+
+Checks, distributed (an Arrow kernel per partition, tiny aggregate to
+the driver):
+  * decoded doc_ids strictly increasing per posting row
+  * df == len(doc_ids), cf == sum(tfs), len(tfs) == len(dls) == df
+  * all tfs >= 1, dls >= tfs (a term can't occur more often than the
+    doc has tokens)
+  * exactly one non-partial row per term
+  * block_max array sized ceil(df / block_size) with monotone last_doc
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from capsbm25.codec import decode_varints, delta_decode
+from capsbm25.config import BuildConfig
+
+
+def validate_postings(
+    postings: DataFrame, cfg: BuildConfig | None = None
+) -> dict:
+    """Returns {'rows': n, 'violations': int, 'examples': [term, ...]}.
+    Raises AssertionError on any violation if strict use is wanted by
+    the caller checking result['violations'] == 0."""
+    cfg = cfg or BuildConfig()
+    block_size = cfg.block_size
+
+    def check(it):
+        bad: list[str] = []
+        n = 0
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                n += 1
+                docs = delta_decode(row.doc_ids)
+                tfs = decode_varints(row.tfs).astype(np.int64)
+                dls = decode_varints(row.dls).astype(np.int64)
+                ok = (
+                    row.df == docs.size == tfs.size == dls.size
+                    and row.cf == int(tfs.sum())
+                    and (docs.size < 2 or (np.diff(docs) > 0).all())
+                    and (tfs >= 1).all()
+                    and (dls >= tfs).all()
+                )
+                if ok and not row.partial:
+                    nb = -(-docs.size // block_size)
+                    bm = row.block_max if row.block_max is not None else []
+                    last_docs = [b["last_doc"] for b in bm]
+                    ok = len(last_docs) == nb and (
+                        len(last_docs) < 2
+                        or all(a < b for a, b in zip(last_docs, last_docs[1:]))
+                    )
+                if not ok:
+                    bad.append(row.term)
+        yield pd.DataFrame(
+            {"n": [n], "violations": [len(bad)], "examples": [bad[:5]]}
+        )
+
+    agg = postings.mapInPandas(
+        check, schema="n long, violations long, examples array<string>"
+    ).toPandas()
+    dup = (
+        postings.where(~F.col("partial"))
+        .groupBy("term")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    return {
+        "rows": int(agg["n"].sum()),
+        "violations": int(agg["violations"].sum()) + int(dup),
+        "duplicate_terms": int(dup),
+        "examples": [t for ex in agg["examples"] for t in ex][:10],
+    }
+
+
+def validate_index(spark: SparkSession, out_dir: str,
+                   cfg: BuildConfig | None = None) -> dict:
+    from capsbm25.build import load_postings
+
+    return validate_postings(load_postings(spark, out_dir), cfg)

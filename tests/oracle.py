@@ -61,18 +61,30 @@ class OracleIndex:
                 s += self.idf(t) * (tf * (self.k1 + 1.0)) / (tf + denom_norm)
         return s
 
-    def topk(self, query_text: str, k: int) -> list[tuple[int, float]]:
+    def topk(
+        self, query_text: str, k: int, conjunctive: bool = False
+    ) -> list[tuple[int, float]]:
         terms = sorted(set(tokenize_py(query_text)))
         cand: set[int] = set()
-        for t in terms:
-            cand.update(self.postings.get(t, {}).keys())
+        if conjunctive:
+            if not terms or any(t not in self.postings for t in terms):
+                return []
+            cand = set(self.postings[terms[0]].keys())
+            for t in terms[1:]:
+                cand &= self.postings[t].keys()
+        else:
+            for t in terms:
+                cand.update(self.postings.get(t, {}).keys())
         scored = [(d, self.score_doc(terms, d)) for d in cand]
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
-    def topk_pdf(self, queries: pd.DataFrame) -> pd.DataFrame:
+    def topk_pdf(
+        self, queries: pd.DataFrame, conjunctive: bool = False
+    ) -> pd.DataFrame:
         rows = []
         for q in queries.itertuples(index=False):
-            for rank, (doc_id, score) in enumerate(self.topk(q.text, int(q.k)), 1):
+            hits = self.topk(q.text, int(q.k), conjunctive=conjunctive)
+            for rank, (doc_id, score) in enumerate(hits, 1):
                 rows.append((int(q.query_id), doc_id, score, rank))
         return pd.DataFrame(rows, columns=["query_id", "doc_id", "score", "rank"])

@@ -54,6 +54,31 @@ def test_edge_queries(built_index, spark):
     _assert_rank_identical(got, want, queries)
 
 
+def test_conjunctive_rank_identical(built_index, spark):
+    """AND semantics (posting-list intersection) vs oracle, both modes."""
+    res, cfg = built_index["res"], built_index["cfg"]
+    queries = fx.queries_pdf(42)
+    want = built_index["oracle"].topk_pdf(queries, conjunctive=True)
+    for mode in ("kernel", "distributed"):
+        got = bm25_topk(
+            spark, built_index["postings"], queries, res.N, res.avgdl, cfg,
+            mode=mode, conjunctive=True,
+        ).toPandas()
+        assert len(got) == len(want), mode
+        _assert_rank_identical(got, want, queries)
+    # sanity: AND results are a subset of OR results per query
+    or_pdf = built_index["oracle"].topk_pdf(queries)
+    assert len(want) <= len(or_pdf)
+
+
+def test_validate_index_hook(built_index, spark):
+    from capsbm25.validate import validate_index
+
+    out = validate_index(spark, built_index["res"].out_dir, built_index["cfg"])
+    assert out["violations"] == 0, out
+    assert out["rows"] > 0
+
+
 def test_k_larger_than_matches(built_index, spark):
     res, cfg = built_index["res"], built_index["cfg"]
     oracle = built_index["oracle"]
