@@ -36,11 +36,14 @@ from pyspark.sql import functions as F
 from capsbm25.config import BuildConfig
 from capsbm25.docids import assign_doc_ids
 from capsbm25.partition import PartitionPlan, plan_from_sample
+from capsbm25.catalog import read_table, write_table
 from capsbm25.postings import (
     assemble_postings,
     extract_pairs,
     merge_hot_partials,
 )
+
+
 @dataclass
 class BuildResult:
     out_dir: str
@@ -140,7 +143,7 @@ def build_index(
         obs = Observation("docs")
         docs = docs.observe(obs, F.count(F.lit(1)).alias("n"),
                             F.sum("dl").alias("sum_dl"))
-        docs.write.mode("overwrite").parquet(docs_path)
+        write_table(docs, docs_path)
         m = obs.get
         n = int(m["n"])
         corpus = {"N": n, "avgdl": (m["sum_dl"] or 0) / n if n else 0.0}
@@ -149,13 +152,11 @@ def build_index(
         return {"rows": n, **corpus}
 
     timed("docs", stage_docs)
-    docs = spark.read.parquet(docs_path)
+    docs = read_table(spark, docs_path)
 
     # --- stage: stats (doc_stats artifact; column-pruned scan) ---
     def stage_stats():
-        docs.select("doc_id", "conv_id", "turn_idx", "dl").write.mode(
-            "overwrite"
-        ).parquet(stats_path)
+        write_table(docs.select("doc_id", "conv_id", "turn_idx", "dl"), stats_path)
         with open(os.path.join(out_dir, "corpus_stats.json")) as f:
             return json.load(f)
 
@@ -185,7 +186,7 @@ def build_index(
         )
         obs = Observation("pairs")
         pw = pw.observe(obs, F.count(F.lit(1)).alias("n"))
-        pw.write.mode("overwrite").partitionBy("wave").parquet(pairs_path)
+        write_table(pw, pairs_path, partition_by=["wave"])
         return {"rows": int(obs.get["n"])}
 
     timed("pairs", stage_pairs)
@@ -201,7 +202,7 @@ def build_index(
             wave_pairs = spark.read.parquet(os.path.join(pairs_path, f"wave={w}"))
             out = assemble_postings(wave_pairs, plan, N, avgdl, cfg)
             dst = os.path.join(postings_path, f"wave={w}")
-            out.write.mode("overwrite").parquet(dst)
+            write_table(out, dst)
             h, n = _checksum(spark.read.parquet(dst))
             return {"rows": n, "checksum": h}
 
@@ -220,7 +221,7 @@ def build_index(
             merged = spark.createDataFrame([], POSTINGS_SCHEMA)
         else:
             merged = merge_hot_partials(partials.drop("wave"), N, avgdl, cfg)
-        merged.write.mode("overwrite").parquet(dst)
+        write_table(merged, dst)
         h, n = _checksum(spark.read.parquet(dst))
         return {"rows": n, "checksum": h}
 

@@ -125,6 +125,39 @@ def start_incremental_build(
     return writer.start()
 
 
+def streaming_term_counts(
+    spark: SparkSession,
+    input_path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked, windowed streaming aggregation: term arrival counts
+    per event-time window over the live transcript stream — the
+    standard Structured Streaming shape (readStream -> event-time
+    window + watermark -> stateful agg), usable as a live ingest
+    monitor next to the segment builder. Returns the streaming
+    DataFrame; caller attaches a writeStream sink.
+
+    Late turns older than the watermark are dropped from state —
+    bounded state at 10^12-turn ingest rates.
+    """
+    from capsbm25.fixtures import TRANSCRIPT_SCHEMA
+    from capsbm25.tokenize import tokens_expr
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .select(F.col("ts"), F.explode(tokens_expr(F.col("text"))).alias("term"))
+        .groupBy(F.window("ts", window).alias("w"), F.col("term"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "term",
+            "n",
+        )
+    )
+
+
 def load_segment_postings(spark: SparkSession, out_dir: str) -> DataFrame:
     """All live segments' postings (multiple rows per term possible —
     the query kernels merge them; salted partials are merged here too

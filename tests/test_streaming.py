@@ -67,6 +67,42 @@ def test_incremental_rank_identical_to_oracle(streamed, spark):
             assert np.allclose(g.score, w.score, atol=1e-9), (mode, qid)
 
 
+def test_streaming_windowed_term_counts(streamed, spark, tmp_path):
+    """Watermark + event-time window agg over the stream equals the
+    batch equivalent (complete mode, availableNow)."""
+    from pyspark.sql import functions as F
+
+    from capsbm25.streaming import streaming_term_counts
+    from capsbm25.tokenize import tokens_expr
+
+    src = os.path.dirname(streamed["out"]) + "/incoming"
+    sdf = streaming_term_counts(spark, src, window="1 hour", watermark="2 hours")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("term_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.table("term_counts")
+        .toPandas()
+        .sort_values(["window_start", "term"], ignore_index=True)
+    )
+    batch = (
+        spark.read.parquet(src)
+        .select(F.col("ts"), F.explode(tokens_expr(F.col("text"))).alias("term"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "term")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "term", "n")
+        .toPandas()
+        .sort_values(["window_start", "term"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, batch)
+
+
 def test_restart_is_idempotent(streamed, spark):
     """Re-running the stream over the same input must not duplicate
     segments (foreachBatch replay safety)."""
