@@ -192,9 +192,10 @@ def build_index(
     timed("pairs", stage_pairs)
 
     # --- stages: per-wave assembly (independent, idempotent) ---
+    # (an all-empty corpus produces no wave dirs — valid, zero postings)
     waves = sorted(
         int(d.split("=")[1])
-        for d in os.listdir(pairs_path)
+        for d in (os.listdir(pairs_path) if os.path.isdir(pairs_path) else [])
         if d.startswith("wave=")
     )
     for w in waves:
@@ -212,12 +213,17 @@ def build_index(
 
     # --- stage: hot-term partial merge (boundary fix-up) ---
     def stage_hot():
+        from capsbm25.postings import POSTINGS_SCHEMA
+
+        dst = os.path.join(postings_path, "wave=9999")
+        if not os.path.isdir(postings_path):
+            merged = spark.createDataFrame([], POSTINGS_SCHEMA)
+            write_table(merged, dst)
+            h, n = _checksum(spark.read.parquet(dst))
+            return {"rows": n, "checksum": h}
         allp = spark.read.parquet(postings_path)
         partials = allp.where(F.col("partial"))
-        dst = os.path.join(postings_path, "wave=9999")
         if partials.isEmpty():
-            from capsbm25.postings import POSTINGS_SCHEMA
-
             merged = spark.createDataFrame([], POSTINGS_SCHEMA)
         else:
             merged = merge_hot_partials(partials.drop("wave"), N, avgdl, cfg)
