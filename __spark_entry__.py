@@ -347,6 +347,12 @@ def q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_documents(spark, sf_dir), n_hashes=8, bands=4)
 
 
+def q_minhash_dedup(spark, sf_dir):
+    from capsbm25.dataops import minhash_dedup_verified
+
+    return minhash_dedup_verified(_documents(spark, sf_dir), threshold=0.8)
+
+
 def q_simhash(spark, sf_dir):
     from capsbm25.dataops import simhash_bits
 
@@ -428,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "ann_cosine_topk": q_ann_cosine_topk,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
         "langid": q_langid,
@@ -653,6 +660,18 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q WHERE vec_id != 0
             ORDER BY cos_r DESC, vec_id ASC LIMIT 10""",
         "minhash_lsh": _MINHASH_SQL,
+        "minhash_dedup": f"""
+            WITH cand AS ({_MINHASH_SQL}),
+            g AS ({_GRAMS_SQL})
+            SELECT c.doc1, c.doc2,
+                   round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                         / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1),
+                   6) AS jac_r
+            FROM cand c JOIN g a ON a.doc_id = c.doc1
+                        JOIN g b ON b.doc_id = c.doc2
+            WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                        / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1),
+                  6) >= 0.8""",
         "simhash": _SIMHASH_SQL,
         "embedding_neardup": """
             SELECT a.vec_id AS vec1, b.vec_id AS vec2,

@@ -96,6 +96,34 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_dedup_verified(
+    docs: DataFrame, threshold: float = 0.8, n_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Full MinHash near-dup pipeline: LSH candidate pairs verified by
+    exact shingle Jaccard >= threshold. The candidate step makes the
+    O(n^2) pair space O(candidates); verification removes LSH false
+    positives — this is the standard production near-dup shape.
+    Returns (doc1, doc2, jac_r)."""
+    cand = minhash_lsh_pairs(docs, n_hashes, bands)
+    g = _doc_grams(docs)
+    a = g.select(F.col("doc_id").alias("doc1"), F.col("grams").alias("g1"))
+    b = g.select(F.col("doc_id").alias("doc2"), F.col("grams").alias("g2"))
+    inter = F.size(F.array_intersect(F.col("g1"), F.col("g2")))
+    uni = F.size(F.array_union(F.col("g1"), F.col("g2")))
+    return (
+        cand.join(a, "doc1")
+        .join(b, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.round(inter.cast("double") / F.greatest(uni, F.lit(1)), 6).alias(
+                "jac_r"
+            ),
+        )
+        .where(F.col("jac_r") >= threshold)
+    )
+
+
 def simhash_bits(docs: DataFrame, n_bits: int = 32) -> DataFrame:
     """SimHash fingerprint as a bit string: bit_j = sign of the sum over
     shingles of (bit_j(md5(shingle)) ? +1 : -1). Bit j is extracted from
