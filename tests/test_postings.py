@@ -86,6 +86,30 @@ def test_block_max_are_valid_upper_bounds(built_index):
             assert blk.last_doc == int(docs[min((i + 1) * B, docs.size) - 1])
 
 
+def test_with_part_id_matches_fused_assignment(built_index, spark):
+    """The standalone part-assignment operator (for externally-produced
+    pairs) must agree with the fused extract_pairs(plan=...) path."""
+    import os
+
+    from capsbm25.postings import extract_pairs, with_part_id
+
+    res, cfg = built_index["res"], built_index["cfg"]
+    docs = spark.read.parquet(os.path.join(res.out_dir, "docs")).limit(50)
+    fused = (
+        extract_pairs(docs, cfg, plan=res.plan)
+        .select("term", "doc_id", "part_id")
+        .toPandas()
+        .sort_values(["term", "doc_id"], ignore_index=True)
+    )
+    standalone = (
+        with_part_id(extract_pairs(docs, cfg), res.plan)
+        .select("term", "doc_id", "part_id")
+        .toPandas()
+        .sort_values(["term", "doc_id"], ignore_index=True)
+    )
+    assert fused.equals(standalone)
+
+
 def test_corpus_stats(built_index):
     oracle = built_index["oracle"]
     res = built_index["res"]
