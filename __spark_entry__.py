@@ -574,13 +574,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest({_TOK}) AS term FROM documents
             ) GROUP BY term, doc_id""",
         "term_df_cf": f"""
-            SELECT term, count(*) AS df, sum(tf) AS cf FROM (
+            SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM (
               SELECT term, doc_id, count(*) AS tf FROM (
                 SELECT doc_id, unnest({_TOK}) AS term FROM documents
               ) GROUP BY term, doc_id
             ) GROUP BY term""",
         "top_terms": f"""
-            SELECT term, count(*) AS df, sum(tf) AS cf FROM (
+            SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM (
               SELECT term, doc_id, count(*) AS tf FROM (
                 SELECT doc_id, unnest({_TOK}) AS term FROM documents
               ) GROUP BY term, doc_id
@@ -591,7 +591,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT len({_TOK}) AS dl FROM documents
             )""",
         "doc_stats_by_source": f"""
-            SELECT source, count(*) AS n_docs, sum(dl) AS sum_dl,
+            SELECT source, count(*) AS n_docs, sum(dl)::BIGINT AS sum_dl,
                    round(avg(dl), 6) AS avg_dl_r
             FROM (SELECT source, len({_TOK}) AS dl FROM documents)
             GROUP BY source""",
@@ -600,7 +600,7 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY source, doc_id) - 1 AS dense_id
             FROM documents""",
         "postings_df_cf": f"""
-            SELECT term, count(*) AS df, sum(tf) AS cf FROM (
+            SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM (
               SELECT term, doc_id, count(*) AS tf FROM (
                 SELECT doc_id, unnest({_TOK}) AS term FROM documents
               ) GROUP BY term, doc_id

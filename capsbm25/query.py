@@ -112,17 +112,19 @@ def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
         df_total = int(grp["df"].sum())
         tidf = float(idf_fn(N, df_total))
         sc = term_scores(tfs, dls, tidf, avgdl, cfg.k1, cfg.b)
-        row0 = grp.iloc[0]
-        if len(parts) == 1 and row0["block_max"] is not None and len(row0["block_max"]):
-            uppers = np.array(
-                [b["upper"] for b in row0["block_max"]], dtype=np.float64
-            )
-        elif sc.size:
+        # ALWAYS recompute block uppers from the exact scores just
+        # materialized (O(n) reduceat — free next to the decode).
+        # Stored block_max was computed with BUILD-time N/avgdl; after
+        # incremental segments the query-time global N is larger (bigger
+        # idf), so a stored upper can undercut true scores even for a
+        # single-row term and WAND would silently drop top-k docs.
+        # Recomputed uppers are exact for the query-time parameters by
+        # construction; stored block_max remains for coarse DataFrame-
+        # level pre-pruning where approximate bounds are re-checked here.
+        if sc.size:
             B = cfg.block_size
             nb = -(-sc.size // B)
-            uppers = np.array(
-                [sc[i * B : (i + 1) * B].max() for i in range(nb)]
-            )
+            uppers = np.maximum.reduceat(sc, np.arange(nb) * B)
         else:
             uppers = np.array([0.0])
         terms.append({"docs": docs, "scores": sc, "uppers": uppers})
@@ -212,9 +214,10 @@ def bm25_topk(
     N: int,
     avgdl: float,
     cfg: BuildConfig | None = None,
-    mode: str = "kernel",
+    mode: str = "auto",
     prune: bool = True,
     conjunctive: bool = False,
+    max_kernel_df: int = 2_000_000,
 ) -> DataFrame:
     """Top-k BM25 over the index for a batch of queries.
 
@@ -223,6 +226,9 @@ def bm25_topk(
     conjunctive=True restricts candidates to docs containing ALL query
     terms (posting-list intersection — AND semantics); scores are still
     full BM25 over the query terms.
+    mode="auto" (default) runs each query through the WAND kernel unless
+    Σ df over its terms exceeds max_kernel_df, in which case that query
+    is routed to the distributed path (both rank-identical, tested).
     """
     cfg = cfg or BuildConfig()
     qt = _query_terms_pdf(queries, cfg)
@@ -237,65 +243,102 @@ def bm25_topk(
         F.broadcast(qdf), "term"
     )
 
-    if mode == "kernel":
-        def kernel(key, pdf):
-            return _score_query_kernel(pdf, N, avgdl, cfg, prune, conjunctive)
+    if mode == "auto":
+        # Kernel mode concentrates one query's matched postings into a
+        # single task — a stopword-grade term (df ~ N) would OOM it at
+        # 10^12 docs. Σ df over a query's terms bounds the rows that
+        # task must hold, so route heavy queries to the distributed
+        # (shuffle-aggregated) path. The per-query df sum is one tiny
+        # row per query — sanctioned driver-side aggregate.
+        per_q = (
+            matched.groupBy("query_id").agg(F.sum("df").alias("sum_df"))
+            .collect()
+        )
+        heavy = sorted(
+            int(r["query_id"]) for r in per_q
+            if int(r["sum_df"]) > max_kernel_df
+        )
+        if not heavy:
+            mode = "kernel"
+        else:
+            light = _run_kernel(
+                matched.where(~F.col("query_id").isin(heavy)),
+                N, avgdl, cfg, prune, conjunctive,
+            )
+            dist = _run_distributed(
+                matched.where(F.col("query_id").isin(heavy)),
+                N, avgdl, cfg, conjunctive,
+            )
+            return light.unionByName(dist).orderBy("query_id", "rank")
 
-        return (
-            matched.groupBy("query_id")
-            .applyInPandas(kernel, schema=RESULT_SCHEMA)
-            .orderBy("query_id", "rank")
+    if mode == "kernel":
+        return _run_kernel(matched, N, avgdl, cfg, prune, conjunctive).orderBy(
+            "query_id", "rank"
         )
 
     if mode == "distributed":
-        # global df per term (rows may be index segments with partial df)
-        term_df = matched.groupBy("term").agg(F.sum("df").alias("df_total"))
-        matched = matched.join(F.broadcast(term_df), "term")
-
-        def contribs(it):
-            for pdf in it:
-                for row in pdf.itertuples(index=False):
-                    docs, tfs, dls = _decode_posting(row)
-                    sc = term_scores(
-                        tfs, dls, float(idf_fn(N, int(row.df_total))),
-                        avgdl, cfg.k1, cfg.b,
-                    )
-                    yield pd.DataFrame(
-                        {
-                            "query_id": np.full(docs.size, row.query_id, np.int32),
-                            "term": np.full(docs.size, row.term, dtype=object),
-                            "doc_id": docs.astype(np.int64),
-                            "contrib": sc,
-                            "k": np.full(docs.size, row.k, np.int32),
-                            "n_query_terms": np.full(
-                                docs.size, row.n_query_terms, np.int32
-                            ),
-                        }
-                    )
-
-        c = matched.mapInPandas(
-            contribs,
-            schema="query_id int, term string, doc_id long, contrib double, "
-                   "k int, n_query_terms int",
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("score"), F.asc("doc_id")
-        )
-        scored = c.groupBy("query_id", "doc_id").agg(
-            F.sum("contrib").alias("score"),
-            F.first("k").alias("k"),
-            F.count_distinct(F.col("term")).alias("n_matched"),
-            F.first("n_query_terms").alias("nq"),
-        )
-        if conjunctive:
-            # AND semantics: doc must contain every distinct query term
-            # (segments may split one term across rows — count distinct)
-            scored = scored.where(F.col("n_matched") >= F.col("nq"))
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= F.col("k"))
-            .select("query_id", "doc_id", "score", F.col("rank").cast("int"))
-            .orderBy("query_id", "rank")
+        return _run_distributed(matched, N, avgdl, cfg, conjunctive).orderBy(
+            "query_id", "rank"
         )
 
     raise ValueError(mode)
+
+
+def _run_kernel(matched, N, avgdl, cfg, prune, conjunctive) -> DataFrame:
+    def kernel(key, pdf):
+        return _score_query_kernel(pdf, N, avgdl, cfg, prune, conjunctive)
+
+    return matched.groupBy("query_id").applyInPandas(
+        kernel, schema=RESULT_SCHEMA
+    )
+
+
+def _run_distributed(matched, N, avgdl, cfg, conjunctive) -> DataFrame:
+    # global df per term (rows may be index segments with partial df)
+    term_df = matched.groupBy("term").agg(F.sum("df").alias("df_total"))
+    matched = matched.join(F.broadcast(term_df), "term")
+
+    def contribs(it):
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                docs, tfs, dls = _decode_posting(row)
+                sc = term_scores(
+                    tfs, dls, float(idf_fn(N, int(row.df_total))),
+                    avgdl, cfg.k1, cfg.b,
+                )
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(docs.size, row.query_id, np.int32),
+                        "term": np.full(docs.size, row.term, dtype=object),
+                        "doc_id": docs.astype(np.int64),
+                        "contrib": sc,
+                        "k": np.full(docs.size, row.k, np.int32),
+                        "n_query_terms": np.full(
+                            docs.size, row.n_query_terms, np.int32
+                        ),
+                    }
+                )
+
+    c = matched.mapInPandas(
+        contribs,
+        schema="query_id int, term string, doc_id long, contrib double, "
+               "k int, n_query_terms int",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    scored = c.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("score"),
+        F.first("k").alias("k"),
+        F.count_distinct(F.col("term")).alias("n_matched"),
+        F.first("n_query_terms").alias("nq"),
+    )
+    if conjunctive:
+        # AND semantics: doc must contain every distinct query term
+        # (segments may split one term across rows — count distinct)
+        scored = scored.where(F.col("n_matched") >= F.col("nq"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.col("k"))
+        .select("query_id", "doc_id", "score", F.col("rank").cast("int"))
+    )

@@ -37,6 +37,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("datetime64"):
+            # ns (Spark/pandas) vs us (DuckDB) resolution is a checker
+            # artifact, not a value difference — driver hashes these equal
+            df[c] = df[c].astype("datetime64[ns]")
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
@@ -67,6 +71,10 @@ for name, fn in qs.items():
         status = f"ROWCOUNT {len(g)} vs {len(w)}"
     elif list(g.columns) != list(w.columns):
         status = f"COLS {list(g.columns)} vs {list(w.columns)}"
+    elif [str(d) for d in g.dtypes] != [str(d) for d in w.dtypes]:
+        # the driver value-hashes raw cells, so float64 910.0 vs int64 910
+        # is a hash miss even when numerically equal (round-1 lesson)
+        status = f"DTYPES {[str(d) for d in g.dtypes]} vs {[str(d) for d in w.dtypes]}"
     else:
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False, atol=0, rtol=0)
