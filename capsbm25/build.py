@@ -146,7 +146,8 @@ def build_index(
         write_table(docs, docs_path)
         m = obs.get
         n = int(m["n"])
-        corpus = {"N": n, "avgdl": (m["sum_dl"] or 0) / n if n else 0.0}
+        corpus = {"N": n, "avgdl": (m["sum_dl"] or 0) / n if n else 0.0,
+                  "config": cfg.persist_dict()}
         with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
             json.dump(corpus, f)
         return {"rows": n, **corpus}
@@ -245,3 +246,14 @@ def load_postings(spark: SparkSession, out_dir: str) -> DataFrame:
 def load_corpus_stats(out_dir: str) -> dict:
     with open(os.path.join(out_dir, "corpus_stats.json")) as f:
         return json.load(f)
+
+
+def load_build_config(out_dir: str, base: BuildConfig | None = None) -> BuildConfig:
+    """The query-time config contract: runtime knobs come from `base`,
+    but build-shaped fields (block_size, k1, b, token_pattern,
+    max_token_len) are ADOPTED from the index's persisted metadata —
+    a caller's mismatched block_size would misalign block slicing
+    against stored block_max, and mismatched k1/b/tokenizer would skew
+    scores vs the stored postings."""
+    persisted = load_corpus_stats(out_dir).get("config", {})
+    return (base or BuildConfig()).adopt(persisted)

@@ -49,6 +49,11 @@ def decode_varints(buf: bytes) -> np.ndarray:
     if raw.size == 0:
         return np.zeros(0, dtype=np.uint64)
     is_last = (raw & 0x80) == 0
+    if not is_last[-1]:
+        # final byte still has the continuation bit set: the buffer ends
+        # mid-varint. Silently decoding fewer values would mask
+        # truncation/corruption — fail loudly instead.
+        raise ValueError("truncated varint buffer (incomplete final value)")
     ends = np.flatnonzero(is_last)
     starts = np.empty_like(ends)
     starts[0] = 0

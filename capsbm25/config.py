@@ -54,3 +54,24 @@ class BuildConfig:
     @property
     def parts_per_wave(self) -> int:
         return max(1, -(-self.num_part_ids // self.num_waves))
+
+    # Fields that MUST match between build and query time: they shape the
+    # persisted postings (tokenization, block alignment) or the scores
+    # (k1/b). Persisted into corpus_stats.json at build, adopted at query
+    # via load_build_config — a caller's mismatched cfg would silently
+    # misalign block slicing against stored block_max and skew scores.
+    PERSISTED_FIELDS = (
+        "block_size", "k1", "b", "token_pattern", "max_token_len",
+    )
+
+    def persist_dict(self) -> dict:
+        return {f: getattr(self, f) for f in self.PERSISTED_FIELDS}
+
+    def adopt(self, persisted: dict) -> "BuildConfig":
+        """Return a copy with the index's persisted build-time fields
+        applied over this config's runtime knobs."""
+        import dataclasses
+
+        known = {k: v for k, v in persisted.items()
+                 if k in self.PERSISTED_FIELDS}
+        return dataclasses.replace(self, **known)

@@ -74,15 +74,33 @@ def assign_doc_ids(
     n_parts = cfg.num_part_ids
 
     # 1. seeded sample of sort keys -> splitters (regular sampling, the
-    #    analog of sample_pivots/select_pivots, Suffix_Array.cpp:187-222)
+    #    analog of sample_pivots/select_pivots, Suffix_Array.cpp:187-222).
+    #    Bottom-k by key hash instead of Bernoulli: needs no row count up
+    #    front (uniform without replacement), and orderBy().limit()
+    #    compiles to TakeOrderedAndProject — per-task top-k heap + tiny
+    #    k-row merge, NOT a global sort. An Observation on the same scan
+    #    yields the exact row count, so sampling + counting is ONE job
+    #    (was two full key-column scans).
+    from pyspark.sql import Observation
+
     target = n_parts * cfg.samples_per_part
-    n_rows = df.count()
-    if n_rows == 0:
-        return df.withColumn("doc_id", F.lit(None).cast("long"))
-    frac = min(1.0, (target * 1.2) / max(n_rows, 1))
+    obs = Observation()
+    pri = F.xxhash64("conv_id", "turn_idx", F.lit(cfg.seed))
     sample = (
-        df.select("conv_id", "turn_idx").sample(fraction=frac, seed=cfg.seed).toPandas()
+        df.select("conv_id", "turn_idx")
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .orderBy(pri, "conv_id", "turn_idx")
+        .limit(int(target * 1.2))
+        .toPandas()
     )
+    n_rows = int(obs.get["n"])
+    if n_rows == 0:
+        out = df.withColumn("doc_id", F.lit(None).cast("long"))
+        if with_dl:
+            # keep the with_dl contract on the empty relation too —
+            # stage_docs aggregates F.sum('dl') downstream
+            out = out.withColumn("dl", F.lit(0).cast("long"))
+        return out
     keys = np.sort(_key(sample["conv_id"], sample["turn_idx"]))
     n_eff = min(n_parts, max(1, keys.size))
     cuts = [keys[int(len(keys) * (i + 1) / n_eff) - 1] for i in range(n_eff - 1)]

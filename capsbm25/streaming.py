@@ -89,6 +89,7 @@ def process_batch(
 
     stats["N"] += n_rows
     stats["total_dl"] += int(seg_dl)
+    stats.setdefault("config", cfg.persist_dict())
     stats["segments"].append(
         {"id": batch_id, "rows": n_rows, "dl": int(seg_dl),
          "sec": round(time.time() - t0, 3)}

@@ -1,0 +1,180 @@
+"""Round-2 regression tests: stale block-max bounds, auto query-mode
+fallback, empty-relation build, truncated-varint detection, persisted
+build-config adoption."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from capsbm25 import fixtures as fx
+from capsbm25 import query as qmod
+from capsbm25.codec import decode_varints, delta_decode, delta_encode, encode_varints
+from capsbm25.config import BuildConfig
+from capsbm25.query import _score_query_kernel, bm25_topk
+from capsbm25.scoring import idf as idf_fn
+from capsbm25.scoring import term_scores
+
+
+def _posting_row(qid, term, docs, tfs, dls, k, nq, block_max, df=None):
+    return {
+        "query_id": qid,
+        "term": term,
+        "k": k,
+        "n_query_terms": nq,
+        "df": df if df is not None else len(docs),
+        "cf": int(np.sum(tfs)),
+        "doc_ids": delta_encode(np.asarray(docs, dtype=np.int64)),
+        "tfs": encode_varints(np.asarray(tfs, dtype=np.int64)),
+        "dls": encode_varints(np.asarray(dls, dtype=np.int64)),
+        "block_max": block_max,
+        "part_id": 0,
+        "partial": False,
+    }
+
+
+def test_stale_blockmax_cannot_drop_topk():
+    """ADVICE(high) regression: a single-segment posting row whose STORED
+    block_max was computed with segment-local N (smaller idf => smaller
+    uppers than query-time exact scores) must not let WAND prune the
+    block holding the true top-1 doc. The kernel must recompute bounds
+    from the exact scores it already materialized."""
+    cfg = BuildConfig(block_size=128)
+    N, avgdl, k = 1_000_000, 10.0, 1
+
+    # term A (rare, idf ~8.3): bridge doc 50, filler docs 1000..1254,
+    # HERO doc 1999 with tf=100/dl=1 — the true top-1 (score ~18.1).
+    # Stored uppers deliberately stale-tiny, as a segment-local build
+    # with a much smaller N would have produced.
+    a_docs = [50] + list(range(1000, 1255)) + [1999]
+    a_tfs = [1] + [1] * 255 + [100]
+    a_dls = [1] + [10] * 255 + [1]
+    stale = [{"upper": 1e-3, "last_doc": int(a_docs[127])},
+             {"upper": 1e-3, "last_doc": int(a_docs[255])},
+             {"upper": 1e-3, "last_doc": 1999}]
+    # term B (stopword-grade: declared df=300k over the full corpus, the
+    # decoded rows are the segment's subset — idf ~1.2): docs 0..99 so
+    # phase-1 seeds from B alone (>=64). The bridge doc 50 is in BOTH
+    # terms with best-in-B score, so theta ~15.0 exceeds
+    # stale_upper + umax(B) ~1.9 and the old trust-stored-bounds code
+    # pruned ALL of A's blocks, hero included.
+    b_docs = list(range(100))
+    b_tfs = [1] * 100
+    b_dls = [100] * 50 + [1] + [100] * 49
+
+    pdf = pd.DataFrame([
+        _posting_row(0, "aaa", a_docs, a_tfs, a_dls, k, 2, stale),
+        _posting_row(0, "bbb", b_docs, b_tfs, b_dls, k, 2, None,
+                     df=300_000),
+    ])
+    pruned = _score_query_kernel(pdf, N, avgdl, cfg, prune=True)
+    exhaustive = _score_query_kernel(pdf, N, avgdl, cfg, prune=False)
+
+    # true top-1: the hero doc (tf=100, dl=1 on rare term A)
+    want = float(
+        term_scores(np.array([100]), np.array([1]),
+                    float(idf_fn(N, 257)), avgdl, cfg.k1, cfg.b)[0]
+    )
+    assert list(exhaustive.doc_id) == [1999]
+    assert list(pruned.doc_id) == [1999], (
+        "stale stored block_max pruned the true top-1 doc"
+    )
+    assert pruned.score.iloc[0] == pytest.approx(want, abs=1e-9)
+    assert pruned.score.iloc[0] == exhaustive.score.iloc[0]
+
+
+def test_auto_mode_fallback(built_index, spark, monkeypatch):
+    """mode='auto' must route heavy queries (sum df > max_kernel_df) to
+    the distributed path and stay rank-identical to the oracle."""
+    res, cfg = built_index["res"], built_index["cfg"]
+    oracle = built_index["oracle"]
+    queries = pd.DataFrame({
+        "query_id": np.array([0, 1], dtype=np.int32),
+        "text": [fx.HOT_TERM + " w0000", "rare7tok w0001"],
+        "k": np.array([5, 5], dtype=np.int32),
+    })
+    want = oracle.topk_pdf(queries)
+
+    calls = {"kernel": 0, "distributed": 0}
+    real_k, real_d = qmod._run_kernel, qmod._run_distributed
+
+    def spy_k(*a, **kw):
+        calls["kernel"] += 1
+        return real_k(*a, **kw)
+
+    def spy_d(*a, **kw):
+        calls["distributed"] += 1
+        return real_d(*a, **kw)
+
+    monkeypatch.setattr(qmod, "_run_kernel", spy_k)
+    monkeypatch.setattr(qmod, "_run_distributed", spy_d)
+
+    # threshold between the two queries' sum-df: hot query goes
+    # distributed, rare query stays on the kernel
+    hot_df = oracle.df(fx.HOT_TERM) + oracle.df("w0000")
+    rare_df = oracle.df("rare7tok") + oracle.df("w0001")
+    assert rare_df < hot_df
+    thresh = (rare_df + hot_df) // 2
+
+    got = bm25_topk(
+        spark, built_index["postings"], queries, res.N, res.avgdl, cfg,
+        mode="auto", max_kernel_df=thresh,
+    ).toPandas()
+    assert calls == {"kernel": 1, "distributed": 1}, calls
+    for qid in queries["query_id"]:
+        g = got[got.query_id == qid].sort_values("rank")
+        w = want[want.query_id == qid].sort_values("rank")
+        assert list(g.doc_id) == list(w.doc_id), qid
+        assert np.allclose(g.score, w.score, atol=1e-9), qid
+
+    # all-light: auto degrades to pure kernel (no distributed call)
+    calls.update(kernel=0, distributed=0)
+    got2 = bm25_topk(
+        spark, built_index["postings"], queries, res.N, res.avgdl, cfg,
+        mode="auto", max_kernel_df=10 ** 9,
+    ).toPandas()
+    assert calls["distributed"] == 0 and calls["kernel"] == 1
+    assert len(got2) == len(want)
+
+
+def test_empty_relation_build(spark, tmp_path):
+    """build_index on a ZERO-ROW relation (not just empty texts) must
+    complete: the empty doc-id branch now carries dl for stage_docs."""
+    from capsbm25.build import build_index
+
+    empty = spark.createDataFrame([], fx.TRANSCRIPT_SCHEMA)
+    res = build_index(spark, empty, str(tmp_path / "empty_idx"),
+                      BuildConfig(num_part_ids=8, shuffle_partitions=2))
+    assert res.N == 0 and res.avgdl == 0.0
+
+
+def test_truncated_varint_raises():
+    buf = encode_varints(np.array([1, 300, 7], dtype=np.int64))
+    assert decode_varints(buf).tolist() == [1, 300, 7]
+    with pytest.raises(ValueError, match="truncated"):
+        decode_varints(buf[:-1] + bytes([buf[-1] | 0x80]))
+    with pytest.raises(ValueError, match="truncated"):
+        delta_decode(b"\x80")
+
+
+def test_config_persisted_and_adopted(built_index):
+    """Build-shaped fields live in corpus_stats.json; load_build_config
+    adopts them over a caller's mismatched runtime config."""
+    from capsbm25.build import load_build_config
+
+    out = built_index["res"].out_dir
+    with open(os.path.join(out, "corpus_stats.json")) as f:
+        stats = json.load(f)
+    cfg = built_index["cfg"]
+    assert stats["config"] == cfg.persist_dict()
+
+    mismatched = BuildConfig(block_size=7, k1=9.9, b=0.1,
+                             token_pattern="[a-z]", max_token_len=3,
+                             shuffle_partitions=2)
+    adopted = load_build_config(out, base=mismatched)
+    for f_ in BuildConfig.PERSISTED_FIELDS:
+        assert getattr(adopted, f_) == getattr(cfg, f_), f_
+    # runtime knobs stay the caller's
+    assert adopted.shuffle_partitions == 2
