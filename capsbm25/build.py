@@ -40,6 +40,7 @@ from capsbm25.catalog import read_table, write_table
 from capsbm25.postings import (
     assemble_postings,
     extract_pairs,
+    extract_runs,
     merge_hot_partials,
 )
 
@@ -178,17 +179,21 @@ def build_index(
     plan = PartitionPlan.from_json(man.done("plan")["plan"])
 
     # --- stage: pairs (staged, wave-partitioned — the resume anchor;
-    #     tokenize + tf + dl + part assignment in ONE Arrow pass) ---
+    #     tokenize + tf + dl + part assignment + RUN PACKING in ONE
+    #     Arrow pass: what lands on disk / crosses the wave shuffles is
+    #     one delta+varint run per (term, part_id, task), not raw pairs) ---
     def stage_pairs():
         from pyspark.sql import Observation
 
-        pw = extract_pairs(docs, cfg, plan=plan).withColumn(
+        pw = extract_runs(docs, cfg, plan=plan).withColumn(
             "wave", (F.col("part_id") / cfg.parts_per_wave).cast("int")
         )
         obs = Observation("pairs")
-        pw = pw.observe(obs, F.count(F.lit(1)).alias("n"))
+        pw = pw.observe(obs, F.count(F.lit(1)).alias("runs"),
+                        F.sum("n").alias("pairs"))
         write_table(pw, pairs_path, partition_by=["wave"])
-        return {"rows": int(obs.get["n"])}
+        m = obs.get
+        return {"rows": int(m["pairs"] or 0), "runs": int(m["runs"])}
 
     timed("pairs", stage_pairs)
 

@@ -18,11 +18,11 @@ import numpy as np
 _THRESH = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
 
 
-def encode_varints(values: np.ndarray) -> bytes:
-    """LEB128-encode an array of non-negative int64/uint64 values."""
+def _encode_core(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode; returns (byte buffer, per-value end offsets)."""
     v = np.asarray(values).astype(np.uint64, copy=False)
     if v.size == 0:
-        return b""
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
     # bytes needed per value: 1 + number of 7-bit thresholds crossed
     nbytes = np.ones(v.size, dtype=np.int64)
     for t in _THRESH:
@@ -40,7 +40,33 @@ def encode_varints(values: np.ndarray) -> bytes:
         more = (j + 1) < nbytes[sel]
         out[idx] = byte | (more.astype(np.uint8) << np.uint8(7))
         work[sel] >>= np.uint64(7)
+    return out, ends
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative int64/uint64 values."""
+    out, _ = _encode_core(values)
     return out.tobytes()
+
+
+def encode_varints_grouped(
+    values: np.ndarray, group_starts: np.ndarray
+) -> list[bytes]:
+    """Encode many concatenated value groups in ONE vectorized pass and
+    return each group's bytes. Equivalent to
+    ``[encode_varints(g) for g in groups]`` (varints are independent per
+    value) but amortizes the numpy call overhead across thousands of
+    small posting runs — the hot path of map-side run packing."""
+    out, ends = _encode_core(values)
+    gs = np.asarray(group_starts, dtype=np.int64)
+    if ends.size == 0:
+        return [b""] * gs.size
+    byte_bounds = np.empty(gs.size + 1, dtype=np.int64)
+    byte_bounds[0] = 0
+    byte_bounds[1:-1] = ends[gs[1:] - 1] if gs.size > 1 else ends[:0]
+    byte_bounds[-1] = ends[-1] if ends.size else 0
+    raw = out.tobytes()
+    return [raw[byte_bounds[i]:byte_bounds[i + 1]] for i in range(gs.size)]
 
 
 def decode_varints(buf: bytes) -> np.ndarray:

@@ -38,13 +38,30 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from capsbm25.codec import delta_decode, delta_encode, decode_varints, encode_varints
+from capsbm25.codec import (decode_varints, delta_decode, delta_encode,
+                            encode_varints, encode_varints_grouped)
 from capsbm25.config import BuildConfig
 from capsbm25.partition import PartitionPlan
 from capsbm25.scoring import idf as idf_fn
 from capsbm25.scoring import term_scores, upper_f32
 
 PAIRS_SCHEMA = "term string, doc_id long, tf int, dl int"
+# Map-side packed sorted runs — what actually crosses the build shuffle.
+# One row per (term, part_id) per map-task flush window instead of one
+# row per (term, doc) pair: the term string is shipped ONCE per run, and
+# doc/tf/dl travel delta+varint-packed, so exchange bytes approach the
+# size of the final index instead of ~24B+term per posting entry. This
+# is the shuffle-volume optimization SURVEY.md §6 plans as a term-id
+# dictionary, strengthened: runs also remove the need to decode ids back
+# to strings (the run carries its term) and shrink the rows the Tungsten
+# sort touches by orders of magnitude.
+RUNS_SCHEMA = (
+    "term string, part_id int, first_doc long, last_doc long, n long, "
+    "doc_ids binary, tfs binary, dls binary"
+)
+RUNS_COLS = [
+    "term", "part_id", "first_doc", "last_doc", "n", "doc_ids", "tfs", "dls",
+]
 POSTINGS_SCHEMA = (
     "term string, df long, cf long, doc_ids binary, tfs binary, dls binary, "
     "block_max array<struct<upper:float,last_doc:long>>, "
@@ -117,6 +134,136 @@ def extract_pairs(
     return docs.select("doc_id", "text").mapInPandas(kernel, schema=schema)
 
 
+def extract_runs(
+    docs: DataFrame,
+    cfg: BuildConfig | None = None,
+    plan: PartitionPlan | None = None,
+    flush_pairs: int = 4_000_000,
+) -> DataFrame:
+    """docs(doc_id, text) -> packed sorted RUNS (see RUNS_SCHEMA).
+
+    Map-side only, the independent-subarray-sort stage of the samplesort
+    graft (/root/reference/src/Suffix_Array.cpp:300-368): each task
+    tokenizes its doc range, accumulates per-(term, part_id) doc/tf/dl
+    arrays in doc order (input is doc_id-sorted, so each run is strictly
+    increasing), and emits them delta+varint-encoded. flush_pairs bounds
+    task memory: past the threshold all accumulators flush as finished
+    runs and later pairs of the same term simply start a new run.
+
+    A doc_id order restart inside one task (two staged files coalesced
+    into one input split) is detected and forces a flush, preserving the
+    strictly-increasing-per-run invariant that lets assembly concatenate
+    runs by first_doc without re-sorting.
+    """
+    cfg = cfg or BuildConfig()
+    pattern = re.compile(cfg.token_pattern)
+    max_len = cfg.max_token_len
+    n_parts = plan.num_parts if plan is not None else 1
+
+    def kernel(it):
+        acc: dict[tuple, list] = {}
+        held = 0
+        last_doc = -1
+
+        def flush():
+            nonlocal acc, held
+            if not acc:
+                return pd.DataFrame([], columns=RUNS_COLS)
+            # one vectorized encode pass over ALL runs in the window:
+            # per-run numpy-call overhead dominated the pairs stage when
+            # encoding ~3 tiny arrays per (term, part_id) run
+            d_parts, t_parts, l_parts, meta = [], [], [], []
+            for (term, pid), chunks in acc.items():
+                d = chunks[0][0] if len(chunks) == 1 else np.concatenate(
+                    [c[0] for c in chunks])
+                t = chunks[0][1] if len(chunks) == 1 else np.concatenate(
+                    [c[1] for c in chunks])
+                dl = chunks[0][2] if len(chunks) == 1 else np.concatenate(
+                    [c[2] for c in chunks])
+                d_parts.append(d)
+                t_parts.append(t)
+                l_parts.append(dl)
+                meta.append((term, int(pid), int(d[0]), int(d[-1]), d.size))
+            sizes = np.array([m[4] for m in meta], dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+            D = np.concatenate(d_parts)
+            gaps = np.empty_like(D)
+            gaps[0] = D[0]
+            np.subtract(D[1:], D[:-1], out=gaps[1:])
+            gaps[starts] = D[starts]  # absolute first doc per run
+            interior = np.ones(D.size, dtype=bool)
+            interior[starts] = False
+            if interior.any() and gaps[interior].min() <= 0:
+                raise ValueError("run doc_ids must be strictly increasing")
+            doc_b = encode_varints_grouped(gaps, starts)
+            tf_b = encode_varints_grouped(np.concatenate(t_parts), starts)
+            dl_b = encode_varints_grouped(np.concatenate(l_parts), starts)
+            rows = [
+                (m[0], m[1], m[2], m[3], int(m[4]), doc_b[i], tf_b[i], dl_b[i])
+                for i, m in enumerate(meta)
+            ]
+            acc = {}
+            held = 0
+            return pd.DataFrame(rows, columns=RUNS_COLS)
+
+        def accumulate(out, docs_a):
+            """Group one monotonic pair block by (term, part_id) and
+            append to the run accumulators; flush past the memory bound."""
+            nonlocal held
+            terms = out["term"].to_numpy(dtype=object)
+            tfs = out["tf"].to_numpy(np.int64)
+            dls = out["dl"].to_numpy(np.int64)
+            pids = (
+                plan.assign(terms, docs_a)
+                if plan is not None
+                else np.zeros(len(out), dtype=np.int32)
+            )
+            codes, uniq = pd.factorize(terms, sort=False)
+            key = codes.astype(np.int64) * n_parts + pids
+            order = np.argsort(key, kind="stable")  # stable: doc order kept
+            k_s = key[order]
+            newg = np.ones(k_s.size, dtype=bool)
+            newg[1:] = k_s[1:] != k_s[:-1]
+            starts = np.flatnonzero(newg)
+            ends = np.append(starts[1:], k_s.size)
+            d_s, t_s, l_s = docs_a[order], tfs[order], dls[order]
+            c_s, p_s = codes[order], pids[order]
+            for lo, hi in zip(starts, ends):
+                kk = (uniq[c_s[lo]], int(p_s[lo]))
+                acc.setdefault(kk, []).append(
+                    (d_s[lo:hi], t_s[lo:hi], l_s[lo:hi])
+                )
+            held += len(out)
+
+        for pdf in it:
+            # An Arrow batch can span staged-file boundaries (the Python
+            # runner re-batches the partition iterator at
+            # maxRecordsPerBatch, ignoring files), so doc_id order can
+            # restart INSIDE a batch when small files are coalesced into
+            # one split. Process each monotonic segment separately and
+            # flush at every restart so runs stay strictly increasing.
+            ids_all = pdf["doc_id"].to_numpy()
+            restarts = (np.flatnonzero(ids_all[1:] < ids_all[:-1]) + 1
+                        if len(ids_all) > 1 else np.array([], dtype=np.int64))
+            bounds = np.concatenate(([0], restarts, [len(pdf)])).astype(np.int64)
+            for si in range(len(bounds) - 1):
+                seg = pdf.iloc[bounds[si]:bounds[si + 1]]
+                out = _batch_pairs(seg, pattern, max_len)
+                if not len(out):
+                    continue
+                docs_a = out["doc_id"].to_numpy()
+                if held and docs_a[0] <= last_doc:
+                    yield flush()  # coalesced-file boundary
+                last_doc = int(docs_a[-1])
+                accumulate(out, docs_a)
+                if held >= flush_pairs:
+                    yield flush()
+        if held:
+            yield flush()
+
+    return docs.select("doc_id", "text").mapInPandas(kernel, schema=RUNS_SCHEMA)
+
+
 def with_part_id(pairs: DataFrame, plan: PartitionPlan) -> DataFrame:
     """Attach the logical range-partition id from the samplesort plan."""
     def kernel(it):
@@ -173,65 +320,99 @@ def _block_max(scores: np.ndarray, docs: np.ndarray, block_size: int):
 
 
 def assemble_postings(
-    pairs_with_part: DataFrame,
+    runs: DataFrame,
     plan: PartitionPlan,
     N: int,
     avgdl: float,
     cfg: BuildConfig | None = None,
 ) -> DataFrame:
-    """Range shuffle + local sort + streaming posting assembly.
+    """Range shuffle of packed runs + k-way merge into posting rows —
+    the merge_sub_subarrays stage (/root/reference/src/Suffix_Array.cpp:
+    371-428), except the runs are pre-sorted with DISJOINT doc ranges,
+    so the merge is pure concatenation in first_doc order.
 
     Invariant: a non-hot term maps to exactly one part_id, and one
     part_id lands in exactly one task after ``repartition(n, part_id)``,
     so every non-hot term yields exactly one posting row with globally
-    sorted doc_ids — no second shuffle, no groupBy. Hot terms yield one
-    partial row per salt bucket, stitched by merge_hot_partials.
+    sorted doc_ids — no second shuffle, no groupBy. The Tungsten sort
+    touches only run rows (one per term per map task), not pairs. Hot
+    terms yield one partial row per (term, salt part_id), stitched by
+    merge_hot_partials. delta_encode re-validates strict doc_id increase
+    across run boundaries, so a violated disjoint-range assumption fails
+    loudly instead of corrupting the index.
     """
     cfg = cfg or BuildConfig()
     hot = set(plan.hot_terms)
 
-    shuffled = pairs_with_part.repartition(
+    shuffled = runs.repartition(
         cfg.shuffle_partitions, "part_id"
-    ).sortWithinPartitions("term", "doc_id")
+    ).sortWithinPartitions("term", "part_id", "first_doc")
 
     def kernel(it):
-        cur_term = None
-        cur_part = 0
-        bufs: tuple[list, list, list] = ([], [], [])
+        cur: tuple | None = None  # (term, part_id)
+        chunks: tuple[list, list, list] = ([], [], [])
         flushes = []
+
+        def close():
+            d = np.concatenate(chunks[0])
+            t = np.concatenate(chunks[1])
+            dl = np.concatenate(chunks[2])
+            # Runs are individually strictly increasing, but their RANGES
+            # can interleave: the docs stage hash-partitions part_id, so
+            # each staged file holds interleaved doc-id stripes and every
+            # map task's runs span most of the doc space. Merge when
+            # needed; the O(n) sortedness check keeps the common
+            # contiguous case a pure concat. (Doc sets are disjoint, so
+            # a duplicate would still be caught by delta_encode.)
+            if d.size > 1 and (d[1:] <= d[:-1]).any():
+                o = np.argsort(d, kind="stable")
+                d, t, dl = d[o], t[o], dl[o]
+            flushes.append((cur[0], d, t, dl, cur[1]))
+
         for pdf in it:
-            if len(pdf) == 0:
+            if not len(pdf):
                 continue
+            # batch decode: ONE varint pass per column for the whole
+            # Arrow batch (runs are self-delimiting), then a vectorized
+            # segmented cumsum rebuilds absolute doc_ids per run —
+            # instead of 3 numpy decode calls per run row
+            n_arr = pdf["n"].to_numpy(np.int64)
+            starts = np.concatenate(([0], np.cumsum(n_arr)[:-1]))
+            total = int(n_arr.sum())
+            gaps = decode_varints(b"".join(pdf["doc_ids"])).astype(np.int64)
+            tfs = decode_varints(b"".join(pdf["tfs"])).astype(np.int64)
+            dls = decode_varints(b"".join(pdf["dls"])).astype(np.int64)
+            if gaps.size != total or tfs.size != total or dls.size != total:
+                raise ValueError(
+                    f"run payload corrupt: decoded {gaps.size}/{tfs.size}/"
+                    f"{dls.size} values, expected {total}"
+                )
+            c = np.cumsum(gaps)
+            prev = np.concatenate(([0], c[starts[1:] - 1]))
+            docs = c - np.repeat(prev, n_arr)
             terms = pdf["term"].to_numpy(dtype=object)
-            docs = pdf["doc_id"].to_numpy()
-            tfs = pdf["tf"].to_numpy()
-            dls = pdf["dl"].to_numpy()
-            parts = pdf["part_id"].to_numpy()
-            newgrp = np.ones(terms.size, dtype=bool)
-            newgrp[1:] = terms[1:] != terms[:-1]
-            starts = np.flatnonzero(newgrp)
-            ends = np.append(starts[1:], terms.size)
-            for lo, hi in zip(starts, ends):
-                t = terms[lo]
-                if t != cur_term and cur_term is not None:
-                    flushes.append(
-                        (cur_term, np.concatenate(bufs[0]),
-                         np.concatenate(bufs[1]), np.concatenate(bufs[2]), cur_part)
-                    )
-                    bufs = ([], [], [])
-                if t != cur_term:
-                    cur_term, cur_part = t, int(parts[lo])
-                bufs[0].append(docs[lo:hi])
-                bufs[1].append(tfs[lo:hi])
-                bufs[2].append(dls[lo:hi])
-            if len(flushes) >= 4096:
-                yield _posting_rows(flushes, N, avgdl, cfg, hot)
-                flushes = []
-        if cur_term is not None:
-            flushes.append(
-                (cur_term, np.concatenate(bufs[0]),
-                 np.concatenate(bufs[1]), np.concatenate(bufs[2]), cur_part)
-            )
+            pids = pdf["part_id"].to_numpy()
+            newg = np.ones(len(pdf), dtype=bool)
+            newg[1:] = (terms[1:] != terms[:-1]) | (pids[1:] != pids[:-1])
+            g_starts = np.flatnonzero(newg)
+            g_ends = np.append(g_starts[1:], len(pdf))
+            row_bounds = np.append(starts, total)
+            for r0, r1 in zip(g_starts, g_ends):
+                kk = (terms[r0], int(pids[r0]))
+                lo, hi = row_bounds[r0], row_bounds[r1]
+                if kk != cur:
+                    if cur is not None:
+                        close()
+                        chunks = ([], [], [])
+                        if len(flushes) >= 4096:
+                            yield _posting_rows(flushes, N, avgdl, cfg, hot)
+                            flushes = []
+                    cur = kk
+                chunks[0].append(docs[lo:hi])
+                chunks[1].append(tfs[lo:hi])
+                chunks[2].append(dls[lo:hi])
+        if cur is not None:
+            close()
         if flushes:
             yield _posting_rows(flushes, N, avgdl, cfg, hot)
 

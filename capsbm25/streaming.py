@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from capsbm25.config import BuildConfig
 from capsbm25.docids import assign_doc_ids
 from capsbm25.partition import plan_from_sample
-from capsbm25.postings import assemble_postings, extract_pairs
+from capsbm25.postings import assemble_postings, extract_pairs, extract_runs
 
 
 def _stats_path(out_dir: str) -> str:
@@ -83,7 +83,7 @@ def process_batch(
     seg_dl = docs.agg(F.sum("dl").alias("s")).collect()[0]["s"] or 0
     seg_avgdl = (seg_dl / n_rows) if n_rows else 0.0
     postings = assemble_postings(
-        extract_pairs(docs, cfg, plan=plan), plan, n_rows, seg_avgdl, cfg
+        extract_runs(docs, cfg, plan=plan), plan, n_rows, seg_avgdl, cfg
     )
     postings.write.mode("overwrite").parquet(os.path.join(seg, "postings"))
 

@@ -178,3 +178,56 @@ def test_config_persisted_and_adopted(built_index):
         assert getattr(adopted, f_) == getattr(cfg, f_), f_
     # runtime knobs stay the caller's
     assert adopted.shuffle_partitions == 2
+
+
+def test_runs_pack_pairs_losslessly(built_index, spark):
+    """extract_runs is a lossless re-packing of extract_pairs: same
+    (term, doc_id, tf, dl) multiset, each run strictly increasing, far
+    fewer shuffle rows."""
+    import os
+
+    from capsbm25.codec import decode_varints, delta_decode
+    from capsbm25.postings import extract_pairs, extract_runs
+
+    res, cfg = built_index["res"], built_index["cfg"]
+    docs = spark.read.parquet(os.path.join(res.out_dir, "docs"))
+    pairs = (
+        extract_pairs(docs, cfg, plan=res.plan)
+        .toPandas()
+        .sort_values(["term", "doc_id"], ignore_index=True)
+    )
+    runs = extract_runs(docs, cfg, plan=res.plan).toPandas()
+    assert len(runs) < len(pairs) / 2, (len(runs), len(pairs))
+    assert runs["n"].sum() == len(pairs)
+
+    rows = []
+    for r in runs.itertuples(index=False):
+        d = delta_decode(r.doc_ids)
+        t = decode_varints(r.tfs).astype(int)
+        dl = decode_varints(r.dls).astype(int)
+        assert d.size == t.size == dl.size == r.n
+        assert (np.diff(d) > 0).all(), "run not strictly increasing"
+        assert d[0] == r.first_doc and d[-1] == r.last_doc
+        for i in range(d.size):
+            rows.append((r.term, int(d[i]), int(t[i]), int(dl[i]), r.part_id))
+    unpacked = (
+        pd.DataFrame(rows, columns=["term", "doc_id", "tf", "dl", "part_id"])
+        .sort_values(["term", "doc_id"], ignore_index=True)
+    )
+    assert unpacked[["term", "doc_id"]].equals(pairs[["term", "doc_id"]])
+    assert (unpacked["tf"].to_numpy() == pairs["tf"].to_numpy()).all()
+    assert (unpacked["dl"].to_numpy() == pairs["dl"].to_numpy()).all()
+    assert (unpacked["part_id"].to_numpy() == pairs["part_id"].to_numpy()).all()
+
+
+def test_encode_varints_grouped_matches_ungrouped():
+    from capsbm25.codec import encode_varints, encode_varints_grouped
+
+    rng = np.random.default_rng(7)
+    groups = [rng.integers(0, 1 << 40, size=rng.integers(1, 50)).astype(np.int64)
+              for _ in range(200)] + [np.array([], dtype=np.int64)]
+    values = np.concatenate(groups)
+    sizes = np.array([g.size for g in groups], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    got = encode_varints_grouped(values, starts)
+    assert got == [encode_varints(g) for g in groups]
