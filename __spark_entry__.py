@@ -354,9 +354,11 @@ def q_minhash_dedup(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    from capsbm25.dataops import simhash_bits
+    # single-Arrow-kernel form (no explode-by-32, no shuffle); the
+    # expression form simhash_bits stays as the DuckDB-parity reference
+    from capsbm25.dataops import simhash_bits_kernel
 
-    return simhash_bits(_documents(spark, sf_dir), n_bits=32)
+    return simhash_bits_kernel(_documents(spark, sf_dir), n_bits=32)
 
 
 def q_embedding_neardup(spark, sf_dir):

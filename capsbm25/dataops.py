@@ -12,6 +12,7 @@ hash functions; a real deployment would swap xxhash64 for speed.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -157,6 +158,71 @@ def simhash_bits(docs: DataFrame, n_bits: int = 32) -> DataFrame:
     )
 
 
+def simhash_bits_kernel(docs: DataFrame, n_bits: int = 32) -> DataFrame:
+    """SimHash as ONE Arrow kernel — the 100 TB shape.
+
+    The expression form (simhash_bits below, kept as the DuckDB-parity
+    cross-check) explodes grams x n_bits rows through two shuffled
+    groupBys — a 32x row blowup per gram. Here each batch md5s every
+    DISTINCT gram once, unpacks the leading 32 bits with numpy, and
+    sign-sums contributions per doc with add.reduceat: zero shuffle,
+    zero row blowup, bit-identical output (tested)."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    pattern = _re.compile(_CFG.token_pattern)
+    nb = n_bits
+
+    def kernel(it):
+        for pdf in it:
+            toks = pdf["text"].fillna("").str.lower().str.findall(pattern)
+            out_ids, out_hash = [], []
+            doc_rows, gram_list = [], []
+            for i, tl in enumerate(toks):
+                if len(tl) < 3:
+                    continue
+                grams = list(dict.fromkeys(
+                    " ".join(tl[j:j + 3]) for j in range(len(tl) - 2)
+                ))
+                doc_rows.append((i, len(grams)))
+                gram_list.extend(grams)
+            if not gram_list:
+                yield pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                    "simhash": pd.Series(dtype=object)})
+                continue
+            codes, uniq = pd.factorize(
+                np.asarray(gram_list, dtype=object), sort=False
+            )
+            # md5 each DISTINCT gram once; first nb bits of the hex
+            # digest, MSB-first — identical to the SQL nibble extraction
+            dig = b"".join(
+                hashlib.md5(g.encode()).digest()[: nb // 8] for g in uniq
+            )
+            bits = np.unpackbits(
+                np.frombuffer(dig, dtype=np.uint8).reshape(-1, nb // 8),
+                axis=1,
+            ).astype(np.int32)
+            contrib = bits[codes] * 2 - 1            # (n_grams, nb)
+            sizes = np.array([r[1] for r in doc_rows], dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+            sums = np.add.reduceat(contrib, starts, axis=0)
+            ge = (sums >= 0).astype(np.uint8)
+            strings = [
+                "".join("1" if b else "0" for b in row) for row in ge
+            ]
+            ids = pdf["doc_id"].to_numpy()
+            out_ids = ids[[r[0] for r in doc_rows]]
+            out_hash = strings
+            yield pd.DataFrame({"doc_id": out_ids, "simhash": out_hash})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id long, simhash string"
+    )
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above threshold.
 
@@ -253,6 +319,56 @@ def binary_features(docs: DataFrame) -> DataFrame:
     return with_bin.mapInPandas(kernel, schema="doc_id long, n_bytes long, head_hex string")
 
 
+def _lsh_planes(seed: int, n_tables: int, n_planes: int, dim: int):
+    """Deterministic seeded hyperplanes, cached per worker. Generated
+    INSIDE the executor from (seed, dim): no driver-side .first() to
+    discover dim, no O(n_tables x n_planes x dim) literal arrays in the
+    Catalyst plan (which blew up past dim ~256), no broadcast needed —
+    every worker derives identical planes from the same seed."""
+    import numpy as np
+
+    key = (seed, n_tables, n_planes, dim)
+    cache = _lsh_planes.__dict__.setdefault("cache", {})
+    if key not in cache:
+        rng = np.random.default_rng(seed)
+        cache[key] = rng.standard_normal((n_tables, n_planes, dim))
+    return cache[key]
+
+
+def ann_lsh_buckets(
+    df: DataFrame,
+    vec_col: str,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(vec_id, bucket) rows: n_tables sign-pattern LSH buckets per
+    vector, computed in one vectorized Arrow kernel (plan size is
+    independent of embedding dim — works at dim 768/1536/4096)."""
+    import numpy as np
+
+    @F.pandas_udf("array<string>")
+    def buckets_of(vs: pd.Series) -> pd.Series:
+        if vs.empty:
+            return pd.Series([], dtype=object)
+        V = np.asarray(vs.tolist(), dtype=np.float64)  # (B, dim)
+        planes = _lsh_planes(seed, n_tables, n_planes, V.shape[1])
+        bits = (V @ planes.reshape(-1, V.shape[1]).T) >= 0  # (B, T*P)
+        chars = np.where(bits, "1", "0")
+        out = []
+        for r in range(chars.shape[0]):
+            row = chars[r]
+            out.append([
+                str(t) + "".join(row[t * n_planes:(t + 1) * n_planes])
+                for t in range(n_tables)
+            ])
+        return pd.Series(out)
+
+    return df.select(
+        "vec_id", F.explode(buckets_of(F.col(vec_col))).alias("bucket")
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     query_vec_id: int = 0,
@@ -264,8 +380,9 @@ def ann_lsh_topk(
     """Approximate nearest neighbours via random-hyperplane LSH.
 
     Scale path for similarity search: each vector is hashed into
-    n_tables sign-pattern buckets (deterministic seeded hyperplanes
-    built with numpy on the driver and broadcast as literal arrays);
+    n_tables sign-pattern buckets by a vectorized Arrow kernel
+    (seeded hyperplanes derived per worker — see _lsh_planes; plan size
+    is independent of embedding dim, no driver-side dim probe);
     candidates = vectors sharing ANY bucket with the query; exact cosine
     is then computed only on candidates. At 10^12 rows the bucket join
     replaces the O(n) full scan of the brute-force baseline
@@ -274,36 +391,8 @@ def ann_lsh_topk(
     Returns (vec_id, cos_r) for the top-k candidates — a subset of the
     exact answer; tests measure recall against the brute-force oracle.
     """
-    import numpy as np
-
-    dim = len(emb.select("embedding").first()["embedding"])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, n_planes, dim))
-
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-
-    def dot_lit(vec_col, plane_row):
-        # sum_i v[i] * plane[i] with the plane as a literal array
-        lit = F.array(*[F.lit(float(x)) for x in plane_row])
-        return F.aggregate(
-            F.zip_with(vec_col, lit, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def bucket_expr(t: int):
-        bits = [
-            (dot_lit(F.col("v"), planes[t][p]) >= 0).cast("int").alias(f"b{p}")
-            for p in range(n_planes)
-        ]
-        return F.concat_ws(
-            "", F.lit(str(t)), *[b.cast("string") for b in bits]
-        ).alias("bucket")
-
-    buckets = None
-    for t in range(n_tables):
-        part = v.select("vec_id", bucket_expr(t))
-        buckets = part if buckets is None else buckets.unionAll(part)
+    buckets = ann_lsh_buckets(v, "v", n_planes, n_tables, seed)
 
     qb = buckets.where(F.col("vec_id") == query_vec_id).select("bucket").distinct()
     cand_ids = (

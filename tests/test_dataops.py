@@ -107,3 +107,52 @@ def test_binary_features_roundtrip(spark):
     assert rows[0].n_bytes == 5
     assert rows[0].head_hex == "hello".encode().hex()
     assert rows[1].n_bytes == 0 and rows[1].head_hex == ""
+
+
+def test_simhash_kernel_matches_expression_form(spark):
+    """The one-pass Arrow kernel (the 100TB shape) must be bit-identical
+    to the explode+groupBy expression form (the DuckDB-parity shape),
+    and its plan must contain no Exchange (zero shuffle)."""
+    from capsbm25.dataops import simhash_bits_kernel
+
+    texts = (
+        ["alpha beta gamma delta epsilon zeta"] * 2
+        + ["the quick brown fox jumps over the lazy dog"]
+        + ["a b"]               # <3 tokens: no grams, dropped by both
+        + [""]
+        + [f"w{i:03d} w{i+1:03d} w{i+2:03d} w{i+3:03d}" for i in range(40)]
+    )
+    d = _docs(spark, texts)
+    expr_form = {r.doc_id: r.simhash for r in simhash_bits(d, 32).collect()}
+    kern_form = {r.doc_id: r.simhash
+                 for r in simhash_bits_kernel(d, 32).collect()}
+    assert kern_form == expr_form
+    plan = simhash_bits_kernel(d, 32)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_ann_lsh_high_dim_plan_bounded(spark):
+    """LSH bucketing must work at real embedding dims (the literal-
+    hyperplane form blew up the Catalyst plan past dim ~256) with plan
+    size independent of dim."""
+    import numpy as np
+
+    from capsbm25.dataops import ann_lsh_topk
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(1024)
+    vecs = [base + rng.standard_normal(1024) * 0.05 for _ in range(20)] + [
+        rng.standard_normal(1024) for _ in range(20)
+    ]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(40),
+                      "embedding": [v.astype(float).tolist() for v in vecs]})
+    )
+    df = ann_lsh_topk(emb, query_vec_id=0, k=5, n_planes=4, n_tables=6)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 50_000, f"plan blew up: {len(plan)} chars"
+    rows = df.collect()
+    assert 1 <= len(rows) <= 5
+    # neighbours of a perturbed clone cluster: top hits are from it
+    assert all(r.vec_id < 20 for r in rows[:3])
