@@ -394,20 +394,35 @@ def q_binary_features(spark, sf_dir):
     return binary_features(_documents(spark, sf_dir))
 
 
-def q_transcripts_postings(spark, sf_dir):
-    """Rows-only check: full build over the synthetic transcript corpus
-    (the binding input shape) — no DuckDB view exists for it, so the
-    driver records the weaker rows-only verdict; pytest carries the
-    strong differential check (tests/test_postings.py)."""
-    from capsbm25 import fixtures as fx
+# Deterministic on-disk copy of the fixture transcript corpus so the
+# DuckDB oracle can parquet_scan the SAME input the engine builds from
+# (df/cf per term are order-free, so the oracle needs no doc ids).
+_FIXTURE_CORPUS = "/tmp/capsbm25_fixture_transcripts_120_42.parquet"
 
+
+def _ensure_fixture_corpus() -> str:
+    if not os.path.exists(_FIXTURE_CORPUS):
+        from capsbm25 import fixtures as fx
+
+        fx.gen_transcripts_pdf(120, 42).to_parquet(_FIXTURE_CORPUS)
+    return _FIXTURE_CORPUS
+
+
+def q_transcripts_postings(spark, sf_dir):
+    """Full build over the synthetic transcript corpus (the binding
+    input shape); the posting-level (term, df, cf) aggregate is checked
+    against a DuckDB oracle over the identical parquet corpus. pytest
+    additionally carries the posting-payload differential
+    (tests/test_postings.py)."""
+    _ensure_fixture_corpus()
     if "transcripts" not in _BUILT:
         out = os.path.join(tempfile.mkdtemp(prefix="capsbm25_t_"), "idx")
-        tdf = spark.createDataFrame(fx.gen_transcripts_pdf(120, 42))
+        tdf = spark.read.parquet(_FIXTURE_CORPUS)
         build_index(spark, tdf, out, CFG)
         _BUILT["transcripts"] = {"out": out}
     return load_postings(spark, _BUILT["transcripts"]["out"]).select(
-        "term", "df", "cf"
+        "term", F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"),
     )
 
 
@@ -606,6 +621,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT term, doc_id, count(*) AS tf FROM (
                 SELECT doc_id, unnest({_TOK}) AS term FROM documents
               ) GROUP BY term, doc_id
+            ) GROUP BY term""",
+        "transcripts_postings": f"""
+            SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+            FROM (
+              SELECT term, conv_id, turn_idx, count(*) AS tf FROM (
+                SELECT conv_id, turn_idx, unnest({_TOK}) AS term
+                FROM parquet_scan('{_ensure_fixture_corpus()}')
+              ) GROUP BY term, conv_id, turn_idx
             ) GROUP BY term""",
         "bm25_topk": _BM25_SQL,
         "bm25_topk_and": _BM25_AND_SQL,

