@@ -158,6 +158,55 @@ def q_postings_df_cf(spark, sf_dir):
     return load_postings(spark, b["out"]).select("term", "df", "cf")
 
 
+PHRASE_QUERY = "hash join"
+PHRASE_K = 15
+
+
+def _pos_index_for(spark: SparkSession, sf_dir: str) -> dict:
+    """Build (once per sf_dir) a POSITIONAL index over documents —
+    enables phrase queries (capsbm25/query.py phrase_topk)."""
+    import dataclasses
+
+    key = ("pos", sf_dir)
+    if key not in _BUILT:
+        out = os.path.join(tempfile.mkdtemp(prefix="capsbm25_pos_"), "idx")
+        cfg = dataclasses.replace(CFG, index_positions=True)
+        res = build_index(
+            spark, _as_transcripts(_documents(spark, sf_dir)), out, cfg
+        )
+        _BUILT[key] = {"res": res, "out": out, "cfg": cfg}
+    return _BUILT[key]
+
+
+def q_phrase_topk(spark, sf_dir):
+    """Exact phrase top-k over positional postings — the functional
+    analog of the reference's substring match-range query (upper_bound,
+    /root/reference/src/Suffix_Array.cpp:252-297)."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.query import phrase_topk
+
+    b = _pos_index_for(spark, sf_dir)
+    res = b["res"]
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [PHRASE_QUERY],
+         "k": np.array([PHRASE_K], dtype=np.int32)}
+    )
+    got = phrase_topk(
+        spark, load_postings(spark, b["out"]), queries, res.N, res.avgdl,
+        b["cfg"],
+    )
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.round("g.score", 6).alias("score_r"))
+    )
+
+
 def q_bm25_topk(spark, sf_dir):
     """Index-backed BM25 top-k through the block-max WAND kernel."""
     import numpy as np
@@ -442,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ids_dense": q_doc_ids_dense,
         "postings_df_cf": q_postings_df_cf,
         "bm25_topk": q_bm25_topk,
+        "phrase_topk": q_phrase_topk,
         "bm25_topk_and": q_bm25_topk_and,
         "bm25_topk_dataframe": q_bm25_topk_dataframe,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -517,6 +567,49 @@ _STOPLIST_SQL = "['" + "','".join(
     w for w in __import__("capsbm25.dataops", fromlist=["EN_STOPWORDS"]).EN_STOPWORDS
 ) + "']"
 
+
+
+# phrase match: consecutive token subsequence via DuckDB list lambdas
+# (1-based list indexing; range(1, len) excludes len so t[i+1] is safe),
+# ranked by BM25 over the phrase's distinct terms
+_PHRASE_TERMS = tuple(PHRASE_QUERY.split())
+_PHRASE_COND = " AND ".join(
+    f"t[i+{j}] = '{tok}'" for j, tok in enumerate(_PHRASE_TERMS)
+)
+_PHRASE_SQL = f"""
+WITH tl AS (SELECT doc_id, {_TOK} AS t FROM documents),
+match AS (
+  SELECT doc_id FROM tl
+  WHERE len(t) >= {len(_PHRASE_TERMS)}
+    AND len(list_filter(range(1, len(t) - {len(_PHRASE_TERMS) - 1} + 1),
+                        i -> {_PHRASE_COND})) > 0
+),
+flat AS (SELECT doc_id, unnest(t) AS term FROM tl),
+dl AS (SELECT doc_id, count(*) AS dl FROM flat GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM flat
+  WHERE term IN {_PHRASE_TERMS!r}
+  GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * ({_K1} + 1)
+           / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / c.avgdl))
+         ) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+       JOIN match USING (doc_id) CROSS JOIN corpus c
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score_r
+FROM scores ORDER BY score DESC, doc_id LIMIT {PHRASE_K}
+"""
 
 _BM25_SQL = f"""
 WITH toks AS (
@@ -631,6 +724,7 @@ def oracle_sql() -> dict[str, str]:
               ) GROUP BY term, conv_id, turn_idx
             ) GROUP BY term""",
         "bm25_topk": _BM25_SQL,
+        "phrase_topk": _PHRASE_SQL,
         "bm25_topk_and": _BM25_AND_SQL,
         "bm25_topk_dataframe": _BM25_SQL,
         # ann_lsh_topk: rows-only (seeded hyperplanes live in numpy; the

@@ -111,3 +111,23 @@ def delta_decode(buf: bytes) -> np.ndarray:
     """Inverse of delta_encode -> int64 array."""
     gaps = decode_varints(buf).astype(np.int64)
     return np.cumsum(gaps)
+
+
+def decode_pair_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Decode a positions payload: delta+varint-encoded in-document
+    token positions with an ABSOLUTE value at every pair start; pair
+    sizes are the decoded tfs. Returns the flat absolute positions in
+    pair order (inverse of the encoding in postings._posting_rows)."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    gaps = decode_varints(buf).astype(np.int64)
+    if gaps.size != total:
+        raise ValueError(
+            f"pos payload corrupt: {gaps.size} values, expected {total}"
+        )
+    pair_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    c = np.cumsum(gaps)
+    prev = np.concatenate(([0], c[pair_starts[1:] - 1]))
+    return c - np.repeat(prev, tfs)

@@ -40,6 +40,11 @@ class BuildConfig:
 
     # --- posting encoding ---
     block_size: int = 128            # entries per block-max block
+    # store in-document token positions (delta+varint per pair) —
+    # enables phrase queries (the functional analog of the reference's
+    # substring match-range, Suffix_Array.cpp:252-297) at the cost of
+    # one extra varint stream roughly the size of the tf stream x avg tf
+    index_positions: bool = False
 
     # --- BM25 ---
     k1: float = 1.2
@@ -62,6 +67,7 @@ class BuildConfig:
     # misalign block slicing against stored block_max and skew scores.
     PERSISTED_FIELDS = (
         "block_size", "k1", "b", "token_pattern", "max_token_len",
+        "index_positions",
     )
 
     def persist_dict(self) -> dict:

@@ -38,8 +38,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from capsbm25.codec import (decode_varints, delta_decode, delta_encode,
-                            encode_varints, encode_varints_grouped)
+from capsbm25.codec import (decode_pair_positions, decode_varints,
+                            delta_decode, delta_encode, encode_varints,
+                            encode_varints_grouped)
 from capsbm25.config import BuildConfig
 from capsbm25.partition import PartitionPlan
 from capsbm25.scoring import idf as idf_fn
@@ -57,31 +58,46 @@ PAIRS_SCHEMA = "term string, doc_id long, tf int, dl int"
 # sort touches by orders of magnitude.
 RUNS_SCHEMA = (
     "term string, part_id int, first_doc long, last_doc long, n long, "
-    "doc_ids binary, tfs binary, dls binary"
+    "doc_ids binary, tfs binary, dls binary, pos binary"
 )
 RUNS_COLS = [
-    "term", "part_id", "first_doc", "last_doc", "n", "doc_ids", "tfs", "dls",
+    "term", "part_id", "first_doc", "last_doc", "n", "doc_ids", "tfs",
+    "dls", "pos",
 ]
+# pos: in-document token positions, delta+varint per pair, pair sizes
+# given by the decoded tfs (b"" unless cfg.index_positions)
 POSTINGS_SCHEMA = (
     "term string, df long, cf long, doc_ids binary, tfs binary, dls binary, "
-    "block_max array<struct<upper:float,last_doc:long>>, "
+    "pos binary, block_max array<struct<upper:float,last_doc:long>>, "
     "part_id int, partial boolean"
 )
 POSTINGS_COLS = [
-    "term", "df", "cf", "doc_ids", "tfs", "dls", "block_max", "part_id", "partial",
+    "term", "df", "cf", "doc_ids", "tfs", "dls", "pos", "block_max",
+    "part_id", "partial",
 ]
 
 
-def _batch_pairs(pdf: pd.DataFrame, pattern: re.Pattern, max_len) -> pd.DataFrame:
-    """Vectorized (term, doc_id, tf, dl) extraction for one Arrow batch."""
+def _batch_pairs(
+    pdf: pd.DataFrame,
+    pattern: re.Pattern,
+    max_len,
+    with_pos: bool = False,
+):
+    """Vectorized (term, doc_id, tf, dl) extraction for one Arrow batch.
+
+    with_pos=True additionally returns the flat array of in-document
+    token positions, grouped by pair in the same order as the returned
+    rows (pair i owns positions[cumtf[i-1]:cumtf[i]], each strictly
+    increasing) — the payload for phrase queries."""
     toks = pdf["text"].fillna("").str.lower().str.findall(pattern)
     lens = toks.map(len).to_numpy(dtype=np.int64)
     total = int(lens.sum())
     if total == 0:
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {"term": pd.Series(dtype=object), "doc_id": pd.Series(dtype=np.int64),
              "tf": pd.Series(dtype=np.int32), "dl": pd.Series(dtype=np.int32)}
         )
+        return (out, np.zeros(0, dtype=np.int64)) if with_pos else out
     flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
     if max_len:
         flat = pd.Series(flat).str.slice(0, max_len).to_numpy(dtype=object)
@@ -95,7 +111,7 @@ def _batch_pairs(pdf: pd.DataFrame, pattern: re.Pattern, max_len) -> pd.DataFram
     starts = np.flatnonzero(newgrp)
     counts = np.diff(np.append(starts, r.size))
     ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "term": np.asarray(uniq, dtype=object)[c[starts]],
             "doc_id": ids[r[starts]],
@@ -103,6 +119,13 @@ def _batch_pairs(pdf: pd.DataFrame, pattern: re.Pattern, max_len) -> pd.DataFram
             "dl": lens[r[starts]].astype(np.int32),
         }
     )
+    if not with_pos:
+        return out
+    # in-doc position of each token; lexsort is stable, so within one
+    # (row, code) pair group the original (ascending) order is preserved
+    row_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pos = (np.arange(total, dtype=np.int64) - row_start[rows])[order]
+    return out, pos
 
 
 def extract_pairs(
@@ -159,6 +182,7 @@ def extract_runs(
     pattern = re.compile(cfg.token_pattern)
     max_len = cfg.max_token_len
     n_parts = plan.num_parts if plan is not None else 1
+    with_pos = cfg.index_positions
 
     def kernel(it):
         acc: dict[tuple, list] = {}
@@ -172,17 +196,21 @@ def extract_runs(
             # one vectorized encode pass over ALL runs in the window:
             # per-run numpy-call overhead dominated the pairs stage when
             # encoding ~3 tiny arrays per (term, part_id) run
-            d_parts, t_parts, l_parts, meta = [], [], [], []
+            d_parts, t_parts, l_parts, p_parts, meta = [], [], [], [], []
             for (term, pid), chunks in acc.items():
-                d = chunks[0][0] if len(chunks) == 1 else np.concatenate(
+                one = len(chunks) == 1
+                d = chunks[0][0] if one else np.concatenate(
                     [c[0] for c in chunks])
-                t = chunks[0][1] if len(chunks) == 1 else np.concatenate(
+                t = chunks[0][1] if one else np.concatenate(
                     [c[1] for c in chunks])
-                dl = chunks[0][2] if len(chunks) == 1 else np.concatenate(
+                dl = chunks[0][2] if one else np.concatenate(
                     [c[2] for c in chunks])
                 d_parts.append(d)
                 t_parts.append(t)
                 l_parts.append(dl)
+                if with_pos:
+                    p_parts.append(chunks[0][3] if one else np.concatenate(
+                        [c[3] for c in chunks]))
                 meta.append((term, int(pid), int(d[0]), int(d[-1]), d.size))
             sizes = np.array([m[4] for m in meta], dtype=np.int64)
             starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
@@ -195,18 +223,38 @@ def extract_runs(
             interior[starts] = False
             if interior.any() and gaps[interior].min() <= 0:
                 raise ValueError("run doc_ids must be strictly increasing")
+            T = np.concatenate(t_parts)
             doc_b = encode_varints_grouped(gaps, starts)
-            tf_b = encode_varints_grouped(np.concatenate(t_parts), starts)
+            tf_b = encode_varints_grouped(T, starts)
             dl_b = encode_varints_grouped(np.concatenate(l_parts), starts)
+            if with_pos:
+                # positions: flat per run in pair order; gap-transform
+                # with absolute value at every PAIR start, grouped-encode
+                # with run boundaries in value space
+                P = np.concatenate(p_parts)
+                pair_starts = np.concatenate(([0], np.cumsum(T)[:-1]))
+                pgaps = np.empty_like(P)
+                if P.size:
+                    pgaps[0] = P[0]
+                    np.subtract(P[1:], P[:-1], out=pgaps[1:])
+                    pgaps[pair_starts] = P[pair_starts]
+                run_pos_sizes = np.array(
+                    [p.size for p in p_parts], dtype=np.int64)
+                run_pos_starts = np.concatenate(
+                    ([0], np.cumsum(run_pos_sizes)[:-1]))
+                pos_b = encode_varints_grouped(pgaps, run_pos_starts)
+            else:
+                pos_b = [b""] * len(meta)
             rows = [
-                (m[0], m[1], m[2], m[3], int(m[4]), doc_b[i], tf_b[i], dl_b[i])
+                (m[0], m[1], m[2], m[3], int(m[4]), doc_b[i], tf_b[i],
+                 dl_b[i], pos_b[i])
                 for i, m in enumerate(meta)
             ]
             acc = {}
             held = 0
             return pd.DataFrame(rows, columns=RUNS_COLS)
 
-        def accumulate(out, docs_a):
+        def accumulate(out, docs_a, posflat):
             """Group one monotonic pair block by (term, part_id) and
             append to the run accumulators; flush past the memory bound."""
             nonlocal held
@@ -228,11 +276,22 @@ def extract_runs(
             ends = np.append(starts[1:], k_s.size)
             d_s, t_s, l_s = docs_a[order], tfs[order], dls[order]
             c_s, p_s = codes[order], pids[order]
-            for lo, hi in zip(starts, ends):
+            if with_pos:
+                # permute the flat position payload into sorted-pair
+                # order in one gather (no per-pair python)
+                cumtf = np.concatenate(([0], np.cumsum(tfs)))
+                src_start = cumtf[:-1][order]
+                t_sorted = t_s
+                new_pref = np.concatenate(([0], np.cumsum(t_sorted)[:-1]))
+                offs = np.repeat(src_start - new_pref, t_sorted)
+                pos_sorted = posflat[np.arange(posflat.size) + offs]
+                cumtf_s = np.concatenate(([0], np.cumsum(t_sorted)))
+            for gi, (lo, hi) in enumerate(zip(starts, ends)):
                 kk = (uniq[c_s[lo]], int(p_s[lo]))
-                acc.setdefault(kk, []).append(
-                    (d_s[lo:hi], t_s[lo:hi], l_s[lo:hi])
-                )
+                chunk = (d_s[lo:hi], t_s[lo:hi], l_s[lo:hi])
+                if with_pos:
+                    chunk = chunk + (pos_sorted[cumtf_s[lo]:cumtf_s[hi]],)
+                acc.setdefault(kk, []).append(chunk)
             held += len(out)
 
         for pdf in it:
@@ -248,14 +307,18 @@ def extract_runs(
             bounds = np.concatenate(([0], restarts, [len(pdf)])).astype(np.int64)
             for si in range(len(bounds) - 1):
                 seg = pdf.iloc[bounds[si]:bounds[si + 1]]
-                out = _batch_pairs(seg, pattern, max_len)
+                if with_pos:
+                    out, posflat = _batch_pairs(seg, pattern, max_len,
+                                                with_pos=True)
+                else:
+                    out, posflat = _batch_pairs(seg, pattern, max_len), None
                 if not len(out):
                     continue
                 docs_a = out["doc_id"].to_numpy()
                 if held and docs_a[0] <= last_doc:
                     yield flush()  # coalesced-file boundary
                 last_doc = int(docs_a[-1])
-                accumulate(out, docs_a)
+                accumulate(out, docs_a, posflat)
                 if held >= flush_pairs:
                     yield flush()
         if held:
@@ -278,9 +341,14 @@ def with_part_id(pairs: DataFrame, plan: PartitionPlan) -> DataFrame:
 
 
 def _posting_rows(flushes, N, avgdl, cfg, hot_terms):
-    """Turn a list of (term, docs, tfs, dls, part_id) into posting rows."""
+    """Turn a list of (term, docs, tfs, dls, part_id[, pos]) into
+    posting rows. pos (optional 6th element): flat in-doc token
+    positions in pair order (sizes = tfs), delta+varint-encoded with an
+    absolute value at every pair start."""
     out = []
-    for term, docs, tfs, dls, part_id in flushes:
+    for flush in flushes:
+        term, docs, tfs, dls, part_id = flush[:5]
+        pos = flush[5] if len(flush) > 5 else None
         docs = np.asarray(docs, dtype=np.int64)
         tfs = np.asarray(tfs, dtype=np.int64)
         dls = np.asarray(dls, dtype=np.int64)
@@ -291,6 +359,15 @@ def _posting_rows(flushes, N, avgdl, cfg, hot_terms):
         else:
             sc = term_scores(tfs, dls, float(idf_fn(N, df)), avgdl, cfg.k1, cfg.b)
             bmax = _block_max(sc, docs, cfg.block_size)
+        if pos is not None and pos.size:
+            pair_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+            pgaps = np.empty_like(pos)
+            pgaps[0] = pos[0]
+            np.subtract(pos[1:], pos[:-1], out=pgaps[1:])
+            pgaps[pair_starts] = pos[pair_starts]
+            pos_bytes = encode_varints(pgaps)
+        else:
+            pos_bytes = b""
         out.append(
             {
                 "term": term,
@@ -299,6 +376,7 @@ def _posting_rows(flushes, N, avgdl, cfg, hot_terms):
                 "doc_ids": delta_encode(docs),
                 "tfs": encode_varints(tfs),
                 "dls": encode_varints(dls),
+                "pos": pos_bytes,
                 "block_max": bmax,
                 "part_id": int(part_id),
                 "partial": partial,
@@ -343,6 +421,7 @@ def assemble_postings(
     """
     cfg = cfg or BuildConfig()
     hot = set(plan.hot_terms)
+    with_pos = cfg.index_positions
 
     shuffled = runs.repartition(
         cfg.shuffle_partitions, "part_id"
@@ -350,13 +429,14 @@ def assemble_postings(
 
     def kernel(it):
         cur: tuple | None = None  # (term, part_id)
-        chunks: tuple[list, list, list] = ([], [], [])
+        chunks: tuple[list, ...] = ([], [], [], [])
         flushes = []
 
         def close():
             d = np.concatenate(chunks[0])
             t = np.concatenate(chunks[1])
             dl = np.concatenate(chunks[2])
+            p = np.concatenate(chunks[3]) if with_pos else None
             # Runs are individually strictly increasing, but their RANGES
             # can interleave: the docs stage hash-partitions part_id, so
             # each staged file holds interleaved doc-id stripes and every
@@ -366,8 +446,19 @@ def assemble_postings(
             # a duplicate would still be caught by delta_encode.)
             if d.size > 1 and (d[1:] <= d[:-1]).any():
                 o = np.argsort(d, kind="stable")
+                if with_pos:
+                    # permute the flat position payload into the new pair
+                    # order in one gather
+                    cum = np.concatenate(([0], np.cumsum(t)))
+                    t_new = t[o]
+                    new_pref = np.concatenate(([0], np.cumsum(t_new)[:-1]))
+                    offs = np.repeat(cum[:-1][o] - new_pref, t_new)
+                    p = p[np.arange(p.size) + offs]
                 d, t, dl = d[o], t[o], dl[o]
-            flushes.append((cur[0], d, t, dl, cur[1]))
+            if with_pos:
+                flushes.append((cur[0], d, t, dl, cur[1], p))
+            else:
+                flushes.append((cur[0], d, t, dl, cur[1]))
 
         for pdf in it:
             if not len(pdf):
@@ -390,6 +481,21 @@ def assemble_postings(
             c = np.cumsum(gaps)
             prev = np.concatenate(([0], c[starts[1:] - 1]))
             docs = c - np.repeat(prev, n_arr)
+            if with_pos:
+                # positions: absolute value at every PAIR start; pair
+                # sizes come from the decoded tfs
+                pgaps = decode_varints(b"".join(pdf["pos"])).astype(np.int64)
+                n_pos = int(tfs.sum())
+                if pgaps.size != n_pos:
+                    raise ValueError(
+                        f"pos payload corrupt: {pgaps.size} vs {n_pos}")
+                pair_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+                pc = np.cumsum(pgaps)
+                pprev = np.concatenate(([0], pc[pair_starts[1:] - 1]))
+                pos_flat = pc - np.repeat(pprev, tfs)
+                # per-run boundaries in position space
+                run_cum = np.concatenate(([0], np.cumsum(tfs)))
+                run_pos_bounds = run_cum[np.append(starts, total)]
             terms = pdf["term"].to_numpy(dtype=object)
             pids = pdf["part_id"].to_numpy()
             newg = np.ones(len(pdf), dtype=bool)
@@ -403,7 +509,7 @@ def assemble_postings(
                 if kk != cur:
                     if cur is not None:
                         close()
-                        chunks = ([], [], [])
+                        chunks = ([], [], [], [])
                         if len(flushes) >= 4096:
                             yield _posting_rows(flushes, N, avgdl, cfg, hot)
                             flushes = []
@@ -411,6 +517,9 @@ def assemble_postings(
                 chunks[0].append(docs[lo:hi])
                 chunks[1].append(tfs[lo:hi])
                 chunks[2].append(dls[lo:hi])
+                if with_pos:
+                    chunks[3].append(
+                        pos_flat[run_pos_bounds[r0]:run_pos_bounds[r1]])
         if cur is not None:
             close()
         if flushes:
@@ -429,6 +538,8 @@ def merge_hot_partials(
     """
     cfg = cfg or BuildConfig()
 
+    with_pos = cfg.index_positions
+
     def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
         docs = np.concatenate([delta_decode(b) for b in pdf["doc_ids"]])
         tfs = np.concatenate(
@@ -438,8 +549,15 @@ def merge_hot_partials(
             [decode_varints(b).astype(np.int64) for b in pdf["dls"]]
         )
         order = np.argsort(docs, kind="stable")
-        docs, tfs, dls = docs[order], tfs[order], dls[order]
         part_id = int(pdf["part_id"].min())
-        return _posting_rows([(key[0], docs, tfs, dls, part_id)], N, avgdl, cfg, set())
+        flush = [key[0], docs[order], tfs[order], dls[order], part_id]
+        if with_pos:
+            pos = decode_pair_positions(b"".join(pdf["pos"]), tfs)
+            cum = np.concatenate(([0], np.cumsum(tfs)))
+            t_new = tfs[order]
+            new_pref = np.concatenate(([0], np.cumsum(t_new)[:-1]))
+            offs = np.repeat(cum[:-1][order] - new_pref, t_new)
+            flush.append(pos[np.arange(pos.size) + offs])
+        return _posting_rows([tuple(flush)], N, avgdl, cfg, set())
 
     return partials.groupBy("term").applyInPandas(merge, schema=POSTINGS_SCHEMA)

@@ -342,3 +342,126 @@ def _run_distributed(matched, N, avgdl, cfg, conjunctive) -> DataFrame:
         .where(F.col("rank") <= F.col("k"))
         .select("query_id", "doc_id", "score", F.col("rank").cast("int"))
     )
+
+
+def _merge_term_rows(grp, with_pos: bool):
+    """Decode and doc-merge one term's posting rows (index segments).
+    Returns (docs, tfs, dls, pos_flat, pair_bounds); pos fields None
+    unless with_pos."""
+    parts = [_decode_posting(r) for r in grp.itertuples(index=False)]
+    docs = np.concatenate([p[0] for p in parts])
+    tfs = np.concatenate([p[1] for p in parts])
+    dls = np.concatenate([p[2] for p in parts])
+    pos = None
+    if with_pos:
+        from capsbm25.codec import decode_pair_positions
+
+        pos = np.concatenate([
+            decode_pair_positions(r.pos, p[1])
+            for r, p in zip(grp.itertuples(index=False), parts)
+        ])
+    if len(parts) > 1:
+        order = np.argsort(docs, kind="stable")
+        if with_pos:
+            cum = np.concatenate(([0], np.cumsum(tfs)))
+            t_new = tfs[order]
+            new_pref = np.concatenate(([0], np.cumsum(t_new)[:-1]))
+            offs = np.repeat(cum[:-1][order] - new_pref, t_new)
+            pos = pos[np.arange(pos.size) + offs]
+        docs, tfs, dls = docs[order], tfs[order], dls[order]
+    bounds = np.concatenate(([0], np.cumsum(tfs))) if with_pos else None
+    return docs, tfs, dls, pos, bounds
+
+
+def phrase_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: pd.DataFrame,
+    N: int,
+    avgdl: float,
+    cfg: BuildConfig | None = None,
+) -> DataFrame:
+    """Exact phrase top-k: docs containing the query tokens CONSECUTIVELY
+    in order, ranked by BM25 over the phrase's distinct terms — the
+    functional analog of the reference's substring match-range query
+    (``upper_bound``, /root/reference/src/Suffix_Array.cpp:252-297): the
+    suffix array answers "which positions match this string"; positional
+    postings answer the same at token granularity. Requires an index
+    built with cfg.index_positions=True (raises otherwise).
+
+    queries: pandas (query_id, text, k); the text IS the phrase.
+    Returns (query_id, doc_id, score, rank).
+    """
+    cfg = cfg or BuildConfig()
+    rows = []
+    for q in queries.itertuples(index=False):
+        phrase = tokenize_py(q.text, cfg)
+        for t in sorted(set(phrase)):
+            rows.append((int(q.query_id), t, int(q.k),
+                         "\x1f".join(phrase)))
+    qt = pd.DataFrame(rows, columns=["query_id", "term", "k", "phrase"])
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qdf = spark.createDataFrame(qt)
+    terms = sorted(qt["term"].unique().tolist())
+    matched = postings.where(F.col("term").isin(terms)).join(
+        F.broadcast(qdf), "term"
+    )
+
+    def kernel(key, pdf):
+        k = int(pdf["k"].iloc[0])
+        qid = int(pdf["query_id"].iloc[0])
+        phrase = pdf["phrase"].iloc[0].split("\x1f")
+        distinct = sorted(set(phrase))
+        if len(set(pdf["term"])) < len(distinct):
+            return _empty_result()  # a phrase token is out-of-vocab
+        term_data = {}
+        for term, grp in pdf.groupby("term", sort=True):
+            if any(len(b) == 0 for b in grp["pos"]):
+                raise ValueError(
+                    "phrase_topk requires an index built with "
+                    "index_positions=True (pos payload is empty)"
+                )
+            term_data[term] = _merge_term_rows(grp, with_pos=True)
+        # candidates: docs containing ALL distinct tokens
+        cand = term_data[distinct[0]][0]
+        for t in distinct[1:]:
+            cand = np.intersect1d(cand, term_data[t][0], assume_unique=True)
+            if cand.size == 0:
+                return _empty_result()
+
+        def positions_of(term, doc):
+            docs, _, _, pos, bounds = term_data[term]
+            i = int(np.searchsorted(docs, doc))
+            return pos[bounds[i]:bounds[i + 1]]
+
+        hits = []
+        for d in cand:
+            s = positions_of(phrase[0], d)
+            for off, tok in enumerate(phrase[1:], start=1):
+                s = np.intersect1d(s, positions_of(tok, d) - off,
+                                   assume_unique=True)
+                if s.size == 0:
+                    break
+            if s.size:
+                hits.append(d)
+        if not hits:
+            return _empty_result()
+        hit_arr = np.asarray(hits, dtype=np.int64)
+        # BM25 over the distinct phrase terms, query-time N/avgdl
+        total = np.zeros(hit_arr.size, dtype=np.float64)
+        for t in distinct:
+            docs, tfs, dls, _, _ = term_data[t]
+            grp_df = int(pdf[pdf["term"] == t]["df"].sum())
+            sc = term_scores(tfs, dls, float(idf_fn(N, grp_df)), avgdl,
+                             cfg.k1, cfg.b)
+            ix = np.searchsorted(docs, hit_arr)
+            total += sc[ix]
+        top_d, top_s = _topk(hit_arr, total, k)
+        return _result_pdf(qid, top_d, top_s)
+
+    return (
+        matched.groupBy("query_id")
+        .applyInPandas(kernel, schema=RESULT_SCHEMA)
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,106 @@
+"""Phrase queries over positional postings — the functional analog of
+the reference's substring match-range (upper_bound,
+/root/reference/src/Suffix_Array.cpp:252-297), tested rank-identically
+against a naive scan oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from capsbm25 import fixtures as fx
+from capsbm25.build import build_index, load_postings
+from capsbm25.config import BuildConfig
+from capsbm25.query import bm25_topk, phrase_topk
+from oracle import OracleIndex
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    pdf = fx.gen_transcripts_pdf(120, 42)
+    cfg = BuildConfig(num_part_ids=32, shuffle_partitions=8, num_waves=2,
+                      hot_share_threshold=0.004, max_salt_buckets=8,
+                      index_positions=True)
+    out = str(tmp_path_factory.mktemp("posidx") / "t1")
+    res = build_index(spark, spark.createDataFrame(pdf), out, cfg)
+    return {"pdf": pdf, "cfg": cfg, "res": res,
+            "postings": load_postings(spark, out),
+            "oracle": OracleIndex(pdf)}
+
+
+def _phrases_from_corpus(oracle, n=6):
+    """Real consecutive trigrams from varied docs + a hot-term bigram."""
+    out = []
+    for doc_id in (0, 7, 31, 64, 99):
+        toks = oracle.docs[doc_id]
+        if len(toks) >= 5:
+            out.append(" ".join(toks[2:5]))
+    out.append(fx.HOT_TERM)                       # single-token phrase
+    out.append("zz yy xx never together")          # no match
+    out.append(fx.OOV_TERM + " w0000")             # OOV token
+    return out[:n + 2]
+
+
+def test_phrase_rank_identical_to_oracle(pos_index, spark):
+    res, cfg, oracle = pos_index["res"], pos_index["cfg"], pos_index["oracle"]
+    texts = _phrases_from_corpus(oracle)
+    queries = pd.DataFrame({
+        "query_id": np.arange(len(texts), dtype=np.int32),
+        "text": texts,
+        "k": np.full(len(texts), 10, dtype=np.int32),
+    })
+    got = phrase_topk(
+        spark, pos_index["postings"], queries, res.N, res.avgdl, cfg
+    ).toPandas()
+    want = oracle.phrase_topk_pdf(queries)
+    assert len(got) == len(want)
+    for qid in queries["query_id"]:
+        g = got[got.query_id == qid].sort_values("rank")
+        w = want[want.query_id == qid].sort_values("rank")
+        assert list(g.doc_id) == list(w.doc_id), (qid, queries.text[qid])
+        assert np.allclose(g.score, w.score, atol=1e-9), qid
+    # at least one multi-token phrase produced hits (corpus-derived)
+    multi = [int(q) for q, t in zip(queries.query_id, texts)
+             if len(t.split()) >= 3]
+    assert any((got.query_id == q).any() for q in multi)
+
+
+def test_phrase_is_subset_of_conjunctive(pos_index, spark):
+    """Every phrase hit must also be an AND-semantics hit (phrase is
+    strictly stronger), with identical BM25 scores for shared docs."""
+    res, cfg, oracle = pos_index["res"], pos_index["cfg"], pos_index["oracle"]
+    toks = oracle.docs[0][:3]
+    q = pd.DataFrame({"query_id": np.array([0], dtype=np.int32),
+                      "text": [" ".join(toks)],
+                      "k": np.array([50], dtype=np.int32)})
+    ph = phrase_topk(spark, pos_index["postings"], q, res.N, res.avgdl,
+                     cfg).toPandas()
+    co = bm25_topk(spark, pos_index["postings"], q, res.N, res.avgdl, cfg,
+                   mode="kernel", conjunctive=True).toPandas()
+    assert set(ph.doc_id) <= set(co.doc_id)
+    merged = ph.merge(co, on="doc_id", suffixes=("_p", "_c"))
+    assert np.allclose(merged.score_p, merged.score_c, atol=1e-12)
+
+
+def test_phrase_requires_positional_index(built_index, spark):
+    res, cfg = built_index["res"], built_index["cfg"]
+    q = pd.DataFrame({"query_id": np.array([0], dtype=np.int32),
+                      "text": ["w0000 w0001"],
+                      "k": np.array([5], dtype=np.int32)})
+    with pytest.raises(Exception, match="index_positions"):
+        phrase_topk(spark, built_index["postings"], q, res.N, res.avgdl,
+                    cfg).collect()
+
+
+def test_positional_index_rank_identical_for_bagofwords(pos_index, spark):
+    """Positions must not perturb the existing BM25 path."""
+    res, cfg, oracle = pos_index["res"], pos_index["cfg"], pos_index["oracle"]
+    queries = fx.queries_pdf(42)
+    want = oracle.topk_pdf(queries)
+    got = bm25_topk(spark, pos_index["postings"], queries, res.N, res.avgdl,
+                    cfg, mode="kernel", prune=True).toPandas()
+    assert len(got) == len(want)
+    for qid in queries["query_id"]:
+        g = got[got.query_id == qid].sort_values("rank")
+        w = want[want.query_id == qid].sort_values("rank")
+        assert list(g.doc_id) == list(w.doc_id), qid
+        assert np.allclose(g.score, w.score, atol=1e-9), qid
