@@ -284,12 +284,23 @@ def q_ngram_jaccard(spark, sf_dir):
         "doc_id", "source", tokens_expr(F.col("text"), CFG).alias("toks")
     )
     g = d.select("doc_id", "source", shingles("toks", 3).alias("grams"))
-    a, b = g.alias("a"), g.alias("b")
+    # band by (source, doc_id // W): joining on source alone has ~20
+    # distinct keys -> 20-way reducer skew at corpus scale. The smaller-
+    # id side explodes into its two candidate bands; the larger-id side
+    # sits in exactly one, so each qualifying pair matches exactly once
+    # and the join key cardinality grows with the corpus.
+    W = 45
+    bkt = (F.col("doc_id") / W).cast("long")
+    a = g.withColumn(
+        "band", F.explode(F.array(bkt, bkt + 1))
+    ).alias("a")
+    b = g.withColumn("band", bkt).alias("b")
     pairs = a.join(
         b,
         (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.band") == F.col("b.band"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.col("b.doc_id") - F.col("a.doc_id") <= 45),
+        & (F.col("b.doc_id") - F.col("a.doc_id") <= W),
     )
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
     uni = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))

@@ -43,6 +43,16 @@ def test_pair_extraction_has_no_shuffle(spark):
     assert "Exchange" not in plan, f"pair extraction must be map-side only:\n{plan}"
 
 
+def test_run_packing_has_no_shuffle(spark):
+    from capsbm25.postings import extract_runs
+
+    tdf = spark.createDataFrame(fx.gen_transcripts_pdf(20, 42)).withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    plan = _plan(extract_runs(tdf))
+    assert "Exchange" not in plan, f"run packing must be map-side only:\n{plan}"
+
+
 def test_build_shuffles_once_per_wave(built_index, spark):
     """The assemble path is scan -> one hash exchange on part_id ->
     local sort -> kernel. No second exchange (the groupBy-free design)."""
