@@ -59,7 +59,9 @@ def process_batch(
     """foreachBatch body: build one immutable segment. Idempotent on
     batch_id (Structured Streaming may re-run a batch after failure)."""
     stats = load_stream_stats(out_dir)
-    if batch_id in [s["id"] for s in stats["segments"]]:
+    ingested = {s["id"] for s in stats["segments"]}
+    ingested.update(stats.get("compacted_from", []))
+    if batch_id in ingested:
         return  # replay after restart — segment already committed
     n_rows = batch_df.count()
     if n_rows == 0:
@@ -174,6 +176,56 @@ def load_segment_postings(spark: SparkSession, out_dir: str) -> DataFrame:
 
         return spark.createDataFrame([], POSTINGS_SCHEMA)
     return spark.read.parquet(*paths)
+
+
+def compact_segments(
+    spark: SparkSession, out_dir: str, cfg: BuildConfig | None = None
+) -> dict:
+    """Merge all live segments into ONE (the Lucene forceMerge analog):
+    every term collapses back to a single posting row whose block_max is
+    computed with the GLOBAL N/avgdl, so the query kernel's single-row
+    fast path applies again and per-term fan-in stops growing with
+    ingest time. Doc ids are unchanged (segments own disjoint dense
+    ranges by construction), so compacted == incremental == batch,
+    rank-identically (tested).
+
+    Idempotent and atomic: writes segments/seg=compacted-<gen>, then
+    swaps stats.json to reference only the new segment; old segment
+    dirs are left for external GC (object stores prefer async delete).
+    """
+    from capsbm25.postings import merge_hot_partials
+
+    stats = load_stream_stats(out_dir)
+    # adopt the build-time config persisted with the stream (tokenizer,
+    # block size, positions flag) — a mismatched caller cfg would build
+    # wrong block_max / drop positions
+    cfg = (cfg or BuildConfig()).adopt(stats.get("config", {}))
+    if len(stats["segments"]) <= 1:
+        return {"compacted": False, "segments": len(stats["segments"])}
+    N, avgdl = stream_corpus_stats(out_dir)
+    allp = load_segment_postings(spark, out_dir)
+    # merge_hot_partials merges ANY multi-row term (sort by doc, global
+    # block_max) — exactly the per-term stitch compaction needs; single-
+    # row terms pass through it too so every row gets global bounds
+    merged = merge_hot_partials(allp, N, avgdl, cfg)
+    gen = sum(1 for s in stats["segments"]
+              if str(s["id"]).startswith("compacted")) + 1
+    seg_id = f"compacted-{gen}"
+    seg = os.path.join(out_dir, "segments", f"seg={seg_id}", "postings")
+    merged.write.mode("overwrite").parquet(seg)
+    new_stats = {
+        "N": stats["N"],
+        "total_dl": stats["total_dl"],
+        "config": stats.get("config", cfg.persist_dict()),
+        "segments": [{"id": seg_id, "rows": stats["N"],
+                      "dl": stats["total_dl"], "sec": 0.0}],
+        "compacted_from": [s["id"] for s in stats["segments"]],
+    }
+    tmp = _stats_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_stats, f)
+    os.replace(tmp, _stats_path(out_dir))
+    return {"compacted": True, "segments_before": len(stats["segments"])}
 
 
 def stream_corpus_stats(out_dir: str) -> tuple[int, float]:

@@ -117,3 +117,56 @@ def test_restart_is_idempotent(streamed, spark):
     assert [s["id"] for s in after["segments"]] == [
         s["id"] for s in before["segments"]
     ]
+
+
+def test_compaction_preserves_rank_identity(streamed, spark):
+    """compact_segments: 3 segments -> 1, every term single-row with
+    GLOBAL block_max; results stay rank-identical to the oracle, and
+    restart replay after compaction must not re-ingest old batches."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from capsbm25.streaming import compact_segments
+
+    # compact a COPY so the other module-scoped tests keep their state
+    src_dir = streamed["out"]
+    out = src_dir + "_compacted"
+    shutil.copytree(src_dir, out, dirs_exist_ok=True)
+
+    r = compact_segments(spark, out, streamed["cfg"])
+    assert r["compacted"] and r["segments_before"] == 3
+    stats = load_stream_stats(out)
+    assert len(stats["segments"]) == 1
+    assert stats["N"] == len(streamed["pdf"])
+
+    postings = load_segment_postings(spark, out)
+    assert postings.groupBy("term").count().where("count > 1").count() == 0
+    assert postings.where(F.col("partial")).count() == 0
+
+    oracle = OracleIndex(streamed["pdf"])
+    N, avgdl = stream_corpus_stats(out)
+    queries = fx.queries_pdf(42)
+    want = oracle.topk_pdf(queries)
+    got = bm25_topk(spark, postings, queries, N, avgdl, streamed["cfg"],
+                    mode="kernel", prune=True).toPandas()
+    assert len(got) == len(want)
+    for qid in queries["query_id"]:
+        g = got[got.query_id == qid].sort_values("rank")
+        w = want[want.query_id == qid].sort_values("rank")
+        assert list(g.doc_id) == list(w.doc_id), qid
+        assert np.allclose(g.score, w.score, atol=1e-9), qid
+
+    # replaying the stream over the same input must be a no-op:
+    # compacted_from keeps the ingested batch ids visible to the
+    # idempotence check
+    from capsbm25.streaming import start_incremental_build
+
+    q = start_incremental_build(
+        spark, os.path.dirname(src_dir) + "/incoming", out,
+        streamed["cfg"], max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    after = load_stream_stats(out)
+    assert after["N"] == stats["N"]
+    assert len(after["segments"]) == 1
