@@ -49,6 +49,24 @@ def validate_postings(
                     and (tfs >= 1).all()
                     and (dls >= tfs).all()
                 )
+                if ok and getattr(row, "pos", b""):
+                    # positional payload: one strictly-increasing
+                    # position list per pair, each position < dl
+                    from capsbm25.codec import decode_pair_positions
+
+                    try:
+                        pos = decode_pair_positions(row.pos, tfs)
+                        bounds = np.concatenate(([0], np.cumsum(tfs)))
+                        interior = np.ones(pos.size, dtype=bool)
+                        interior[bounds[:-1]] = False
+                        ok = (
+                            (pos >= 0).all()
+                            and (pos < np.repeat(dls, tfs)).all()
+                            and (not interior.any()
+                                 or (np.diff(pos)[interior[1:]] > 0).all())
+                        )
+                    except ValueError:
+                        ok = False
                 if ok and not row.partial:
                     nb = -(-docs.size // block_size)
                     bm = row.block_max if row.block_max is not None else []

@@ -104,3 +104,13 @@ def test_positional_index_rank_identical_for_bagofwords(pos_index, spark):
         w = want[want.query_id == qid].sort_values("rank")
         assert list(g.doc_id) == list(w.doc_id), qid
         assert np.allclose(g.score, w.score, atol=1e-9), qid
+
+
+def test_validate_positional_index(pos_index, spark):
+    """The is_sorted-analog validator also checks the pos payload
+    (per-pair strictly increasing, every position < dl)."""
+    from capsbm25.validate import validate_index
+
+    out = validate_index(spark, pos_index["res"].out_dir, pos_index["cfg"])
+    assert out["violations"] == 0, out
+    assert out["rows"] > 0
