@@ -428,6 +428,25 @@ def q_embedding_neardup(spark, sf_dir):
     return embedding_neardup_pairs(emb, threshold=0.45)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-cell ANN (second scale path next to LSH): driver-trained
+    spherical k-means on a bounded seeded sample, Arrow-kernel cell
+    assignment, exact cosine only inside the probed cells. Rows-only
+    (seeded centroids live in numpy; recall is asserted in pytest;
+    the exact baseline ann_cosine_topk carries the SQL oracle)."""
+    from capsbm25.dataops import ann_ivf_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ann_ivf_topk(emb, query_vec_id=0, k=10, n_centroids=16, n_probe=4)
+
+
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing (rolling-hash) document fingerprints — MOSS scheme."""
+    from capsbm25.dataops import winnow_fingerprints
+
+    return winnow_fingerprints(_documents(spark, sf_dir), k=8, w=5)
+
+
 def q_langid(spark, sf_dir):
     from capsbm25.dataops import langid_heuristic
 
@@ -515,6 +534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "langid": q_langid,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
@@ -822,6 +843,20 @@ def oracle_sql() -> dict[str, str]:
                         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
                                                 CAST(b.embedding AS DOUBLE[])))),
                   5) >= 0.45""",
+        "winnow_fingerprint": f"""
+            WITH nrm AS (
+              SELECT doc_id, array_to_string({_TOK}, ' ') AS n FROM documents
+            ),
+            hs AS (
+              SELECT doc_id,
+                     list_transform(range(1, length(n) - 8 + 2),
+                                    i -> md5(n[i:i+7])) AS h
+              FROM nrm WHERE length(n) >= 8
+            )
+            SELECT doc_id, unnest(list_distinct(
+                     list_transform(range(1, len(h) - 5 + 2),
+                                    j -> list_min(h[j:j+4])))) AS fp
+            FROM hs WHERE len(h) >= 5""",
         "langid": f"""
             SELECT doc_id,
                    CASE WHEN len(toks) = 0 THEN 'unknown'

@@ -223,6 +223,32 @@ def simhash_bits_kernel(docs: DataFrame, n_bits: int = 32) -> DataFrame:
     )
 
 
+def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 5) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the MOSS rolling-hash scheme): hash every char k-gram of the
+    token-normalized text, slide a window of w hashes, keep the min per
+    window, emit the distinct mins as the doc's fingerprint set. Two
+    docs sharing a substring of length >= k + w - 1 are guaranteed to
+    share a fingerprint. Pure built-in exprs (codegen, zero shuffle
+    until the caller aggregates); md5 keeps it DuckDB-cross-checkable.
+    Returns (doc_id, fp) exploded rows."""
+    norm = F.concat_ws(" ", tokens_expr(F.col("text"), _CFG))
+    d = docs.select("doc_id", norm.alias("nrm"))
+    d = d.where(F.length("nrm") >= k)
+    grams = F.expr(
+        f"transform(sequence(1, length(nrm) - {k} + 1),"
+        f" i -> md5(substr(nrm, i, {k})))"
+    )
+    d = d.select("doc_id", grams.alias("hs")).where(F.size("hs") >= w)
+    wins = F.expr(
+        f"transform(sequence(1, size(hs) - {w} + 1),"
+        f" j -> array_min(slice(hs, j, {w})))"
+    )
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(wins)).alias("fp")
+    )
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above threshold.
 
@@ -246,6 +272,65 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFram
             F.col("b.vec_id").alias("vec2"),
             F.round(cos, 5).alias("cos_r"),
         )
+        .where(F.col("cos_r") >= threshold)
+    )
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs — the SCALE path.
+
+    The exact baseline (embedding_neardup_pairs) is an all-pairs O(n^2)
+    self-join. Here candidates are generated by a bucketed self-join on
+    random-hyperplane LSH signatures (vectors sharing ANY of n_tables
+    sign-pattern buckets), then verified with the exact cosine — so the
+    join space is O(candidates) and every emitted pair is exact. Output
+    is a SUBSET of the exact baseline with recall governed by
+    n_planes/n_tables (for cos >= 0.95 the per-table collision
+    probability is (1 - acos(0.95)/pi)^n_planes ~ 0.49 at n_planes=8,
+    so 6 tables give ~1 - (1-0.49)^6 ~ 0.98 recall).
+
+    Scope note (honest limits of angular LSH): this is the production
+    shape for HIGH thresholds (~0.9+), where near-dup detection
+    actually operates. Below ~0.7 the OR-amplified collision
+    probability for random pairs approaches 1 before recall does, so
+    candidates stop being a reduction — for low thresholds keep the
+    exact join (embedding_neardup_pairs) or band on another key. The
+    driver entry therefore keeps the exact form (its synthetic
+    embeddings top out at cos ~0.5 — no true near-dups); the scale
+    path is proven in tests/test_dataops.py on clone-perturbed vectors
+    (candidates << all pairs AND output == exact)."""
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    b = ann_lsh_buckets(v, "v", n_planes, n_tables, seed)
+    cand = (
+        b.alias("a").join(
+            b.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec1"), F.col("b.vec_id").alias("vec2"))
+        .distinct()
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+        )
+
+    a = v.select(F.col("vec_id").alias("vec1"), F.col("v").alias("v1"))
+    c = v.select(F.col("vec_id").alias("vec2"), F.col("v").alias("v2"))
+    cos = dot(F.col("v1"), F.col("v2")) / (
+        F.sqrt(dot(F.col("v1"), F.col("v1"))) * F.sqrt(dot(F.col("v2"), F.col("v2")))
+    )
+    return (
+        cand.join(a, "vec1")
+        .join(c, "vec2")
+        .select("vec1", "vec2", F.round(cos, 5).alias("cos_r"))
         .where(F.col("cos_r") >= threshold)
     )
 
@@ -411,6 +496,89 @@ def ann_lsh_topk(
 
     return (
         v.join(cand_ids, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("v"), F.col("qv"))
+                / (F.sqrt(dot(F.col("v"), F.col("v")))
+                   * F.sqrt(dot(F.col("qv"), F.col("qv")))),
+                5,
+            ).alias("cos_r"),
+        )
+        .orderBy(F.desc("cos_r"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate nearest neighbours via IVF (inverted-file) cells —
+    the second standard ANN scale path next to LSH (ann_lsh_topk).
+
+    Train: k-means centroids on a bounded seeded sample, fit on the
+    driver with numpy (the same sanctioned small-sample driver work as
+    the samplesort splitters). Assign: one vectorized Arrow kernel maps
+    every vector to its nearest-centroid cell (plan size independent of
+    dim). Query: probe the n_probe cells nearest the query vector and
+    compute exact cosine only inside them — at 10^12 rows the cell
+    filter replaces the full scan, recall tunable via n_probe.
+    """
+    import numpy as np
+
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    sample_pdf = (
+        v.select("v")
+        .orderBy(F.xxhash64("vec_id", F.lit(seed)))
+        .limit(train_sample)
+        .toPandas()
+    )
+    X = np.asarray(sample_pdf["v"].tolist(), dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    kc = min(n_centroids, len(X))
+    C = X[rng.choice(len(X), size=kc, replace=False)]
+    for _ in range(10):  # spherical k-means on the sample
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(kc):
+            m = assign == j
+            if m.any():
+                c = X[m].mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+
+    @F.pandas_udf("int")
+    def cell_of(vs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        if vs.empty:
+            return pd.Series([], dtype="int32")
+        V = _np.asarray(vs.tolist(), dtype=_np.float64)
+        V = V / _np.maximum(_np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        return pd.Series(_np.argmax(V @ C.T, axis=1).astype("int32"))
+
+    cells = v.withColumn("cell", cell_of("v"))
+    qv_pdf = v.where(F.col("vec_id") == query_vec_id).toPandas()
+    # Arrow-backed cells come back as read-only numpy views — copy
+    q = np.array(qv_pdf["v"].iloc[0], dtype=np.float64, copy=True)
+    q /= max(np.linalg.norm(q), 1e-12)
+    probe = [int(c) for c in np.argsort(-(C @ q))[:n_probe]]
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+        )
+
+    qv = v.where(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
+    return (
+        cells.where(F.col("cell").isin(probe))
+        .where(F.col("vec_id") != query_vec_id)
         .crossJoin(F.broadcast(qv))
         .select(
             "vec_id",

@@ -156,3 +156,99 @@ def test_ann_lsh_high_dim_plan_bounded(spark):
     assert 1 <= len(rows) <= 5
     # neighbours of a perturbed clone cluster: top hits are from it
     assert all(r.vec_id < 20 for r in rows[:3])
+
+
+def test_embedding_neardup_lsh_scale_path(spark):
+    """The bucketed near-dup path: on data with TRUE near-duplicates
+    (clone + small noise, cos ~0.99) the LSH candidate join must (a)
+    examine far fewer pairs than the O(n^2) baseline and (b) emit
+    exactly the exact-join result at the same threshold."""
+    import numpy as np
+
+    from capsbm25.dataops import (
+        ann_lsh_buckets,
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    n_groups, dim = 30, 64
+    vecs, gid = [], 0
+    for g in range(n_groups):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for _ in range(3):  # 3 near-dup clones per group
+            v = base + rng.standard_normal(dim) * 0.015
+            vecs.append(v / np.linalg.norm(v))
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(vecs)),
+                      "embedding": [v.astype(float).tolist() for v in vecs]})
+    )
+
+    exact = {(r.vec1, r.vec2, r.cos_r)
+             for r in embedding_neardup_pairs(emb, 0.95).collect()}
+    got = {(r.vec1, r.vec2, r.cos_r)
+           for r in embedding_neardup_lsh(emb, 0.95).collect()}
+    assert len(exact) >= n_groups * 2  # clones really are near-dups
+    assert got == exact
+
+    # candidate volume: bucketed join pairs << all pairs
+    n = len(vecs)
+    b = ann_lsh_buckets(
+        emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v")),
+        "v", n_planes=8, n_tables=6,
+    )
+    cand = (
+        b.alias("a").join(
+            b.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select("a.vec_id", "b.vec_id").distinct().count()
+    )
+    assert cand < (n * (n - 1) // 2) * 0.25, (cand, n * (n - 1) // 2)
+
+
+def test_ann_ivf_recall(spark):
+    """IVF cells must recover most of the brute-force top-10 while
+    scanning only the probed cells."""
+    import numpy as np
+
+    from capsbm25.dataops import ann_ivf_topk
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    rows = [(0, [float(x) for x in base])]
+    for i in range(1, 200):
+        v = base + rng.standard_normal(16) * (0.5 if i % 2 else 3.0)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {r.vec_id for r in
+           ann_ivf_topk(emb, 0, k=10, n_centroids=8, n_probe=3).collect()}
+
+    from pyspark.sql import functions as F
+
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = v.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+    )
+    exact = [
+        r.vec_id
+        for r in v.where(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            (dot(F.col("v"), F.col("qv"))
+             / (F.sqrt(dot(F.col("v"), F.col("v")))
+                * F.sqrt(dot(F.col("qv"), F.col("qv"))))).alias("c"),
+        )
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    ]
+    recall = len(got & set(exact)) / 10
+    assert recall >= 0.6, (recall, got, exact)
+    assert len(got) == 10
