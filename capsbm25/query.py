@@ -239,9 +239,8 @@ def bm25_topk(
     # so row groups without query terms are skipped entirely — the
     # broadcast join alone would still scan every posting row.
     terms = sorted(qt["term"].unique().tolist())
-    matched = postings.where(F.col("term").isin(terms)).join(
-        F.broadcast(qdf), "term"
-    )
+    filtered = postings.where(F.col("term").isin(terms))
+    matched = filtered.join(F.broadcast(qdf), "term")
 
     if mode == "auto":
         # Kernel mode concentrates one query's matched postings into a
@@ -267,7 +266,7 @@ def bm25_topk(
             )
             dist = _run_distributed(
                 matched.where(F.col("query_id").isin(heavy)),
-                N, avgdl, cfg, conjunctive,
+                filtered, N, avgdl, cfg, conjunctive,
             )
             return light.unionByName(dist).orderBy("query_id", "rank")
 
@@ -277,9 +276,9 @@ def bm25_topk(
         )
 
     if mode == "distributed":
-        return _run_distributed(matched, N, avgdl, cfg, conjunctive).orderBy(
-            "query_id", "rank"
-        )
+        return _run_distributed(
+            matched, filtered, N, avgdl, cfg, conjunctive
+        ).orderBy("query_id", "rank")
 
     raise ValueError(mode)
 
@@ -293,9 +292,12 @@ def _run_kernel(matched, N, avgdl, cfg, prune, conjunctive) -> DataFrame:
     )
 
 
-def _run_distributed(matched, N, avgdl, cfg, conjunctive) -> DataFrame:
-    # global df per term (rows may be index segments with partial df)
-    term_df = matched.groupBy("term").agg(F.sum("df").alias("df_total"))
+def _run_distributed(matched, filtered, N, avgdl, cfg, conjunctive) -> DataFrame:
+    # global df per term (rows may be index segments with partial df).
+    # MUST aggregate over the PRE-query-join postings: after the join a
+    # term shared by q queries appears q times and its df would inflate
+    # q-fold, silently shrinking idf for every query sharing a term.
+    term_df = filtered.groupBy("term").agg(F.sum("df").alias("df_total"))
     matched = matched.join(F.broadcast(term_df), "term")
 
     def contribs(it):
@@ -380,6 +382,8 @@ def phrase_topk(
     N: int,
     avgdl: float,
     cfg: BuildConfig | None = None,
+    mode: str = "auto",
+    max_kernel_df: int = 2_000_000,
 ) -> DataFrame:
     """Exact phrase top-k: docs containing the query tokens CONSECUTIVELY
     in order, ranked by BM25 over the phrase's distinct terms — the
@@ -391,6 +395,11 @@ def phrase_topk(
 
     queries: pandas (query_id, text, k); the text IS the phrase.
     Returns (query_id, doc_id, score, rank).
+
+    Modes mirror bm25_topk: "kernel" concentrates a query's matched
+    postings in one task; "distributed" shuffles (doc, term, positions)
+    rows and verifies per doc — no task ever holds a whole hot posting;
+    "auto" (default) routes on Σ df > max_kernel_df.
     """
     cfg = cfg or BuildConfig()
     rows = []
@@ -404,10 +413,41 @@ def phrase_topk(
         return spark.createDataFrame([], RESULT_SCHEMA)
     qdf = spark.createDataFrame(qt)
     terms = sorted(qt["term"].unique().tolist())
-    matched = postings.where(F.col("term").isin(terms)).join(
-        F.broadcast(qdf), "term"
-    )
+    filtered = postings.where(F.col("term").isin(terms))
+    matched = filtered.join(F.broadcast(qdf), "term")
 
+    if mode == "auto":
+        per_q = (
+            matched.groupBy("query_id").agg(F.sum("df").alias("sum_df"))
+            .collect()
+        )
+        heavy = sorted(
+            int(r["query_id"]) for r in per_q
+            if int(r["sum_df"]) > max_kernel_df
+        )
+        if not heavy:
+            mode = "kernel"
+        else:
+            light = _run_phrase_kernel(
+                matched.where(~F.col("query_id").isin(heavy)), N, avgdl, cfg
+            )
+            dist = _run_phrase_distributed(
+                matched.where(F.col("query_id").isin(heavy)),
+                filtered, N, avgdl, cfg,
+            )
+            return light.unionByName(dist).orderBy("query_id", "rank")
+    if mode == "kernel":
+        return _run_phrase_kernel(matched, N, avgdl, cfg).orderBy(
+            "query_id", "rank"
+        )
+    if mode == "distributed":
+        return _run_phrase_distributed(matched, filtered, N, avgdl, cfg).orderBy(
+            "query_id", "rank"
+        )
+    raise ValueError(mode)
+
+
+def _run_phrase_kernel(matched, N, avgdl, cfg) -> DataFrame:
     def kernel(key, pdf):
         k = int(pdf["k"].iloc[0])
         qid = int(pdf["query_id"].iloc[0])
@@ -460,8 +500,103 @@ def phrase_topk(
         top_d, top_s = _topk(hit_arr, total, k)
         return _result_pdf(qid, top_d, top_s)
 
+    return matched.groupBy("query_id").applyInPandas(
+        kernel, schema=RESULT_SCHEMA
+    )
+
+
+def _run_phrase_distributed(matched, filtered, N, avgdl, cfg) -> DataFrame:
+    """Scale path: map-side kernels explode matched postings into one
+    row PER (query, term, doc) carrying that doc's positions; per-doc
+    verification + scoring happens in tiny (query_id, doc_id) groups.
+    Shuffle volume is Σ df x (positions per pair) over the phrase's
+    terms — rows, never whole posting lists, so a stopword-grade phrase
+    term cannot OOM a task."""
+    from capsbm25.codec import decode_pair_positions
+
+    # df over the PRE-query-join postings (see _run_distributed note)
+    term_df = filtered.groupBy("term").agg(F.sum("df").alias("df_total"))
+    matched = matched.join(F.broadcast(term_df), "term")
+
+    def explode_rows(it):
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                if len(row.pos) == 0:
+                    raise ValueError(
+                        "phrase_topk requires an index built with "
+                        "index_positions=True (pos payload is empty)"
+                    )
+                docs, tfs, dls = _decode_posting(row)
+                pos = decode_pair_positions(row.pos, tfs)
+                bounds = np.concatenate(([0], np.cumsum(tfs)))
+                sc = term_scores(
+                    tfs, dls, float(idf_fn(N, int(row.df_total))),
+                    avgdl, cfg.k1, cfg.b,
+                )
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(docs.size, row.query_id, np.int32),
+                        "term": np.full(docs.size, row.term, dtype=object),
+                        "doc_id": docs.astype(np.int64),
+                        "contrib": sc,
+                        "positions": [
+                            pos[bounds[i]:bounds[i + 1]].tolist()
+                            for i in range(docs.size)
+                        ],
+                        "k": np.full(docs.size, row.k, np.int32),
+                        "phrase": np.full(docs.size, row.phrase, dtype=object),
+                    }
+                )
+
+    c = matched.mapInPandas(
+        explode_rows,
+        schema="query_id int, term string, doc_id long, contrib double, "
+               "positions array<long>, k int, phrase string",
+    )
+
+    def verify(key, pdf):
+        phrase = pdf["phrase"].iloc[0].split("\x1f")
+        distinct = set(phrase)
+        # a doc lives in one segment/salt bucket, so (term -> one row);
+        # guard anyway by concatenating duplicate-term positions
+        by_term: dict[str, np.ndarray] = {}
+        score = 0.0
+        for term, grp in pdf.groupby("term", sort=True):
+            by_term[term] = np.sort(
+                np.concatenate([np.asarray(p, dtype=np.int64)
+                                for p in grp["positions"]])
+            )
+            score += float(grp["contrib"].sum())
+        if len(by_term) < len(distinct):
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype=np.int32),
+                 "doc_id": pd.Series(dtype=np.int64),
+                 "score": pd.Series(dtype=np.float64),
+                 "k": pd.Series(dtype=np.int32)}
+            )
+        s = by_term[phrase[0]]
+        for off, tok in enumerate(phrase[1:], start=1):
+            s = np.intersect1d(s, by_term[tok] - off, assume_unique=True)
+            if s.size == 0:
+                break
+        if s.size == 0:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype=np.int32),
+                 "doc_id": pd.Series(dtype=np.int64),
+                 "score": pd.Series(dtype=np.float64),
+                 "k": pd.Series(dtype=np.int32)}
+            )
+        return pd.DataFrame(
+            {"query_id": [int(key[0])], "doc_id": [int(key[1])],
+             "score": [score], "k": [int(pdf["k"].iloc[0])]}
+        )
+
+    verified = c.groupBy("query_id", "doc_id").applyInPandas(
+        verify, schema="query_id int, doc_id long, score double, k int"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        matched.groupBy("query_id")
-        .applyInPandas(kernel, schema=RESULT_SCHEMA)
-        .orderBy("query_id", "rank")
+        verified.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.col("k"))
+        .select("query_id", "doc_id", "score", F.col("rank").cast("int"))
     )

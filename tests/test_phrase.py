@@ -48,16 +48,20 @@ def test_phrase_rank_identical_to_oracle(pos_index, spark):
         "text": texts,
         "k": np.full(len(texts), 10, dtype=np.int32),
     })
-    got = phrase_topk(
-        spark, pos_index["postings"], queries, res.N, res.avgdl, cfg
-    ).toPandas()
     want = oracle.phrase_topk_pdf(queries)
-    assert len(got) == len(want)
-    for qid in queries["query_id"]:
-        g = got[got.query_id == qid].sort_values("rank")
-        w = want[want.query_id == qid].sort_values("rank")
-        assert list(g.doc_id) == list(w.doc_id), (qid, queries.text[qid])
-        assert np.allclose(g.score, w.score, atol=1e-9), qid
+    for mode, kw in [("kernel", {}), ("distributed", {}),
+                     ("auto", {"max_kernel_df": 60})]:
+        got = phrase_topk(
+            spark, pos_index["postings"], queries, res.N, res.avgdl, cfg,
+            mode=mode, **kw,
+        ).toPandas()
+        assert len(got) == len(want), mode
+        for qid in queries["query_id"]:
+            g = got[got.query_id == qid].sort_values("rank")
+            w = want[want.query_id == qid].sort_values("rank")
+            assert list(g.doc_id) == list(w.doc_id), (mode, qid,
+                                                      queries.text[qid])
+            assert np.allclose(g.score, w.score, atol=1e-9), (mode, qid)
     # at least one multi-token phrase produced hits (corpus-derived)
     multi = [int(q) for q, t in zip(queries.query_id, texts)
              if len(t.split()) >= 3]

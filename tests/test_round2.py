@@ -231,3 +231,27 @@ def test_encode_varints_grouped_matches_ungrouped():
     starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
     got = encode_varints_grouped(values, starts)
     assert got == [encode_varints(g) for g in groups]
+
+
+def test_distributed_df_not_inflated_by_shared_terms(built_index, spark):
+    """Regression: term df must be aggregated over the PRE-query-join
+    postings. Two queries sharing a term previously doubled its df in
+    distributed mode (smaller idf => wrong scores for both queries)."""
+    res, cfg = built_index["res"], built_index["cfg"]
+    oracle = built_index["oracle"]
+    queries = pd.DataFrame({
+        "query_id": np.array([0, 1], dtype=np.int32),
+        "text": ["w0000 w0003", "w0000 w0007"],  # w0000 shared
+        "k": np.array([5, 5], dtype=np.int32),
+    })
+    want = oracle.topk_pdf(queries)
+    got = bm25_topk(
+        spark, built_index["postings"], queries, res.N, res.avgdl, cfg,
+        mode="distributed",
+    ).toPandas()
+    assert len(got) == len(want)
+    for qid in (0, 1):
+        g = got[got.query_id == qid].sort_values("rank")
+        w = want[want.query_id == qid].sort_values("rank")
+        assert list(g.doc_id) == list(w.doc_id), qid
+        assert np.allclose(g.score, w.score, atol=1e-9), qid
