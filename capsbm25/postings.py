@@ -8,16 +8,24 @@ Pipeline stage mapping to the reference (SURVEY.md §2/§3):
                          Arrow kernel: tokenize, per-doc tf, dl; no
                          shuffle (tf is computable doc-locally, unlike
                          a naive explode+groupBy which would shuffle
-                         every token occurrence).
+                         every token occurrence). Used for plan
+                         sampling and standalone pair entries.
+  extract_runs         ~ independent subarray sort (:300-368) — the
+                         BUILD path since round 2: the same Arrow pass
+                         additionally packs each task's (term, part_id)
+                         groups into delta+varint sorted RUNS, so the
+                         exchange carries ~final-index bytes (term
+                         string once per run) instead of raw pairs.
   with_part_id         ~ locate_pivots (Suffix_Array.cpp:225-249) —
                          vectorized searchsorted against the plan.
   assemble_postings    ~ partition_sub_subarrays + merge_sub_subarrays
                          (:300-368, :371-428): ONE hash exchange on
-                         part_id, Tungsten sortWithinPartitions
-                         (external sort with spill — strictly better
-                         than the reference's RAM-only merge), then a
-                         streaming Arrow kernel folding each term's
-                         sorted run into one delta+varint posting row.
+                         part_id over run rows, Tungsten
+                         sortWithinPartitions (external sort with spill
+                         — strictly better than the reference's
+                         RAM-only merge), then an Arrow merge kernel
+                         (batch varint decode + segmented cumsum)
+                         folding each term's runs into one posting row.
   merge_hot_partials   ~ compute_partition_boundary_lcp (:431-447):
                          stitch cross-partition metadata — here, merge
                          the salted partial postings of hot terms.
@@ -25,6 +33,7 @@ Pipeline stage mapping to the reference (SURVEY.md §2/§3):
 Posting row schema (FIXTURES.md §3, plus dls so queries never join a
 10^12-row doc_stats table — doc lengths travel with the posting):
   term, df, cf, doc_ids (delta+varint), tfs (varint), dls (varint),
+  pos (per-pair positions, b"" unless cfg.index_positions),
   block_max: array<struct<upper:float,last_doc:long>>, part_id, partial
 """
 

@@ -7,9 +7,9 @@ retrieval: the stored order metadata (block-max upper bounds) lets the
 scorer skip whole blocks that provably cannot reach the top-k, exactly
 as the memoized LCP bounds let the reference skip character compares.
 
-Two execution modes, both rank-identical to the oracle (tested):
+Execution modes, all rank-identical to the oracle (tested):
 
-* ``kernel`` (default): broadcast-join the (tiny) query-term table
+* ``kernel``: broadcast-join the (tiny) query-term table
   against postings, then ``groupBy(query_id).applyInPandas`` — one
   Arrow kernel per query does decode + two-phase block-max pruning +
   exact rescoring + heap-free vectorized top-k. This is
@@ -19,6 +19,12 @@ Two execution modes, both rank-identical to the oracle (tested):
   takes top-k. No pruning, arbitrarily scalable (no single task ever
   holds a whole hot posting), pure built-in shuffle machinery — the
   mode you'd run against 10^12 turns when a query term is pathological.
+* ``auto`` (default): per-query Σ df routes each query to kernel or
+  distributed (threshold ``max_kernel_df``) — the kernel's speed where
+  safe, the distributed path's boundedness where not.
+
+``phrase_topk`` (positional indexes) mirrors the same three modes for
+exact consecutive-token phrase search.
 
 Pruning exactness (kernel mode): θ = k-th best exact score among a
 seed candidate set; a block b of term t is skipped only when
