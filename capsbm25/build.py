@@ -206,12 +206,20 @@ def build_index(
     )
     for w in waves:
         def stage_wave(w=w):
-            wave_pairs = spark.read.parquet(os.path.join(pairs_path, f"wave={w}"))
-            out = assemble_postings(wave_pairs, plan, N, avgdl, cfg)
+            from pyspark.sql import Observation
+
+            wave_runs = spark.read.parquet(os.path.join(pairs_path, f"wave={w}"))
+            obs = Observation(f"wave{w}")
+            wave_runs = wave_runs.observe(
+                obs, F.count(F.lit(1)).alias("runs"), F.sum("n").alias("pairs")
+            )
+            out = assemble_postings(wave_runs, plan, N, avgdl, cfg)
             dst = os.path.join(postings_path, f"wave={w}")
             write_table(out, dst)
             h, n = _checksum(spark.read.parquet(dst))
-            return {"rows": n, "checksum": h}
+            m = obs.get
+            return {"rows": n, "checksum": h,
+                    "pairs": int(m["pairs"] or 0), "runs": int(m["runs"])}
 
         timed(f"wave={w}", stage_wave)
         if stop_after_wave is not None and w >= stop_after_wave:

@@ -353,44 +353,103 @@ def _posting_rows(flushes, N, avgdl, cfg, hot_terms):
     """Turn a list of (term, docs, tfs, dls, part_id[, pos]) into
     posting rows. pos (optional 6th element): flat in-doc token
     positions in pair order (sizes = tfs), delta+varint-encoded with an
-    absolute value at every pair start."""
-    out = []
-    for flush in flushes:
-        term, docs, tfs, dls, part_id = flush[:5]
-        pos = flush[5] if len(flush) > 5 else None
-        docs = np.asarray(docs, dtype=np.int64)
-        tfs = np.asarray(tfs, dtype=np.int64)
-        dls = np.asarray(dls, dtype=np.int64)
-        partial = term in hot_terms
-        df = int(docs.size)
-        if partial:
-            bmax = []
-        else:
-            sc = term_scores(tfs, dls, float(idf_fn(N, df)), avgdl, cfg.k1, cfg.b)
-            bmax = _block_max(sc, docs, cfg.block_size)
-        if pos is not None and pos.size:
-            pair_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
-            pgaps = np.empty_like(pos)
-            pgaps[0] = pos[0]
-            np.subtract(pos[1:], pos[:-1], out=pgaps[1:])
-            pgaps[pair_starts] = pos[pair_starts]
-            pos_bytes = encode_varints(pgaps)
-        else:
-            pos_bytes = b""
-        out.append(
-            {
-                "term": term,
-                "df": df,
-                "cf": int(tfs.sum()),
-                "doc_ids": delta_encode(docs),
-                "tfs": encode_varints(tfs),
-                "dls": encode_varints(dls),
-                "pos": pos_bytes,
-                "block_max": bmax,
-                "part_id": int(part_id),
-                "partial": partial,
-            }
-        )
+    absolute value at every pair start.
+
+    All varint encodes and block-max computations happen in ONE
+    vectorized pass over the concatenated flush window (grouped encode
+    + reduceat) — per-term numpy-call overhead would otherwise dominate
+    waves whose terms are small (the normal-part wave at 10M+ turns)."""
+    n = len(flushes)
+    if n == 0:
+        return pd.DataFrame([], columns=POSTINGS_COLS)
+    docs_l = [np.asarray(f[1], dtype=np.int64) for f in flushes]
+    tfs_l = [np.asarray(f[2], dtype=np.int64) for f in flushes]
+    dls_l = [np.asarray(f[3], dtype=np.int64) for f in flushes]
+    sizes = np.array([d.size for d in docs_l], dtype=np.int64)
+    t_starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    t_ends = t_starts + sizes
+    D = np.concatenate(docs_l)
+    T = np.concatenate(tfs_l)
+    L = np.concatenate(dls_l)
+
+    # doc-id gaps (absolute at each term start) + strict-increase check
+    gaps = np.empty_like(D)
+    if D.size:
+        gaps[0] = D[0]
+        np.subtract(D[1:], D[:-1], out=gaps[1:])
+        gaps[t_starts] = D[t_starts]
+        interior = np.ones(D.size, dtype=bool)
+        interior[t_starts] = False
+        if interior.any() and gaps[interior].min() <= 0:
+            raise ValueError("doc_ids must be strictly increasing")
+    doc_b = encode_varints_grouped(gaps, t_starts)
+    tf_b = encode_varints_grouped(T, t_starts)
+    dl_b = encode_varints_grouped(L, t_starts)
+
+    partial = np.array([f[0] in hot_terms for f in flushes], dtype=bool)
+
+    B = cfg.block_size
+    nb = -(-sizes // B)
+    nb[partial] = 0  # hot partials carry no block_max (stitched later)
+    tot_blocks = int(nb.sum())
+    bmax_per_term: list[list] = [[] for _ in range(n)]
+    if tot_blocks:
+        # block maxima for the non-partial terms, fully vectorized:
+        # per-entry idf from its term's df (sizes), scores + f32
+        # rounding over the concatenated arrays, reduceat per block
+        sc_all = term_scores(T, L, idf_fn(N, np.repeat(sizes, sizes)),
+                             avgdl, cfg.k1, cfg.b)
+        f32 = upper_f32(sc_all)
+        term_idx = np.repeat(np.arange(n), nb)
+        pref = np.concatenate(([0], np.cumsum(nb)[:-1]))
+        within = np.arange(tot_blocks) - np.repeat(pref, nb)
+        b_starts = t_starts[term_idx] + within * B
+        uppers = np.maximum.reduceat(f32, b_starts)
+        last_ix = np.minimum(b_starts + B, t_ends[term_idx]) - 1
+        last_docs = D[last_ix]
+        up_l = uppers.astype(float).tolist()
+        ld_l = last_docs.tolist()
+        ti_l = term_idx.tolist()
+        for j in range(tot_blocks):
+            bmax_per_term[ti_l[j]].append(
+                {"upper": up_l[j], "last_doc": int(ld_l[j])}
+            )
+
+    # positions payload (phrase support)
+    pos_b: list[bytes] = [b""] * n
+    if any(len(f) > 5 and f[5] is not None and f[5].size for f in flushes):
+        p_l = [
+            (f[5] if len(f) > 5 and f[5] is not None
+             else np.zeros(0, dtype=np.int64))
+            for f in flushes
+        ]
+        P = np.concatenate(p_l)
+        if P.size:
+            pair_starts = np.concatenate(([0], np.cumsum(T)[:-1]))
+            pgaps = np.empty_like(P)
+            pgaps[0] = P[0]
+            np.subtract(P[1:], P[:-1], out=pgaps[1:])
+            pgaps[pair_starts] = P[pair_starts]
+            run_sizes = np.array([p.size for p in p_l], dtype=np.int64)
+            run_starts = np.concatenate(([0], np.cumsum(run_sizes)[:-1]))
+            pos_b = encode_varints_grouped(pgaps, run_starts)
+
+    cfs = np.add.reduceat(T, t_starts) if D.size else np.zeros(n)
+    out = [
+        {
+            "term": flushes[i][0],
+            "df": int(sizes[i]),
+            "cf": int(cfs[i]) if sizes[i] else 0,
+            "doc_ids": doc_b[i],
+            "tfs": tf_b[i],
+            "dls": dl_b[i],
+            "pos": pos_b[i],
+            "block_max": bmax_per_term[i],
+            "part_id": int(flushes[i][4]),
+            "partial": bool(partial[i]),
+        }
+        for i in range(n)
+    ]
     return pd.DataFrame(out, columns=POSTINGS_COLS)
 
 
