@@ -185,8 +185,13 @@ def build_index(
     def stage_pairs():
         from pyspark.sql import Observation
 
+        # interleave part_ids across waves (mod, not contiguous blocks):
+        # normal parts carry many small terms (run-count-heavy), salted
+        # hot parts carry few fat runs (pair-mass-heavy) — contiguous
+        # blocks put all of one kind in one wave and the wave durations
+        # skewed ~6x at 10M turns; interleaving balances both axes
         pw = extract_runs(docs, cfg, plan=plan).withColumn(
-            "wave", (F.col("part_id") / cfg.parts_per_wave).cast("int")
+            "wave", (F.col("part_id") % cfg.num_waves).cast("int")
         )
         obs = Observation("pairs")
         pw = pw.observe(obs, F.count(F.lit(1)).alias("runs"),

@@ -48,8 +48,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from capsbm25.codec import (decode_pair_positions, decode_varints,
-                            delta_decode, delta_encode, encode_varints,
-                            encode_varints_grouped)
+                            delta_decode, encode_varints_grouped)
 from capsbm25.config import BuildConfig
 from capsbm25.partition import PartitionPlan
 from capsbm25.scoring import idf as idf_fn
@@ -483,9 +482,9 @@ def assemble_postings(
     sorted doc_ids — no second shuffle, no groupBy. The Tungsten sort
     touches only run rows (one per term per map task), not pairs. Hot
     terms yield one partial row per (term, salt part_id), stitched by
-    merge_hot_partials. delta_encode re-validates strict doc_id increase
-    across run boundaries, so a violated disjoint-range assumption fails
-    loudly instead of corrupting the index.
+    merge_hot_partials. The posting-row encoder re-validates strict
+    doc_id increase across run boundaries, so a violated disjoint-range
+    assumption fails loudly instead of corrupting the index.
     """
     cfg = cfg or BuildConfig()
     hot = set(plan.hot_terms)
@@ -511,7 +510,7 @@ def assemble_postings(
             # map task's runs span most of the doc space. Merge when
             # needed; the O(n) sortedness check keeps the common
             # contiguous case a pure concat. (Doc sets are disjoint, so
-            # a duplicate would still be caught by delta_encode.)
+            # a duplicate is still caught by the encoder's gap check.)
             if d.size > 1 and (d[1:] <= d[:-1]).any():
                 o = np.argsort(d, kind="stable")
                 if with_pos:
