@@ -483,7 +483,11 @@ def _ensure_fixture_corpus() -> str:
     if not os.path.exists(_FIXTURE_CORPUS):
         from capsbm25 import fixtures as fx
 
-        fx.gen_transcripts_pdf(120, 42).to_parquet(_FIXTURE_CORPUS)
+        # atomic publish: a killed/concurrent writer must never leave a
+        # truncated parquet that os.path.exists would then trust
+        tmp = f"{_FIXTURE_CORPUS}.{os.getpid()}.tmp"
+        fx.gen_transcripts_pdf(120, 42).to_parquet(tmp)
+        os.replace(tmp, _FIXTURE_CORPUS)
     return _FIXTURE_CORPUS
 
 

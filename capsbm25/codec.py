@@ -63,7 +63,13 @@ def encode_varints_grouped(
         return [b""] * gs.size
     byte_bounds = np.empty(gs.size + 1, dtype=np.int64)
     byte_bounds[0] = 0
-    byte_bounds[1:-1] = ends[gs[1:] - 1] if gs.size > 1 else ends[:0]
+    if gs.size > 1:
+        # byte offset where group i starts = end of the previous VALUE;
+        # a leading empty group (gs[i] == 0) starts at byte 0, not at
+        # ends[-1] (negative indexing would wrap to the buffer end)
+        byte_bounds[1:-1] = np.where(
+            gs[1:] > 0, ends[np.maximum(gs[1:] - 1, 0)], 0
+        )
     byte_bounds[-1] = ends[-1] if ends.size else 0
     raw = out.tobytes()
     return [raw[byte_bounds[i]:byte_bounds[i + 1]] for i in range(gs.size)]

@@ -174,11 +174,16 @@ def simhash_bits_kernel(docs: DataFrame, n_bits: int = 32) -> DataFrame:
     import pandas as pd
 
     pattern = _re.compile(_CFG.token_pattern)
+    max_len = _CFG.max_token_len
     nb = n_bits
 
     def kernel(it):
         for pdf in it:
             toks = pdf["text"].fillna("").str.lower().str.findall(pattern)
+            if max_len:
+                # keep parity with tokens_expr truncation in the
+                # expression form
+                toks = toks.map(lambda tl: [t[:max_len] for t in tl])
             out_ids, out_hash = [], []
             doc_rows, gram_list = [], []
             for i, tl in enumerate(toks):

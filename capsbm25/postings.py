@@ -393,22 +393,38 @@ def _posting_rows(flushes, N, avgdl, cfg, hot_terms):
     tot_blocks = int(nb.sum())
     bmax_per_term: list[list] = [[] for _ in range(n)]
     if tot_blocks:
-        # block maxima for the non-partial terms, fully vectorized:
-        # per-entry idf from its term's df (sizes), scores + f32
-        # rounding over the concatenated arrays, reduceat per block
-        sc_all = term_scores(T, L, idf_fn(N, np.repeat(sizes, sizes)),
+        # Block maxima for the non-partial terms, fully vectorized.
+        # CRITICAL: reduceat segments run to the NEXT boundary, so the
+        # entries of partial (hot) terms interleaved between normal
+        # terms would be absorbed into the preceding term's last block
+        # and inflate its upper — compact the arrays to non-partial
+        # entries first so term boundaries are always block boundaries.
+        np_mask = ~partial
+        if partial.any():
+            keep = np.repeat(np_mask, sizes)
+            Dn, Tn, Ln = D[keep], T[keep], L[keep]
+            sizes_n = sizes[np_mask]
+        else:
+            Dn, Tn, Ln, sizes_n = D, T, L, sizes
+        t_starts_n = np.concatenate(([0], np.cumsum(sizes_n)[:-1]))
+        t_ends_n = t_starts_n + sizes_n
+        # per-entry idf from its term's df; scores + f32 rounding in one
+        # concatenated pass, reduceat per block
+        sc_all = term_scores(Tn, Ln, idf_fn(N, np.repeat(sizes_n, sizes_n)),
                              avgdl, cfg.k1, cfg.b)
         f32 = upper_f32(sc_all)
-        term_idx = np.repeat(np.arange(n), nb)
-        pref = np.concatenate(([0], np.cumsum(nb)[:-1]))
-        within = np.arange(tot_blocks) - np.repeat(pref, nb)
-        b_starts = t_starts[term_idx] + within * B
+        nb_n = nb[np_mask]
+        orig_ids = np.flatnonzero(np_mask)
+        term_idx = np.repeat(np.arange(nb_n.size), nb_n)
+        pref = np.concatenate(([0], np.cumsum(nb_n)[:-1]))
+        within = np.arange(tot_blocks) - np.repeat(pref, nb_n)
+        b_starts = t_starts_n[term_idx] + within * B
         uppers = np.maximum.reduceat(f32, b_starts)
-        last_ix = np.minimum(b_starts + B, t_ends[term_idx]) - 1
-        last_docs = D[last_ix]
+        last_ix = np.minimum(b_starts + B, t_ends_n[term_idx]) - 1
+        last_docs = Dn[last_ix]
         up_l = uppers.astype(float).tolist()
         ld_l = last_docs.tolist()
-        ti_l = term_idx.tolist()
+        ti_l = orig_ids[term_idx].tolist()
         for j in range(tot_blocks):
             bmax_per_term[ti_l[j]].append(
                 {"upper": up_l[j], "last_doc": int(ld_l[j])}

@@ -208,8 +208,10 @@ def compact_segments(
     # block_max) — exactly the per-term stitch compaction needs; single-
     # row terms pass through it too so every row gets global bounds
     merged = merge_hot_partials(allp, N, avgdl, cfg)
-    gen = sum(1 for s in stats["segments"]
-              if str(s["id"]).startswith("compacted")) + 1
+    # monotone generation counter persisted in stats — counting
+    # compacted segments in the live list would always yield 1 and the
+    # third compaction would overwrite the path it is reading from
+    gen = int(stats.get("compact_gen", 0)) + 1
     seg_id = f"compacted-{gen}"
     seg = os.path.join(out_dir, "segments", f"seg={seg_id}", "postings")
     merged.write.mode("overwrite").parquet(seg)
@@ -217,9 +219,16 @@ def compact_segments(
         "N": stats["N"],
         "total_dl": stats["total_dl"],
         "config": stats.get("config", cfg.persist_dict()),
+        "compact_gen": gen,
         "segments": [{"id": seg_id, "rows": stats["N"],
                       "dl": stats["total_dl"], "sec": 0.0}],
-        "compacted_from": [s["id"] for s in stats["segments"]],
+        # UNION with the previous compaction's ids — dropping them would
+        # let a streaming replay re-ingest pre-compaction batches
+        "compacted_from": sorted(
+            set(stats.get("compacted_from", []))
+            | {s["id"] for s in stats["segments"]},
+            key=str,
+        ),
     }
     tmp = _stats_path(out_dir) + ".tmp"
     with open(tmp, "w") as f:

@@ -224,8 +224,14 @@ def test_encode_varints_grouped_matches_ungrouped():
     from capsbm25.codec import encode_varints, encode_varints_grouped
 
     rng = np.random.default_rng(7)
-    groups = [rng.integers(0, 1 << 40, size=rng.integers(1, 50)).astype(np.int64)
-              for _ in range(200)] + [np.array([], dtype=np.int64)]
+    groups = (
+        [np.array([], dtype=np.int64)]  # LEADING empty group (regression:
+        # the boundary formula used ends[gs-1] which wrapped to the
+        # buffer end and handed group 0 every byte)
+        + [rng.integers(0, 1 << 40, size=rng.integers(1, 50)).astype(np.int64)
+           for _ in range(200)]
+        + [np.array([], dtype=np.int64)]
+    )
     values = np.concatenate(groups)
     sizes = np.array([g.size for g in groups], dtype=np.int64)
     starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
@@ -255,3 +261,86 @@ def test_distributed_df_not_inflated_by_shared_terms(built_index, spark):
         w = want[want.query_id == qid].sort_values("rank")
         assert list(g.doc_id) == list(w.doc_id), qid
         assert np.allclose(g.score, w.score, atol=1e-9), qid
+
+
+def test_posting_rows_blockmax_with_interleaved_partials():
+    """Regression: the vectorized block-max reduceat must not absorb the
+    entries of a hot/partial term interleaved between two normal terms
+    into the preceding term's last block upper."""
+    from capsbm25.postings import _posting_rows
+    from capsbm25.scoring import term_scores as ts
+    from capsbm25.scoring import upper_f32
+
+    cfg = BuildConfig(block_size=4)
+    N, avgdl = 1000, 10.0
+    # normal 'aaa' (6 docs -> 2 blocks), partial hot 'mmm' with HUGE tf
+    # (would inflate aaa's last block upper if absorbed), normal 'zzz'
+    flushes = [
+        ("aaa", np.arange(6, dtype=np.int64), np.ones(6, dtype=np.int64),
+         np.full(6, 10, dtype=np.int64), 0),
+        ("mmm", np.arange(100, 104, dtype=np.int64),
+         np.full(4, 500, dtype=np.int64), np.full(4, 10, dtype=np.int64), 1),
+        ("zzz", np.arange(200, 203, dtype=np.int64),
+         np.ones(3, dtype=np.int64), np.full(3, 10, dtype=np.int64), 2),
+    ]
+    out = _posting_rows(flushes, N, avgdl, cfg, hot_terms={"mmm"})
+    rows = {r["term"]: r for _, r in out.iterrows()}
+    assert rows["mmm"]["partial"] and rows["mmm"]["block_max"] == []
+    for term, n_docs, tf in (("aaa", 6, 1), ("zzz", 3, 1)):
+        exact = upper_f32(ts(np.full(n_docs, tf, dtype=np.int64),
+                             np.full(n_docs, 10, dtype=np.int64),
+                             float(idf_fn(N, n_docs)), avgdl,
+                             cfg.k1, cfg.b))
+        bm = rows[term]["block_max"]
+        B = cfg.block_size
+        assert len(bm) == -(-n_docs // B)
+        for i, blk in enumerate(bm):
+            assert blk["upper"] == float(exact[i * B:(i + 1) * B].max()), (
+                term, i
+            )
+
+
+def test_compaction_generations_and_id_retention(spark, tmp_path):
+    """Repeated compactions must use fresh generation ids (never
+    overwrite a path being read) and keep ALL historical batch ids in
+    compacted_from so streaming replays stay idempotent."""
+    import shutil
+
+    from capsbm25 import fixtures as fx
+    from capsbm25.streaming import (
+        compact_segments,
+        load_segment_postings,
+        load_stream_stats,
+        process_batch,
+    )
+
+    out = str(tmp_path / "cstream")
+    os.makedirs(out)
+    pdf = fx.gen_transcripts_pdf(60, 42)
+    convs = sorted(pdf["conv_id"].unique())
+    cfg = BuildConfig(num_part_ids=8, shuffle_partitions=2)
+    chunks = [convs[:20], convs[20:40], convs[40:]]
+
+    def ingest(i):
+        batch = spark.createDataFrame(pdf[pdf["conv_id"].isin(chunks[i])])
+        process_batch(spark, batch, i, out, cfg)
+
+    ingest(0); ingest(1)
+    r1 = compact_segments(spark, out, cfg)
+    assert r1["compacted"]
+    ingest(2)
+    r2 = compact_segments(spark, out, cfg)
+    assert r2["compacted"]
+    stats = load_stream_stats(out)
+    assert stats["segments"][0]["id"] == "compacted-2"
+    assert set(map(str, stats["compacted_from"])) >= {"0", "1", "2",
+                                                      "compacted-1"}
+    # replaying every original batch must be a no-op
+    before_n = stats["N"]
+    ingest(0); ingest(1); ingest(2)
+    after = load_stream_stats(out)
+    assert after["N"] == before_n and len(after["segments"]) == 1
+    # the compacted index is complete
+    p = load_segment_postings(spark, out)
+    assert p.groupBy("term").count().where("count > 1").count() == 0
+    assert after["N"] == len(pdf)
