@@ -137,3 +137,17 @@ def decode_pair_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
     c = np.cumsum(gaps)
     prev = np.concatenate(([0], c[pair_starts[1:] - 1]))
     return c - np.repeat(prev, tfs)
+
+
+def permute_pair_payload(
+    pos: np.ndarray, tfs: np.ndarray, order: np.ndarray
+) -> np.ndarray:
+    """Permute a flat per-pair payload (positions grouped by pair, pair
+    sizes = tfs) into the pair order given by ``order``, in one gather —
+    the companion of every doc-sort that reorders pairs."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    cum = np.concatenate(([0], np.cumsum(tfs)))
+    t_new = tfs[order]
+    new_pref = np.concatenate(([0], np.cumsum(t_new)[:-1]))
+    offs = np.repeat(cum[:-1][order] - new_pref, t_new)
+    return pos[np.arange(pos.size) + offs]

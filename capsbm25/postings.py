@@ -48,7 +48,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from capsbm25.codec import (decode_pair_positions, decode_varints,
-                            delta_decode, encode_varints_grouped)
+                            delta_decode, encode_varints_grouped,
+                            permute_pair_payload)
 from capsbm25.config import BuildConfig
 from capsbm25.partition import PartitionPlan
 from capsbm25.scoring import idf as idf_fn
@@ -285,15 +286,8 @@ def extract_runs(
             d_s, t_s, l_s = docs_a[order], tfs[order], dls[order]
             c_s, p_s = codes[order], pids[order]
             if with_pos:
-                # permute the flat position payload into sorted-pair
-                # order in one gather (no per-pair python)
-                cumtf = np.concatenate(([0], np.cumsum(tfs)))
-                src_start = cumtf[:-1][order]
-                t_sorted = t_s
-                new_pref = np.concatenate(([0], np.cumsum(t_sorted)[:-1]))
-                offs = np.repeat(src_start - new_pref, t_sorted)
-                pos_sorted = posflat[np.arange(posflat.size) + offs]
-                cumtf_s = np.concatenate(([0], np.cumsum(t_sorted)))
+                pos_sorted = permute_pair_payload(posflat, tfs, order)
+                cumtf_s = np.concatenate(([0], np.cumsum(t_s)))
             for gi, (lo, hi) in enumerate(zip(starts, ends)):
                 kk = (uniq[c_s[lo]], int(p_s[lo]))
                 chunk = (d_s[lo:hi], t_s[lo:hi], l_s[lo:hi])
@@ -530,13 +524,7 @@ def assemble_postings(
             if d.size > 1 and (d[1:] <= d[:-1]).any():
                 o = np.argsort(d, kind="stable")
                 if with_pos:
-                    # permute the flat position payload into the new pair
-                    # order in one gather
-                    cum = np.concatenate(([0], np.cumsum(t)))
-                    t_new = t[o]
-                    new_pref = np.concatenate(([0], np.cumsum(t_new)[:-1]))
-                    offs = np.repeat(cum[:-1][o] - new_pref, t_new)
-                    p = p[np.arange(p.size) + offs]
+                    p = permute_pair_payload(p, t, o)
                 d, t, dl = d[o], t[o], dl[o]
             if with_pos:
                 flushes.append((cur[0], d, t, dl, cur[1], p))
@@ -636,11 +624,7 @@ def merge_hot_partials(
         flush = [key[0], docs[order], tfs[order], dls[order], part_id]
         if with_pos:
             pos = decode_pair_positions(b"".join(pdf["pos"]), tfs)
-            cum = np.concatenate(([0], np.cumsum(tfs)))
-            t_new = tfs[order]
-            new_pref = np.concatenate(([0], np.cumsum(t_new)[:-1]))
-            offs = np.repeat(cum[:-1][order] - new_pref, t_new)
-            flush.append(pos[np.arange(pos.size) + offs])
+            flush.append(permute_pair_payload(pos, tfs, order))
         return _posting_rows([tuple(flush)], N, avgdl, cfg, set())
 
     return partials.groupBy("term").applyInPandas(merge, schema=POSTINGS_SCHEMA)

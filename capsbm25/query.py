@@ -253,16 +253,14 @@ def bm25_topk(
         # single task — a stopword-grade term (df ~ N) would OOM it at
         # 10^12 docs. Σ df over a query's terms bounds the rows that
         # task must hold, so route heavy queries to the distributed
-        # (shuffle-aggregated) path. The per-query df sum is one tiny
-        # row per query — sanctioned driver-side aggregate.
-        per_q = (
-            matched.groupBy("query_id").agg(F.sum("df").alias("sum_df"))
-            .collect()
-        )
-        heavy = sorted(
-            int(r["query_id"]) for r in per_q
-            if int(r["sum_df"]) > max_kernel_df
-        )
+        # (shuffle-aggregated) path. ONE narrow per-TERM aggregate (rows
+        # = #query terms, pushdown-pruned scan) serves both the routing
+        # sums (computed driver-side from qt) and the distributed
+        # path's global df — no per-query scan, no second df scan.
+        df_map = _term_df_map(filtered)
+        sums = qt.assign(d=qt["term"].map(df_map).fillna(0))                  .groupby("query_id")["d"].sum()
+        heavy = sorted(int(q_) for q_, s in sums.items()
+                       if s > max_kernel_df)
         if not heavy:
             mode = "kernel"
         else:
@@ -272,7 +270,7 @@ def bm25_topk(
             )
             dist = _run_distributed(
                 matched.where(F.col("query_id").isin(heavy)),
-                filtered, N, avgdl, cfg, conjunctive,
+                df_map, N, avgdl, cfg, conjunctive,
             )
             return light.unionByName(dist).orderBy("query_id", "rank")
 
@@ -283,10 +281,18 @@ def bm25_topk(
 
     if mode == "distributed":
         return _run_distributed(
-            matched, filtered, N, avgdl, cfg, conjunctive
+            matched, _term_df_map(filtered), N, avgdl, cfg, conjunctive
         ).orderBy("query_id", "rank")
 
     raise ValueError(mode)
+
+
+def _term_df_map(filtered: DataFrame) -> dict:
+    """Global df per query term — aggregated over the PRE-query-join
+    postings (a post-join aggregate would inflate df q-fold for terms
+    shared by q queries). One tiny driver row per distinct query term."""
+    rows = filtered.groupBy("term").agg(F.sum("df").alias("d")).collect()
+    return {r["term"]: int(r["d"]) for r in rows}
 
 
 def _run_kernel(matched, N, avgdl, cfg, prune, conjunctive) -> DataFrame:
@@ -298,20 +304,17 @@ def _run_kernel(matched, N, avgdl, cfg, prune, conjunctive) -> DataFrame:
     )
 
 
-def _run_distributed(matched, filtered, N, avgdl, cfg, conjunctive) -> DataFrame:
-    # global df per term (rows may be index segments with partial df).
-    # MUST aggregate over the PRE-query-join postings: after the join a
-    # term shared by q queries appears q times and its df would inflate
-    # q-fold, silently shrinking idf for every query sharing a term.
-    term_df = filtered.groupBy("term").agg(F.sum("df").alias("df_total"))
-    matched = matched.join(F.broadcast(term_df), "term")
+def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive) -> DataFrame:
+    # df_map: global df per term from _term_df_map (pre-query-join —
+    # see its docstring); shipped in the task closure (tiny) instead of
+    # a broadcast join
 
     def contribs(it):
         for pdf in it:
             for row in pdf.itertuples(index=False):
                 docs, tfs, dls = _decode_posting(row)
                 sc = term_scores(
-                    tfs, dls, float(idf_fn(N, int(row.df_total))),
+                    tfs, dls, float(idf_fn(N, df_map[row.term])),
                     avgdl, cfg.k1, cfg.b,
                 )
                 yield pd.DataFrame(
@@ -371,11 +374,9 @@ def _merge_term_rows(grp, with_pos: bool):
     if len(parts) > 1:
         order = np.argsort(docs, kind="stable")
         if with_pos:
-            cum = np.concatenate(([0], np.cumsum(tfs)))
-            t_new = tfs[order]
-            new_pref = np.concatenate(([0], np.cumsum(t_new)[:-1]))
-            offs = np.repeat(cum[:-1][order] - new_pref, t_new)
-            pos = pos[np.arange(pos.size) + offs]
+            from capsbm25.codec import permute_pair_payload
+
+            pos = permute_pair_payload(pos, tfs, order)
         docs, tfs, dls = docs[order], tfs[order], dls[order]
     bounds = np.concatenate(([0], np.cumsum(tfs))) if with_pos else None
     return docs, tfs, dls, pos, bounds
@@ -423,14 +424,10 @@ def phrase_topk(
     matched = filtered.join(F.broadcast(qdf), "term")
 
     if mode == "auto":
-        per_q = (
-            matched.groupBy("query_id").agg(F.sum("df").alias("sum_df"))
-            .collect()
-        )
-        heavy = sorted(
-            int(r["query_id"]) for r in per_q
-            if int(r["sum_df"]) > max_kernel_df
-        )
+        df_map = _term_df_map(filtered)
+        sums = qt.assign(d=qt["term"].map(df_map).fillna(0))                  .groupby("query_id")["d"].sum()
+        heavy = sorted(int(q_) for q_, s in sums.items()
+                       if s > max_kernel_df)
         if not heavy:
             mode = "kernel"
         else:
@@ -439,7 +436,7 @@ def phrase_topk(
             )
             dist = _run_phrase_distributed(
                 matched.where(F.col("query_id").isin(heavy)),
-                filtered, N, avgdl, cfg,
+                df_map, N, avgdl, cfg,
             )
             return light.unionByName(dist).orderBy("query_id", "rank")
     if mode == "kernel":
@@ -447,9 +444,9 @@ def phrase_topk(
             "query_id", "rank"
         )
     if mode == "distributed":
-        return _run_phrase_distributed(matched, filtered, N, avgdl, cfg).orderBy(
-            "query_id", "rank"
-        )
+        return _run_phrase_distributed(
+            matched, _term_df_map(filtered), N, avgdl, cfg
+        ).orderBy("query_id", "rank")
     raise ValueError(mode)
 
 
@@ -511,7 +508,7 @@ def _run_phrase_kernel(matched, N, avgdl, cfg) -> DataFrame:
     )
 
 
-def _run_phrase_distributed(matched, filtered, N, avgdl, cfg) -> DataFrame:
+def _run_phrase_distributed(matched, df_map, N, avgdl, cfg) -> DataFrame:
     """Scale path: map-side kernels explode matched postings into one
     row PER (query, term, doc) carrying that doc's positions; per-doc
     verification + scoring happens in tiny (query_id, doc_id) groups.
@@ -520,9 +517,7 @@ def _run_phrase_distributed(matched, filtered, N, avgdl, cfg) -> DataFrame:
     term cannot OOM a task."""
     from capsbm25.codec import decode_pair_positions
 
-    # df over the PRE-query-join postings (see _run_distributed note)
-    term_df = filtered.groupBy("term").agg(F.sum("df").alias("df_total"))
-    matched = matched.join(F.broadcast(term_df), "term")
+    # df_map: global per-term df from _term_df_map (pre-query-join)
 
     def explode_rows(it):
         for pdf in it:
@@ -536,7 +531,7 @@ def _run_phrase_distributed(matched, filtered, N, avgdl, cfg) -> DataFrame:
                 pos = decode_pair_positions(row.pos, tfs)
                 bounds = np.concatenate(([0], np.cumsum(tfs)))
                 sc = term_scores(
-                    tfs, dls, float(idf_fn(N, int(row.df_total))),
+                    tfs, dls, float(idf_fn(N, df_map[row.term])),
                     avgdl, cfg.k1, cfg.b,
                 )
                 yield pd.DataFrame(

@@ -59,6 +59,11 @@ def process_batch(
     """foreachBatch body: build one immutable segment. Idempotent on
     batch_id (Structured Streaming may re-run a batch after failure)."""
     stats = load_stream_stats(out_dir)
+    # adopt the stream's persisted build config: a restart with a
+    # different caller cfg (other token_pattern / index_positions) would
+    # otherwise build inconsistent segments that skew df across the
+    # index or break phrase queries on the new segments only
+    cfg = cfg.adopt(stats.get("config", {}))
     ingested = {s["id"] for s in stats["segments"]}
     ingested.update(stats.get("compacted_from", []))
     if batch_id in ingested:
@@ -215,6 +220,17 @@ def compact_segments(
     seg_id = f"compacted-{gen}"
     seg = os.path.join(out_dir, "segments", f"seg={seg_id}", "postings")
     merged.write.mode("overwrite").parquet(seg)
+    # optimistic concurrency: a batch committed while we merged would be
+    # silently dropped by the stats swap below (its checkpoint marks it
+    # done, so it would never replay). Abort if the segment list moved.
+    ids_at_start = [s["id"] for s in stats["segments"]]
+    now = load_stream_stats(out_dir)
+    if [s["id"] for s in now["segments"]] != ids_at_start:
+        import shutil
+
+        shutil.rmtree(os.path.dirname(seg), ignore_errors=True)
+        return {"compacted": False, "aborted": "segments changed during "
+                "compaction — rerun (or pause the stream)"}
     new_stats = {
         "N": stats["N"],
         "total_dl": stats["total_dl"],

@@ -49,6 +49,13 @@ def validate_postings(
                     and (tfs >= 1).all()
                     and (dls >= tfs).all()
                 )
+                if ok and cfg.index_positions and not row.partial \
+                        and row.df > 0 and not getattr(row, "pos", b""):
+                    # a positional index must carry a payload on every
+                    # non-empty final row — a lost pos column would
+                    # otherwise only surface as a runtime error inside
+                    # phrase query executors
+                    ok = False
                 if ok and getattr(row, "pos", b""):
                     # positional payload: one strictly-increasing
                     # position list per pair, each position < dl
@@ -101,6 +108,9 @@ def validate_postings(
 
 def validate_index(spark: SparkSession, out_dir: str,
                    cfg: BuildConfig | None = None) -> dict:
-    from capsbm25.build import load_postings
+    from capsbm25.build import load_build_config, load_postings
 
+    # adopt the index's persisted build config so block_size /
+    # index_positions checks match what was actually built
+    cfg = load_build_config(out_dir, base=cfg)
     return validate_postings(load_postings(spark, out_dir), cfg)

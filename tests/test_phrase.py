@@ -118,3 +118,15 @@ def test_validate_positional_index(pos_index, spark):
     out = validate_index(spark, pos_index["res"].out_dir, pos_index["cfg"])
     assert out["violations"] == 0, out
     assert out["rows"] > 0
+
+
+def test_validator_flags_missing_pos_payload(pos_index):
+    """A positional index whose pos payloads are lost must FAIL
+    validation (not just break phrase queries at runtime)."""
+    from pyspark.sql import functions as F
+
+    from capsbm25.validate import validate_postings
+
+    stripped = pos_index["postings"].withColumn("pos", F.lit(b""))
+    out = validate_postings(stripped, pos_index["cfg"])
+    assert out["violations"] > 0
