@@ -19,6 +19,7 @@ Public API (one import path per user-facing operation):
         bm25_topk,            # top-k BM25 (kernel / distributed / auto)
         phrase_topk,          # exact phrase top-k (positional indexes)
         validate_index,       # is_sorted-analog invariant checker
+        index_stats,          # operator-facing index summary
     )
     from capsbm25.streaming import (
         start_incremental_build, load_segment_postings, compact_segments,
@@ -26,7 +27,8 @@ Public API (one import path per user-facing operation):
 """
 
 from capsbm25.config import BuildConfig
-from capsbm25.build import build_index, load_build_config, load_postings
+from capsbm25.build import (build_index, index_stats, load_build_config,
+                            load_postings)
 from capsbm25.query import bm25_topk, phrase_topk
 from capsbm25.validate import validate_index
 
@@ -38,5 +40,6 @@ __all__ = [
     "bm25_topk",
     "phrase_topk",
     "validate_index",
+    "index_stats",
 ]
 __version__ = "0.2.0"

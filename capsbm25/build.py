@@ -266,6 +266,39 @@ def load_corpus_stats(out_dir: str) -> dict:
         return json.load(f)
 
 
+def index_stats(spark: SparkSession, out_dir: str) -> dict:
+    """Operator-facing index summary: corpus stats, posting/byte sizes,
+    hot-term inventory — one aggregate job over the final postings."""
+    corpus = load_corpus_stats(out_dir)
+    p = load_postings(spark, out_dir)
+    row = p.agg(
+        F.count("*").alias("terms"),
+        F.sum("df").alias("postings"),
+        F.sum(F.length("doc_ids") + F.length("tfs") + F.length("dls")
+              + F.length("pos")).alias("payload_bytes"),
+        F.max("df").alias("max_df"),
+    ).collect()[0]
+    top = [
+        {"term": r["term"], "df": int(r["df"])}
+        for r in p.select("term", "df").orderBy(F.desc("df"), "term")
+        .limit(10).collect()
+    ]
+    n_post = int(row["postings"] or 0)
+    return {
+        "N": corpus["N"],
+        "avgdl": corpus["avgdl"],
+        "config": corpus.get("config", {}),
+        "terms": int(row["terms"]),
+        "postings": n_post,
+        "payload_bytes": int(row["payload_bytes"] or 0),
+        "bytes_per_posting": round(
+            (row["payload_bytes"] or 0) / max(n_post, 1), 3
+        ),
+        "max_df": int(row["max_df"] or 0),
+        "top_terms": top,
+    }
+
+
 def load_build_config(out_dir: str, base: BuildConfig | None = None) -> BuildConfig:
     """The query-time config contract: runtime knobs come from `base`,
     but build-shaped fields (block_size, k1, b, token_pattern,

@@ -344,3 +344,17 @@ def test_compaction_generations_and_id_retention(spark, tmp_path):
     p = load_segment_postings(spark, out)
     assert p.groupBy("term").count().where("count > 1").count() == 0
     assert after["N"] == len(pdf)
+
+
+def test_index_stats(built_index, spark):
+    from capsbm25.build import index_stats
+
+    oracle = built_index["oracle"]
+    s = index_stats(spark, built_index["res"].out_dir)
+    assert s["N"] == oracle.N
+    assert s["terms"] == len(oracle.postings)
+    assert s["postings"] == sum(len(p) for p in oracle.postings.values())
+    assert s["max_df"] == max(len(p) for p in oracle.postings.values())
+    assert s["top_terms"][0]["df"] == s["max_df"]
+    assert 0 < s["bytes_per_posting"] < 24  # beats raw (8+8+8)B encoding
+    assert s["config"]["block_size"] == built_index["cfg"].block_size
