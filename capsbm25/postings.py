@@ -176,16 +176,22 @@ def extract_runs(
 
     Map-side only, the independent-subarray-sort stage of the samplesort
     graft (/root/reference/src/Suffix_Array.cpp:300-368): each task
-    tokenizes its doc range, accumulates per-(term, part_id) doc/tf/dl
-    arrays in doc order (input is doc_id-sorted, so each run is strictly
-    increasing), and emits them delta+varint-encoded. flush_pairs bounds
-    task memory: past the threshold all accumulators flush as finished
-    runs and later pairs of the same term simply start a new run.
+    tokenizes its doc range and emits one delta+varint run per
+    (term, part_id) per flush window. flush_pairs bounds task memory:
+    past the threshold the buffered pairs flush as finished runs and
+    later pairs of the same term simply start a new run.
+
+    Grouping happens ONCE per flush window — batches only append flat
+    arrays (docs/tfs/dls/key) plus a task-level term dictionary update;
+    a single stable argsort at flush time forms every run. (A per-batch
+    python group loop measured superlinear at 10M+ turns: its iteration
+    count is batches x batch-distinct-terms.)
 
     A doc_id order restart inside one task (two staged files coalesced
-    into one input split) is detected and forces a flush, preserving the
-    strictly-increasing-per-run invariant that lets assembly concatenate
-    runs by first_doc without re-sorting.
+    into one input split — Arrow batches are re-batched across file
+    boundaries, so restarts can occur MID-batch and are split into
+    monotonic segments) forces a flush, preserving the strictly-
+    increasing-per-run invariant.
     """
     cfg = cfg or BuildConfig()
     pattern = re.compile(cfg.token_pattern)
@@ -194,115 +200,104 @@ def extract_runs(
     with_pos = cfg.index_positions
 
     def kernel(it):
-        acc: dict[tuple, list] = {}
+        d_buf: list = []
+        t_buf: list = []
+        l_buf: list = []
+        k_buf: list = []
+        p_buf: list = []
+        term_ids: dict = {}      # term -> task-level tid
+        terms_list: list = []    # tid -> term
         held = 0
         last_doc = -1
 
         def flush():
-            nonlocal acc, held
-            if not acc:
+            nonlocal held
+            if not held:
                 return pd.DataFrame([], columns=RUNS_COLS)
-            # one vectorized encode pass over ALL runs in the window:
-            # per-run numpy-call overhead dominated the pairs stage when
-            # encoding ~3 tiny arrays per (term, part_id) run
-            d_parts, t_parts, l_parts, p_parts, meta = [], [], [], [], []
-            for (term, pid), chunks in acc.items():
-                one = len(chunks) == 1
-                d = chunks[0][0] if one else np.concatenate(
-                    [c[0] for c in chunks])
-                t = chunks[0][1] if one else np.concatenate(
-                    [c[1] for c in chunks])
-                dl = chunks[0][2] if one else np.concatenate(
-                    [c[2] for c in chunks])
-                d_parts.append(d)
-                t_parts.append(t)
-                l_parts.append(dl)
-                if with_pos:
-                    p_parts.append(chunks[0][3] if one else np.concatenate(
-                        [c[3] for c in chunks]))
-                meta.append((term, int(pid), int(d[0]), int(d[-1]), d.size))
-            sizes = np.array([m[4] for m in meta], dtype=np.int64)
-            starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
-            D = np.concatenate(d_parts)
+            D = np.concatenate(d_buf)
+            T = np.concatenate(t_buf)
+            L = np.concatenate(l_buf)
+            K = np.concatenate(k_buf)
+            order = np.argsort(K, kind="stable")  # stable: doc order kept
+            Ks = K[order]
+            if with_pos:
+                P = permute_pair_payload(np.concatenate(p_buf), T, order)
+            D, T, L = D[order], T[order], L[order]
+            newg = np.ones(Ks.size, dtype=bool)
+            newg[1:] = Ks[1:] != Ks[:-1]
+            starts = np.flatnonzero(newg)
+            sizes = np.diff(np.append(starts, Ks.size))
+            ends = starts + sizes
+            # doc-id gaps, absolute at each run start; strict-increase
+            # check covers cross-batch appends within a window too
             gaps = np.empty_like(D)
             gaps[0] = D[0]
             np.subtract(D[1:], D[:-1], out=gaps[1:])
-            gaps[starts] = D[starts]  # absolute first doc per run
+            gaps[starts] = D[starts]
             interior = np.ones(D.size, dtype=bool)
             interior[starts] = False
             if interior.any() and gaps[interior].min() <= 0:
                 raise ValueError("run doc_ids must be strictly increasing")
-            T = np.concatenate(t_parts)
             doc_b = encode_varints_grouped(gaps, starts)
             tf_b = encode_varints_grouped(T, starts)
-            dl_b = encode_varints_grouped(np.concatenate(l_parts), starts)
+            dl_b = encode_varints_grouped(L, starts)
             if with_pos:
-                # positions: flat per run in pair order; gap-transform
-                # with absolute value at every PAIR start, grouped-encode
-                # with run boundaries in value space
-                P = np.concatenate(p_parts)
                 pair_starts = np.concatenate(([0], np.cumsum(T)[:-1]))
                 pgaps = np.empty_like(P)
                 if P.size:
                     pgaps[0] = P[0]
                     np.subtract(P[1:], P[:-1], out=pgaps[1:])
                     pgaps[pair_starts] = P[pair_starts]
-                run_pos_sizes = np.array(
-                    [p.size for p in p_parts], dtype=np.int64)
-                run_pos_starts = np.concatenate(
-                    ([0], np.cumsum(run_pos_sizes)[:-1]))
-                pos_b = encode_varints_grouped(pgaps, run_pos_starts)
+                run_cum = np.concatenate(([0], np.cumsum(T)))
+                pos_b = encode_varints_grouped(pgaps, run_cum[starts])
             else:
-                pos_b = [b""] * len(meta)
+                pos_b = [b""] * starts.size
+            tids = (Ks[starts] // n_parts).astype(np.int64).tolist()
+            pids = (Ks[starts] % n_parts).astype(np.int64).tolist()
+            firsts = D[starts].tolist()
+            lasts = D[ends - 1].tolist()
+            sz = sizes.tolist()
             rows = [
-                (m[0], m[1], m[2], m[3], int(m[4]), doc_b[i], tf_b[i],
-                 dl_b[i], pos_b[i])
-                for i, m in enumerate(meta)
+                (terms_list[tids[i]], int(pids[i]), int(firsts[i]),
+                 int(lasts[i]), int(sz[i]), doc_b[i], tf_b[i], dl_b[i],
+                 pos_b[i])
+                for i in range(starts.size)
             ]
-            acc = {}
+            d_buf.clear(); t_buf.clear(); l_buf.clear()
+            k_buf.clear(); p_buf.clear()
             held = 0
             return pd.DataFrame(rows, columns=RUNS_COLS)
 
         def accumulate(out, docs_a, posflat):
-            """Group one monotonic pair block by (term, part_id) and
-            append to the run accumulators; flush past the memory bound."""
             nonlocal held
             terms = out["term"].to_numpy(dtype=object)
-            tfs = out["tf"].to_numpy(np.int64)
-            dls = out["dl"].to_numpy(np.int64)
             pids = (
                 plan.assign(terms, docs_a)
                 if plan is not None
                 else np.zeros(len(out), dtype=np.int32)
             )
             codes, uniq = pd.factorize(terms, sort=False)
-            key = codes.astype(np.int64) * n_parts + pids
-            order = np.argsort(key, kind="stable")  # stable: doc order kept
-            k_s = key[order]
-            newg = np.ones(k_s.size, dtype=bool)
-            newg[1:] = k_s[1:] != k_s[:-1]
-            starts = np.flatnonzero(newg)
-            ends = np.append(starts[1:], k_s.size)
-            d_s, t_s, l_s = docs_a[order], tfs[order], dls[order]
-            c_s, p_s = codes[order], pids[order]
+            # batch-local codes -> task-level tids (one light dict op
+            # per batch-DISTINCT term; no per-group slicing)
+            tid_map = np.empty(len(uniq), dtype=np.int64)
+            for j, term in enumerate(uniq):
+                tid = term_ids.get(term)
+                if tid is None:
+                    tid = len(terms_list)
+                    term_ids[term] = tid
+                    terms_list.append(term)
+                tid_map[j] = tid
+            k_buf.append(tid_map[codes] * n_parts + pids)
+            d_buf.append(docs_a)
+            t_buf.append(out["tf"].to_numpy(np.int64))
+            l_buf.append(out["dl"].to_numpy(np.int64))
             if with_pos:
-                pos_sorted = permute_pair_payload(posflat, tfs, order)
-                cumtf_s = np.concatenate(([0], np.cumsum(t_s)))
-            for gi, (lo, hi) in enumerate(zip(starts, ends)):
-                kk = (uniq[c_s[lo]], int(p_s[lo]))
-                chunk = (d_s[lo:hi], t_s[lo:hi], l_s[lo:hi])
-                if with_pos:
-                    chunk = chunk + (pos_sorted[cumtf_s[lo]:cumtf_s[hi]],)
-                acc.setdefault(kk, []).append(chunk)
+                p_buf.append(posflat)
             held += len(out)
 
         for pdf in it:
-            # An Arrow batch can span staged-file boundaries (the Python
-            # runner re-batches the partition iterator at
-            # maxRecordsPerBatch, ignoring files), so doc_id order can
-            # restart INSIDE a batch when small files are coalesced into
-            # one split. Process each monotonic segment separately and
-            # flush at every restart so runs stay strictly increasing.
+            # Arrow batches span staged-file boundaries; split into
+            # monotonic doc_id segments and flush at every restart
             ids_all = pdf["doc_id"].to_numpy()
             restarts = (np.flatnonzero(ids_all[1:] < ids_all[:-1]) + 1
                         if len(ids_all) > 1 else np.array([], dtype=np.int64))
