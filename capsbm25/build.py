@@ -141,6 +141,11 @@ def build_index(
         from pyspark.sql import Observation
 
         docs = assign_doc_ids(transcripts, cfg, method="distributed", with_dl=True)
+        # stage only what downstream stages read: doc_id+text feed run
+        # extraction, (conv_id, turn_idx, dl) feed doc_stats. role/tool/
+        # ts stay in the source table — writing them here would add
+        # ~25% to the largest write of the build for no consumer.
+        docs = docs.select("doc_id", "conv_id", "turn_idx", "dl", "text")
         obs = Observation("docs")
         docs = docs.observe(obs, F.count(F.lit(1)).alias("n"),
                             F.sum("dl").alias("sum_dl"))
