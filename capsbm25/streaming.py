@@ -75,7 +75,9 @@ def process_batch(
     offset = stats["N"]
 
     docs = assign_doc_ids(batch_df, cfg, method="distributed", with_dl=True)
-    docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+    docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(offset)).select(
+        "doc_id", "conv_id", "turn_idx", "dl", "text"
+    )
     seg = os.path.join(out_dir, "segments", f"seg={batch_id}")
     docs.write.mode("overwrite").parquet(os.path.join(seg, "docs"))
     docs = spark.read.parquet(os.path.join(seg, "docs"))
