@@ -45,12 +45,26 @@ class PartitionPlan:
         part = np.searchsorted(
             np.array(self.splitters, dtype=object), t, side="right"
         ).astype(np.int32)
-        for term, (base, nb) in self.hot_terms.items():
-            m = t == term
-            if m.any():
-                part[m] = base + (
-                    np.asarray(doc_ids)[m].astype(np.int64) % nb
-                ).astype(np.int32)
+        if self.hot_terms and t.size:
+            # one factorize + dict lookups over the DISTINCT terms —
+            # a per-hot-term object-equality scan costs n_hot full
+            # passes over every pair in the batch
+            codes, uniq = pd.factorize(t, sort=False)
+            base_u = np.fromiter(
+                (self.hot_terms.get(u, (-1, 1))[0] for u in uniq),
+                dtype=np.int64, count=len(uniq),
+            )
+            nb_u = np.fromiter(
+                (self.hot_terms.get(u, (-1, 1))[1] for u in uniq),
+                dtype=np.int64, count=len(uniq),
+            )
+            base_r = base_u[codes]
+            hot = base_r >= 0
+            if hot.any():
+                ids = np.asarray(doc_ids)[hot].astype(np.int64)
+                part[hot] = (base_r[hot] + ids % nb_u[codes][hot]).astype(
+                    np.int32
+                )
         return part
 
     def is_hot(self, term: str) -> bool:
