@@ -509,17 +509,26 @@ def _run_phrase_kernel(matched, N, avgdl, cfg) -> DataFrame:
 
 
 def _run_phrase_distributed(matched, df_map, N, avgdl, cfg) -> DataFrame:
-    """Scale path: map-side kernels explode matched postings into one
-    row PER (query, term, doc) carrying that doc's positions; per-doc
-    verification + scoring happens in tiny (query_id, doc_id) groups.
-    Shuffle volume is Σ df x (positions per pair) over the phrase's
-    terms — rows, never whole posting lists, so a stopword-grade phrase
-    term cannot OOM a task."""
+    """Scale path, two passes so positions only ship for AND candidates:
+
+    1. NARROW pass — one row per (query, term, doc) with the BM25
+       contribution (16-byte payload, no positions); a built-in
+       aggregate keeps only docs containing ALL distinct phrase terms
+       and already carries their final score.
+    2. POSITIONS pass — the explode re-runs with the positional payload
+       and joins against the (small) AND-candidate set; with AQE the
+       candidate side broadcasts, so position rows for non-candidates
+       are dropped map-side and never shuffled. Verification then runs
+       in tiny (query_id, doc_id) groups.
+
+    No task ever holds a whole posting list, and the expensive payload
+    volume is O(candidates x tf), not O(Σ df x tf) — a stopword-grade
+    phrase term costs one narrow shuffle, not a positional one (at the
+    price of decoding the matched postings twice, which is cheap next
+    to shuffled bytes at cluster scale)."""
     from capsbm25.codec import decode_pair_positions
 
-    # df_map: global per-term df from _term_df_map (pre-query-join)
-
-    def explode_rows(it):
+    def narrow_rows(it):
         for pdf in it:
             for row in pdf.itertuples(index=False):
                 if len(row.pos) == 0:
@@ -528,8 +537,6 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg) -> DataFrame:
                         "index_positions=True (pos payload is empty)"
                     )
                 docs, tfs, dls = _decode_posting(row)
-                pos = decode_pair_positions(row.pos, tfs)
-                bounds = np.concatenate(([0], np.cumsum(tfs)))
                 sc = term_scores(
                     tfs, dls, float(idf_fn(N, df_map[row.term])),
                     avgdl, cfg.k1, cfg.b,
@@ -540,59 +547,83 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg) -> DataFrame:
                         "term": np.full(docs.size, row.term, dtype=object),
                         "doc_id": docs.astype(np.int64),
                         "contrib": sc,
-                        "positions": [
-                            pos[bounds[i]:bounds[i + 1]].tolist()
-                            for i in range(docs.size)
-                        ],
                         "k": np.full(docs.size, row.k, np.int32),
                         "phrase": np.full(docs.size, row.phrase, dtype=object),
                     }
                 )
 
-    c = matched.mapInPandas(
-        explode_rows,
+    n1 = matched.mapInPandas(
+        narrow_rows,
         schema="query_id int, term string, doc_id long, contrib double, "
-               "positions array<long>, k int, phrase string",
+               "k int, phrase string",
+    )
+    n_distinct = F.size(F.array_distinct(F.split(F.col("phrase"), "\x1f")))
+    and_docs = (
+        n1.groupBy("query_id", "doc_id")
+        .agg(
+            F.count_distinct("term").alias("nm"),
+            F.sum("contrib").alias("score"),
+            F.first("k").alias("k"),
+            F.first("phrase").alias("phrase"),
+        )
+        .where(F.col("nm") == n_distinct)
+        .drop("nm", "phrase")
     )
 
+    def pos_rows(it):
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                docs, tfs, _ = _decode_posting(row)
+                pos = decode_pair_positions(row.pos, tfs)
+                bounds = np.concatenate(([0], np.cumsum(tfs)))
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(docs.size, row.query_id, np.int32),
+                        "term": np.full(docs.size, row.term, dtype=object),
+                        "doc_id": docs.astype(np.int64),
+                        "positions": [
+                            pos[bounds[i]:bounds[i + 1]].tolist()
+                            for i in range(docs.size)
+                        ],
+                        "phrase": np.full(docs.size, row.phrase, dtype=object),
+                    }
+                )
+
+    p = matched.mapInPandas(
+        pos_rows,
+        schema="query_id int, term string, doc_id long, "
+               "positions array<long>, phrase string",
+    )
+    joined = p.join(and_docs, ["query_id", "doc_id"])
+
     def verify(key, pdf):
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype=np.int32),
+             "doc_id": pd.Series(dtype=np.int64),
+             "score": pd.Series(dtype=np.float64),
+             "k": pd.Series(dtype=np.int32)}
+        )
         phrase = pdf["phrase"].iloc[0].split("\x1f")
-        distinct = set(phrase)
         # a doc lives in one segment/salt bucket, so (term -> one row);
         # guard anyway by concatenating duplicate-term positions
         by_term: dict[str, np.ndarray] = {}
-        score = 0.0
         for term, grp in pdf.groupby("term", sort=True):
             by_term[term] = np.sort(
-                np.concatenate([np.asarray(p, dtype=np.int64)
-                                for p in grp["positions"]])
-            )
-            score += float(grp["contrib"].sum())
-        if len(by_term) < len(distinct):
-            return pd.DataFrame(
-                {"query_id": pd.Series(dtype=np.int32),
-                 "doc_id": pd.Series(dtype=np.int64),
-                 "score": pd.Series(dtype=np.float64),
-                 "k": pd.Series(dtype=np.int32)}
+                np.concatenate([np.asarray(pp, dtype=np.int64)
+                                for pp in grp["positions"]])
             )
         s = by_term[phrase[0]]
         for off, tok in enumerate(phrase[1:], start=1):
             s = np.intersect1d(s, by_term[tok] - off, assume_unique=True)
             if s.size == 0:
-                break
-        if s.size == 0:
-            return pd.DataFrame(
-                {"query_id": pd.Series(dtype=np.int32),
-                 "doc_id": pd.Series(dtype=np.int64),
-                 "score": pd.Series(dtype=np.float64),
-                 "k": pd.Series(dtype=np.int32)}
-            )
+                return empty
         return pd.DataFrame(
             {"query_id": [int(key[0])], "doc_id": [int(key[1])],
-             "score": [score], "k": [int(pdf["k"].iloc[0])]}
+             "score": [float(pdf["score"].iloc[0])],
+             "k": [int(pdf["k"].iloc[0])]}
         )
 
-    verified = c.groupBy("query_id", "doc_id").applyInPandas(
+    verified = joined.groupBy("query_id", "doc_id").applyInPandas(
         verify, schema="query_id int, doc_id long, score double, k int"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
