@@ -393,12 +393,18 @@ def q_bm25_topk_and(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """Rows-only: LSH-bucketed approximate NN (the scale path; recall
-    vs the exact brute force is asserted in tests/test_dataops.py)."""
+    """LSH-bucketed approximate NN (the scale path), parameterized for
+    recall 1.0 on the driver embeddings so the exact-cosine SQL is a
+    valid oracle. The driver vectors are isotropic (max cos ~0.37 —
+    below the ~0.7 regime where angular LSH separates, see
+    dataops.embedding_neardup_lsh), so recall-1.0 buckets admit most of
+    this small corpus; bucket SELECTIVITY at high cosine is asserted on
+    clustered vectors in tests/test_dataops.py, and param drift breaking
+    exactness here fails test_ann_driver_entries_exact."""
     from capsbm25.dataops import ann_lsh_topk
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return ann_lsh_topk(emb, query_vec_id=0, k=10)
+    return ann_lsh_topk(emb, query_vec_id=0, k=10, n_planes=3, n_tables=16)
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -431,13 +437,19 @@ def q_embedding_neardup(spark, sf_dir):
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-cell ANN (second scale path next to LSH): driver-trained
     spherical k-means on a bounded seeded sample, Arrow-kernel cell
-    assignment, exact cosine only inside the probed cells. Rows-only
-    (seeded centroids live in numpy; recall is asserted in pytest;
-    the exact baseline ann_cosine_topk carries the SQL oracle)."""
+    assignment, exact cosine inside the probed cells. The driver
+    embeddings are isotropic — the true top-10 measurably spreads
+    across ALL 16 cells at sf0.01 — so the recall-1.0 configuration is
+    n_probe == n_centroids: the oracle then checks the full
+    train/assign/probe pipeline is exact (cells partition the corpus,
+    no vector lost or duplicated). Cell SELECTIVITY (n_probe << cells
+    at high recall) is asserted on clusterable vectors in
+    tests/test_dataops.py; param drift breaking exactness here fails
+    test_ann_driver_entries_exact."""
     from capsbm25.dataops import ann_ivf_topk
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return ann_ivf_topk(emb, query_vec_id=0, k=10, n_centroids=16, n_probe=4)
+    return ann_ivf_topk(emb, query_vec_id=0, k=10, n_centroids=16, n_probe=16)
 
 
 def q_winnow_fingerprint(spark, sf_dir):
@@ -712,6 +724,22 @@ FROM scores ORDER BY score DESC, doc_id LIMIT {BM25_K}
 """
 
 
+_ANN_EXACT_SQL = """
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = 0
+    )
+    SELECT vec_id,
+           round(
+             list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qv, q.qv))),
+           5) AS cos_r
+    FROM embeddings, q WHERE vec_id != 0
+    ORDER BY cos_r DESC, vec_id ASC LIMIT 10"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tokenize_count": f"SELECT doc_id, len({_TOK}) AS n_tokens FROM documents",
@@ -763,9 +791,6 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk": _PHRASE_SQL,
         "bm25_topk_and": _BM25_AND_SQL,
         "bm25_topk_dataframe": _BM25_SQL,
-        # ann_lsh_topk: rows-only (seeded hyperplanes live in numpy; the
-        # exact-cosine baseline ann_cosine_topk has the SQL oracle, and
-        # pytest asserts LSH recall against the exact answer)
         "dedup_exact": """
             SELECT md5(coalesce(text, '')) AS h, count(*) AS n,
                    min(doc_id) AS keep_doc_id
@@ -800,20 +825,13 @@ def oracle_sql() -> dict[str, str]:
                    round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE
                          / greatest(len(toks), 1), 6) AS avg_tok_len_r
             FROM (SELECT doc_id, text, {_TOK} AS toks FROM documents)""",
-        "ann_cosine_topk": """
-            WITH q AS (
-              SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
-              WHERE vec_id = 0
-            )
-            SELECT vec_id,
-                   round(
-                     list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
-                     / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                              CAST(embedding AS DOUBLE[])))
-                        * sqrt(list_dot_product(q.qv, q.qv))),
-                   5) AS cos_r
-            FROM embeddings, q WHERE vec_id != 0
-            ORDER BY cos_r DESC, vec_id ASC LIMIT 10""",
+        "ann_cosine_topk": _ANN_EXACT_SQL,
+        # the approximate paths are parameterized for recall 1.0 on the
+        # driver embeddings (see q_ann_lsh_topk / q_ann_ivf_topk), so
+        # the exact-cosine scan is a valid oracle for them too; pytest
+        # (test_ann_driver_entries_exact) fails loudly on param drift
+        "ann_lsh_topk": _ANN_EXACT_SQL,
+        "ann_ivf_topk": _ANN_EXACT_SQL,
         "minhash_lsh": _MINHASH_SQL,
         "minhash_dedup": f"""
             WITH cand AS ({_MINHASH_SQL}),

@@ -80,14 +80,21 @@ def minhash_lsh_pairs(
     (doc1, doc2) candidate pairs, doc1 < doc2."""
     sig = minhash_signatures(docs, n_hashes)
     rows_per_band = n_hashes // bands
-    buckets = None
-    for b in range(bands):
-        cols = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        part = sig.select(
-            "doc_id",
-            F.md5(F.concat_ws("|", F.lit(str(b)), *cols)).alias("bucket"),
-        )
-        buckets = part if buckets is None else buckets.unionAll(part)
+    # ALL band buckets in one select + explode — a per-band union would
+    # re-execute the tokenize->shingle->minhash tree once per band
+    # (bands full input scans at 100 TB); this shape is one scan per
+    # join side (asserted in tests/test_dataops.py plan test)
+    band_hashes = [
+        F.md5(F.concat_ws(
+            "|", F.lit(str(b)),
+            *[F.col(f"mh{i}")
+              for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
+        ))
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_hashes)).alias("bucket")
+    )
     a, c = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(c, (F.col("a.bucket") == F.col("b.bucket"))

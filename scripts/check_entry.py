@@ -14,7 +14,10 @@ from pyspark.sql import SparkSession
 
 import __spark_entry__ as E
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_args = sys.argv[1:]
+SF = _args[0] if _args and os.path.isdir(_args[0]) else "/root/testdata/sf0.01"
+# remaining (non-directory) args filter which entries run
+ONLY = {a for a in _args if not os.path.isdir(a)}
 
 spark = (
     SparkSession.builder.master("local[8]")
@@ -47,6 +50,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 qs, oracles = E.queries(), E.oracle_sql()
 fails = []
 for name, fn in qs.items():
+    if ONLY and name not in ONLY:
+        continue
     t0 = time.time()
     try:
         got = fn(spark, SF).toPandas()

@@ -252,3 +252,40 @@ def test_ann_ivf_recall(spark):
     recall = len(got & set(exact)) / 10
     assert recall >= 0.6, (recall, got, exact)
     assert len(got) == 10
+
+
+def test_ann_driver_entries_exact(spark):
+    """Drift guard for the driver contract: the LSH and IVF entries are
+    parameterized for recall 1.0 on the driver embeddings, which makes
+    the exact-cosine SQL a valid oracle (CORRECTNESS green rows). If a
+    parameter or kernel change breaks exactness at the correctness SF,
+    this fails before the driver does."""
+    import os
+
+    import __spark_entry__ as E
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        if not os.path.isdir(sf_dir):  # driver data absent in some envs
+            continue
+        exact = [(r.vec_id, r.cos_r)
+                 for r in E.q_ann_cosine_topk(spark, sf_dir).collect()]
+        lsh = [(r.vec_id, r.cos_r)
+               for r in E.q_ann_lsh_topk(spark, sf_dir).collect()]
+        ivf = [(r.vec_id, r.cos_r)
+               for r in E.q_ann_ivf_topk(spark, sf_dir).collect()]
+        assert lsh == exact, f"LSH entry drifted from exact at {sf_dir}"
+        assert ivf == exact, f"IVF entry drifted from exact at {sf_dir}"
+
+
+def test_minhash_lsh_single_scan_plan(spark, tmp_path):
+    """The banding stage must not re-execute the signature pipeline per
+    band: all band buckets come from ONE select + explode, so the final
+    plan reads the input once per join side (2 scans), not per band per
+    side (8 at bands=4)."""
+    p = str(tmp_path / "docs.parquet")
+    _docs(spark, ["alpha beta gamma delta epsilon zeta"] * 6).write.parquet(p)
+    d = spark.read.parquet(p)
+    plan = minhash_lsh_pairs(d, n_hashes=8, bands=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    n_scans = plan.count("Scan parquet")
+    assert n_scans <= 2, f"{n_scans} input scans — per-band recompute is back"
