@@ -488,19 +488,36 @@ def q_binary_features(spark, sf_dir):
 # Deterministic on-disk copy of the fixture transcript corpus so the
 # DuckDB oracle can parquet_scan the SAME input the engine builds from
 # (df/cf per term are order-free, so the oracle needs no doc ids).
-_FIXTURE_CORPUS = "/tmp/capsbm25_fixture_transcripts_120_42.parquet"
+
+
+def _fixture_corpus_path() -> str:
+    """Per-user cache path keyed by the GENERATOR SOURCE: a fixed
+    world-readable /tmp name would (a) go stale if gen_transcripts_pdf
+    changes and (b) trust any pre-planted file on a shared machine as
+    both engine and oracle input."""
+    import hashlib
+    import inspect
+
+    from capsbm25 import fixtures as fx
+
+    src = inspect.getsource(fx.gen_transcripts_pdf) + repr((120, 42))
+    key = hashlib.md5(src.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"capsbm25_{os.getuid()}")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    return os.path.join(d, f"fixture_transcripts_{key}.parquet")
 
 
 def _ensure_fixture_corpus() -> str:
-    if not os.path.exists(_FIXTURE_CORPUS):
+    path = _fixture_corpus_path()
+    if not os.path.exists(path):
         from capsbm25 import fixtures as fx
 
         # atomic publish: a killed/concurrent writer must never leave a
         # truncated parquet that os.path.exists would then trust
-        tmp = f"{_FIXTURE_CORPUS}.{os.getpid()}.tmp"
+        tmp = f"{path}.{os.getpid()}.tmp"
         fx.gen_transcripts_pdf(120, 42).to_parquet(tmp)
-        os.replace(tmp, _FIXTURE_CORPUS)
-    return _FIXTURE_CORPUS
+        os.replace(tmp, path)
+    return path
 
 
 def q_transcripts_postings(spark, sf_dir):
@@ -509,10 +526,10 @@ def q_transcripts_postings(spark, sf_dir):
     against a DuckDB oracle over the identical parquet corpus. pytest
     additionally carries the posting-payload differential
     (tests/test_postings.py)."""
-    _ensure_fixture_corpus()
+    corpus = _ensure_fixture_corpus()
     if "transcripts" not in _BUILT:
         out = os.path.join(tempfile.mkdtemp(prefix="capsbm25_t_"), "idx")
-        tdf = spark.read.parquet(_FIXTURE_CORPUS)
+        tdf = spark.read.parquet(corpus)
         build_index(spark, tdf, out, CFG)
         _BUILT["transcripts"] = {"out": out}
     return load_postings(spark, _BUILT["transcripts"]["out"]).select(

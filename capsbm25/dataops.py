@@ -364,7 +364,16 @@ def langid_heuristic(docs: DataFrame) -> DataFrame:
 
 def events_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: per-user session ids split on inactivity gaps,
-    then per-session aggregates. Pure window functions."""
+    then per-session aggregates. Pure window functions.
+
+    Scale bound: Window.partitionBy(user_id) makes ONE task hold one
+    user's full event history — the standard shape, correct for human
+    users (bounded events/user), but a pathological key (a bot id, a
+    null-ish default id) concentrates in a single task. At 100 TB,
+    either pre-filter such keys, or split them by a coarse time bucket
+    first and stitch sessions across bucket boundaries in a second
+    (cheap, boundary-rows-only) pass; AQE skew handling does not apply
+    to window partitions."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # TIMESTAMP_NTZ has no direct long cast in Spark 4; go via timestamp.
     # Any session-tz offset is constant and cancels in the difference.

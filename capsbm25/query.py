@@ -224,6 +224,7 @@ def bm25_topk(
     prune: bool = True,
     conjunctive: bool = False,
     max_kernel_df: int = 2_000_000,
+    max_kernel_bytes: int = 32 << 20,
 ) -> DataFrame:
     """Top-k BM25 over the index for a batch of queries.
 
@@ -233,8 +234,10 @@ def bm25_topk(
     terms (posting-list intersection — AND semantics); scores are still
     full BM25 over the query terms.
     mode="auto" (default) runs each query through the WAND kernel unless
-    Σ df over its terms exceeds max_kernel_df, in which case that query
-    is routed to the distributed path (both rank-identical, tested).
+    Σ df over its terms exceeds max_kernel_df OR Σ encoded payload bytes
+    exceeds max_kernel_bytes (positions make bytes/df vary ~10x, so df
+    alone under-estimates task memory), in which case that query is
+    routed to the distributed path (both rank-identical, tested).
     """
     cfg = cfg or BuildConfig()
     qt = _query_terms_pdf(queries, cfg)
@@ -257,12 +260,22 @@ def bm25_topk(
         # = #query terms, pushdown-pruned scan) serves both the routing
         # sums (computed driver-side from qt) and the distributed
         # path's global df — no per-query scan, no second df scan.
-        df_map = _term_df_map(filtered)
-        sums = qt.assign(d=qt["term"].map(df_map).fillna(0))                  .groupby("query_id")["d"].sum()
-        heavy = sorted(int(q_) for q_, s in sums.items()
-                       if s > max_kernel_df)
+        df_map, bytes_map = _term_stats_map(filtered)
+        stats = qt.assign(
+            d=qt["term"].map(df_map).fillna(0),
+            nb=qt["term"].map(bytes_map).fillna(0),
+        ).groupby("query_id")[["d", "nb"]].sum()
+        heavy = sorted(
+            int(q_) for q_, row in stats.iterrows()
+            if row["d"] > max_kernel_df or row["nb"] > max_kernel_bytes
+        )
         if not heavy:
             mode = "kernel"
+        elif len(heavy) == stats.shape[0]:
+            # every query is heavy — don't schedule an empty kernel side
+            return _run_distributed(
+                matched, df_map, N, avgdl, cfg, conjunctive
+            ).orderBy("query_id", "rank")
         else:
             light = _run_kernel(
                 matched.where(~F.col("query_id").isin(heavy)),
@@ -293,6 +306,23 @@ def _term_df_map(filtered: DataFrame) -> dict:
     shared by q queries). One tiny driver row per distinct query term."""
     rows = filtered.groupBy("term").agg(F.sum("df").alias("d")).collect()
     return {r["term"]: int(r["d"]) for r in rows}
+
+
+def _term_stats_map(filtered: DataFrame) -> tuple[dict, dict]:
+    """(df_map, bytes_map) per query term, one aggregate. bytes = the
+    ENCODED payload the kernel task would have to hold — df alone
+    under-estimates task memory ~10x once positions are indexed (payload
+    per df entry is tf-dependent), so auto-routing bounds both."""
+    size = (F.octet_length("doc_ids") + F.octet_length("tfs")
+            + F.octet_length("dls"))
+    if "pos" in filtered.columns:
+        size = size + F.coalesce(F.octet_length("pos"), F.lit(0))
+    rows = filtered.groupBy("term").agg(
+        F.sum("df").alias("d"),
+        F.sum(size).cast("long").alias("nbytes"),
+    ).collect()
+    return ({r["term"]: int(r["d"]) for r in rows},
+            {r["term"]: int(r["nbytes"]) for r in rows})
 
 
 def _run_kernel(matched, N, avgdl, cfg, prune, conjunctive) -> DataFrame:
@@ -391,6 +421,7 @@ def phrase_topk(
     cfg: BuildConfig | None = None,
     mode: str = "auto",
     max_kernel_df: int = 2_000_000,
+    max_kernel_bytes: int = 32 << 20,
 ) -> DataFrame:
     """Exact phrase top-k: docs containing the query tokens CONSECUTIVELY
     in order, ranked by BM25 over the phrase's distinct terms — the
@@ -424,12 +455,21 @@ def phrase_topk(
     matched = filtered.join(F.broadcast(qdf), "term")
 
     if mode == "auto":
-        df_map = _term_df_map(filtered)
-        sums = qt.assign(d=qt["term"].map(df_map).fillna(0))                  .groupby("query_id")["d"].sum()
-        heavy = sorted(int(q_) for q_, s in sums.items()
-                       if s > max_kernel_df)
+        df_map, bytes_map = _term_stats_map(filtered)
+        stats = qt.assign(
+            d=qt["term"].map(df_map).fillna(0),
+            nb=qt["term"].map(bytes_map).fillna(0),
+        ).groupby("query_id")[["d", "nb"]].sum()
+        heavy = sorted(
+            int(q_) for q_, row in stats.iterrows()
+            if row["d"] > max_kernel_df or row["nb"] > max_kernel_bytes
+        )
         if not heavy:
             mode = "kernel"
+        elif len(heavy) == stats.shape[0]:
+            return _run_phrase_distributed(
+                matched, df_map, N, avgdl, cfg
+            ).orderBy("query_id", "rank")
         else:
             light = _run_phrase_kernel(
                 matched.where(~F.col("query_id").isin(heavy)), N, avgdl, cfg
@@ -448,6 +488,66 @@ def phrase_topk(
             matched, _term_df_map(filtered), N, avgdl, cfg
         ).orderBy("query_id", "rank")
     raise ValueError(mode)
+
+
+def _gather_ranges(values: np.ndarray, starts: np.ndarray,
+                   ends: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate values[starts[i]:ends[i]] for all i without a Python
+    loop. Returns (gathered, lens)."""
+    lens = ends - starts
+    total = int(lens.sum())
+    if total == 0:
+        return values[:0], lens
+    offsets = np.cumsum(lens) - lens  # start of each range in output
+    idx = np.arange(total, dtype=np.int64) \
+        - np.repeat(offsets, lens) + np.repeat(starts, lens)
+    return values[idx], lens
+
+
+def _phrase_occurrences(
+    phrase: list[str], term_data: dict, cand: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized consecutive-position verify over ALL candidate docs at
+    once (replaces the per-doc Python loop): encode each candidate's
+    (doc, pos) pairs as rank(doc) * M + pos composite keys and intersect
+    token streams with per-token offsets. Dense ranks (not raw doc ids)
+    keep the key in int64 at any corpus size. Positions per (term, doc)
+    are strictly increasing by construction, so keys are unique and the
+    sorted intersects are exact.
+
+    term_data: term -> (docs, tfs, dls, pos_flat, bounds) as produced by
+    _merge_term_rows(with_pos=True); cand must be sorted ascending and a
+    subset of every phrase term's docs.
+
+    Returns (hit_docs, n_occurrences) — docs with >= 1 phrase match and
+    the exact (overlap-counting) match count per hit doc.
+    """
+    if cand.size == 0:
+        return cand, np.zeros(0, dtype=np.int64)
+    tok_keys: list[np.ndarray] = []
+    max_pos = 0
+    gathered = {}
+    for tok in dict.fromkeys(phrase):  # each distinct token gathered once
+        docs, _, _, pos, bounds = term_data[tok]
+        ix = np.searchsorted(docs, cand)
+        vals, lens = _gather_ranges(pos, bounds[ix], bounds[ix + 1])
+        gathered[tok] = (vals, lens)
+        if vals.size:
+            max_pos = max(max_pos, int(vals.max()))
+    M = max_pos + len(phrase) + 2
+    for tok in phrase:
+        vals, lens = gathered[tok]
+        ranks = np.repeat(
+            np.arange(cand.size, dtype=np.int64), lens
+        )
+        tok_keys.append(ranks * M + vals)
+    s = tok_keys[0]
+    for off in range(1, len(phrase)):
+        s = np.intersect1d(s, tok_keys[off] - off, assume_unique=True)
+        if s.size == 0:
+            return cand[:0], np.zeros(0, dtype=np.int64)
+    hit_ranks, counts = np.unique(s // M, return_counts=True)
+    return cand[hit_ranks], counts
 
 
 def _run_phrase_kernel(matched, N, avgdl, cfg) -> DataFrame:
@@ -473,24 +573,9 @@ def _run_phrase_kernel(matched, N, avgdl, cfg) -> DataFrame:
             if cand.size == 0:
                 return _empty_result()
 
-        def positions_of(term, doc):
-            docs, _, _, pos, bounds = term_data[term]
-            i = int(np.searchsorted(docs, doc))
-            return pos[bounds[i]:bounds[i + 1]]
-
-        hits = []
-        for d in cand:
-            s = positions_of(phrase[0], d)
-            for off, tok in enumerate(phrase[1:], start=1):
-                s = np.intersect1d(s, positions_of(tok, d) - off,
-                                   assume_unique=True)
-                if s.size == 0:
-                    break
-            if s.size:
-                hits.append(d)
-        if not hits:
+        hit_arr, _ = _phrase_occurrences(phrase, term_data, cand)
+        if hit_arr.size == 0:
             return _empty_result()
-        hit_arr = np.asarray(hits, dtype=np.int64)
         # BM25 over the distinct phrase terms, query-time N/avgdl
         total = np.zeros(hit_arr.size, dtype=np.float64)
         for t in distinct:
@@ -567,32 +652,37 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg) -> DataFrame:
             F.first("phrase").alias("phrase"),
         )
         .where(F.col("nm") == n_distinct)
-        .drop("nm", "phrase")
+        .drop("nm")
     )
 
     def pos_rows(it):
+        # FLAT (query, term, doc, pos) long rows — one np.repeat per
+        # posting row, zero per-doc Python objects. The join against the
+        # (small) AND-candidate set drops non-candidate rows map-side
+        # under AQE broadcast, so none of this ships for a stopword-
+        # grade term; the phrase string rides on the candidate side, not
+        # on these O(cf) rows.
         for pdf in it:
             for row in pdf.itertuples(index=False):
+                if len(row.pos) == 0:
+                    raise ValueError(
+                        "phrase_topk requires an index built with "
+                        "index_positions=True (pos payload is empty)"
+                    )
                 docs, tfs, _ = _decode_posting(row)
                 pos = decode_pair_positions(row.pos, tfs)
-                bounds = np.concatenate(([0], np.cumsum(tfs)))
                 yield pd.DataFrame(
                     {
-                        "query_id": np.full(docs.size, row.query_id, np.int32),
-                        "term": np.full(docs.size, row.term, dtype=object),
-                        "doc_id": docs.astype(np.int64),
-                        "positions": [
-                            pos[bounds[i]:bounds[i + 1]].tolist()
-                            for i in range(docs.size)
-                        ],
-                        "phrase": np.full(docs.size, row.phrase, dtype=object),
+                        "query_id": np.full(pos.size, row.query_id, np.int32),
+                        "term": np.full(pos.size, row.term, dtype=object),
+                        "doc_id": np.repeat(docs, tfs).astype(np.int64),
+                        "pos": pos.astype(np.int64),
                     }
                 )
 
     p = matched.mapInPandas(
         pos_rows,
-        schema="query_id int, term string, doc_id long, "
-               "positions array<long>, phrase string",
+        schema="query_id int, term string, doc_id long, pos long",
     )
     joined = p.join(and_docs, ["query_id", "doc_id"])
 
@@ -604,14 +694,14 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg) -> DataFrame:
              "k": pd.Series(dtype=np.int32)}
         )
         phrase = pdf["phrase"].iloc[0].split("\x1f")
-        # a doc lives in one segment/salt bucket, so (term -> one row);
-        # guard anyway by concatenating duplicate-term positions
-        by_term: dict[str, np.ndarray] = {}
-        for term, grp in pdf.groupby("term", sort=True):
-            by_term[term] = np.sort(
-                np.concatenate([np.asarray(pp, dtype=np.int64)
-                                for pp in grp["positions"]])
-            )
+        # a doc lives in one segment/salt bucket so (term, pos) rows are
+        # unique; np.unique both sorts and guards against duplicates if
+        # that ever changes (a plain sort would break intersect1d's
+        # assume_unique contract)
+        by_term: dict[str, np.ndarray] = {
+            term: np.unique(grp["pos"].to_numpy(dtype=np.int64))
+            for term, grp in pdf.groupby("term", sort=True)
+        }
         s = by_term[phrase[0]]
         for off, tok in enumerate(phrase[1:], start=1):
             s = np.intersect1d(s, by_term[tok] - off, assume_unique=True)

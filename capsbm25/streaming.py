@@ -24,6 +24,8 @@ if strict global key order is required).
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 import time
@@ -39,6 +41,34 @@ from capsbm25.postings import assemble_postings, extract_pairs, extract_runs
 
 def _stats_path(out_dir: str) -> str:
     return os.path.join(out_dir, "stats.json")
+
+
+@contextlib.contextmanager
+def _stats_lock(out_dir: str):
+    """Exclusive advisory lock serializing ALL stats.json mutations
+    (the Lucene write.lock analog). process_batch and compact_segments
+    each do their expensive Spark work lock-free, then re-read + mutate
+    + swap stats.json inside this lock — so a batch can no longer
+    commit between compaction's staleness re-check and its swap (which
+    silently dropped the batch's segment), and a compaction can no
+    longer be clobbered by a batch writing from a pre-compaction
+    snapshot (which lost compact_gen/compacted_from)."""
+    os.makedirs(out_dir, exist_ok=True)
+    fd = os.open(os.path.join(out_dir, "write.lock"),
+                 os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
+def _write_stats(out_dir: str, stats: dict) -> None:
+    tmp = _stats_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, _stats_path(out_dir))
 
 
 def load_stream_stats(out_dir: str) -> dict:
@@ -96,17 +126,31 @@ def process_batch(
     )
     postings.write.mode("overwrite").parquet(os.path.join(seg, "postings"))
 
-    stats["N"] += n_rows
-    stats["total_dl"] += int(seg_dl)
-    stats.setdefault("config", cfg.persist_dict())
-    stats["segments"].append(
-        {"id": batch_id, "rows": n_rows, "dl": int(seg_dl),
-         "sec": round(time.time() - t0, 3)}
-    )
-    tmp = _stats_path(out_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(stats, f)
-    os.replace(tmp, _stats_path(out_dir))
+    # COMMIT under the write lock: re-load stats so a compaction that
+    # swapped the segment list mid-batch is merged with, not clobbered
+    # (compaction preserves N/total_dl, so the doc-id offset taken at
+    # batch start stays valid; concurrent BATCH writers on one out_dir
+    # are not supported and are detected below).
+    with _stats_lock(out_dir):
+        cur = load_stream_stats(out_dir)
+        ingested_now = {s["id"] for s in cur["segments"]}
+        ingested_now.update(cur.get("compacted_from", []))
+        if batch_id in ingested_now:
+            return  # lost a replay race — already committed
+        if cur["N"] != offset:
+            raise RuntimeError(
+                f"stats.json N moved {offset} -> {cur['N']} during batch "
+                f"{batch_id}: concurrent segment writers on one index "
+                "directory are not supported (doc-id ranges would overlap)"
+            )
+        cur["N"] += n_rows
+        cur["total_dl"] += int(seg_dl)
+        cur.setdefault("config", cfg.persist_dict())
+        cur["segments"].append(
+            {"id": batch_id, "rows": n_rows, "dl": int(seg_dl),
+             "sec": round(time.time() - t0, 3)}
+        )
+        _write_stats(out_dir, cur)
 
 
 def start_incremental_build(
@@ -222,36 +266,36 @@ def compact_segments(
     seg_id = f"compacted-{gen}"
     seg = os.path.join(out_dir, "segments", f"seg={seg_id}", "postings")
     merged.write.mode("overwrite").parquet(seg)
-    # optimistic concurrency: a batch committed while we merged would be
-    # silently dropped by the stats swap below (its checkpoint marks it
-    # done, so it would never replay). Abort if the segment list moved.
+    # staleness re-check + swap ATOMICALLY under the write lock: batch
+    # commits also serialize on it, so none can land between the check
+    # and the os.replace (the round-2 check-then-swap race). A batch
+    # that committed while we merged still aborts us cleanly here.
     ids_at_start = [s["id"] for s in stats["segments"]]
-    now = load_stream_stats(out_dir)
-    if [s["id"] for s in now["segments"]] != ids_at_start:
-        import shutil
+    with _stats_lock(out_dir):
+        now = load_stream_stats(out_dir)
+        if [s["id"] for s in now["segments"]] != ids_at_start:
+            import shutil
 
-        shutil.rmtree(os.path.dirname(seg), ignore_errors=True)
-        return {"compacted": False, "aborted": "segments changed during "
-                "compaction — rerun (or pause the stream)"}
-    new_stats = {
-        "N": stats["N"],
-        "total_dl": stats["total_dl"],
-        "config": stats.get("config", cfg.persist_dict()),
-        "compact_gen": gen,
-        "segments": [{"id": seg_id, "rows": stats["N"],
-                      "dl": stats["total_dl"], "sec": 0.0}],
-        # UNION with the previous compaction's ids — dropping them would
-        # let a streaming replay re-ingest pre-compaction batches
-        "compacted_from": sorted(
-            set(stats.get("compacted_from", []))
-            | {s["id"] for s in stats["segments"]},
-            key=str,
-        ),
-    }
-    tmp = _stats_path(out_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(new_stats, f)
-    os.replace(tmp, _stats_path(out_dir))
+            shutil.rmtree(os.path.dirname(seg), ignore_errors=True)
+            return {"compacted": False, "aborted": "segments changed "
+                    "during compaction — rerun (or pause the stream)"}
+        new_stats = {
+            "N": now["N"],
+            "total_dl": now["total_dl"],
+            "config": now.get("config", cfg.persist_dict()),
+            "compact_gen": gen,
+            "segments": [{"id": seg_id, "rows": now["N"],
+                          "dl": now["total_dl"], "sec": 0.0}],
+            # UNION with the previous compaction's ids — dropping them
+            # would let a streaming replay re-ingest pre-compaction
+            # batches
+            "compacted_from": sorted(
+                set(now.get("compacted_from", []))
+                | {s["id"] for s in now["segments"]},
+                key=str,
+            ),
+        }
+        _write_stats(out_dir, new_stats)
     return {"compacted": True, "segments_before": len(stats["segments"])}
 
 

@@ -289,3 +289,28 @@ def test_minhash_lsh_single_scan_plan(spark, tmp_path):
         .executedPlan().toString()
     n_scans = plan.count("Scan parquet")
     assert n_scans <= 2, f"{n_scans} input scans — per-band recompute is back"
+
+
+def test_sessionize_single_hot_user_correct(spark):
+    """Sessionization with one dominant key stays correct (the skew is
+    a latency concern, not a correctness one — see docstring note)."""
+    import datetime as dt
+
+    from capsbm25.dataops import events_sessionize
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    # hot user: 300 events, a >30min gap every 100 events -> 3 sessions
+    for i in range(300):
+        rows.append(("hot", i, t0 + dt.timedelta(minutes=(i // 100) * 60 + (i % 100) * 0.1), 1.0))
+    # cold user: 2 events in one session
+    rows.append(("cold", 900, t0, 2.0))
+    rows.append(("cold", 901, t0 + dt.timedelta(minutes=5), 3.0))
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value"])
+    )
+    got = {(r.user_id, r.session_id): r.n_events
+           for r in events_sessionize(ev, gap_minutes=30).collect()}
+    assert got[("hot", 1)] == 100 and got[("hot", 2)] == 100 \
+        and got[("hot", 3)] == 100
+    assert got[("cold", 1)] == 2

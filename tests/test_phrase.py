@@ -130,3 +130,44 @@ def test_validator_flags_missing_pos_payload(pos_index):
     stripped = pos_index["postings"].withColumn("pos", F.lit(b""))
     out = validate_postings(stripped, pos_index["cfg"])
     assert out["violations"] > 0
+
+
+def test_bytes_routing_forces_distributed(pos_index, spark, monkeypatch):
+    """Auto-routing must bound the kernel task by ENCODED PAYLOAD BYTES,
+    not just sum-df: with positions indexed, payload per df entry varies
+    ~10x, so a fat positional posting must route to the distributed path
+    even when sum-df is far below max_kernel_df."""
+    import capsbm25.query as qmod
+
+    res, cfg, oracle = pos_index["res"], pos_index["cfg"], pos_index["oracle"]
+    toks = oracle.docs[0]
+    queries = pd.DataFrame({
+        "query_id": np.array([0], dtype=np.int32),
+        "text": [" ".join(toks[2:5])],
+        "k": np.array([5], dtype=np.int32),
+    })
+    want = oracle.phrase_topk_pdf(queries)
+
+    calls = {"kernel": 0, "distributed": 0}
+    real_k, real_d = qmod._run_phrase_kernel, qmod._run_phrase_distributed
+
+    def spy_k(*a, **kw):
+        calls["kernel"] += 1
+        return real_k(*a, **kw)
+
+    def spy_d(*a, **kw):
+        calls["distributed"] += 1
+        return real_d(*a, **kw)
+
+    monkeypatch.setattr(qmod, "_run_phrase_kernel", spy_k)
+    monkeypatch.setattr(qmod, "_run_phrase_distributed", spy_d)
+
+    got = phrase_topk(
+        spark, pos_index["postings"], queries, res.N, res.avgdl, cfg,
+        mode="auto", max_kernel_df=10_000_000, max_kernel_bytes=16,
+    ).toPandas()
+    assert calls == {"kernel": 0, "distributed": 1}, calls
+    g = got.sort_values("rank")
+    w = want[want.query_id == 0].sort_values("rank")
+    assert list(g.doc_id) == list(w.doc_id)
+    assert np.allclose(g.score, w.score, atol=1e-9)

@@ -170,3 +170,78 @@ def test_compaction_preserves_rank_identity(streamed, spark):
     after = load_stream_stats(out)
     assert after["N"] == stats["N"]
     assert len(after["segments"]) == 1
+
+
+def test_batch_commit_merges_with_midbatch_compaction(streamed, spark,
+                                                      monkeypatch):
+    """A compaction that swaps stats.json while a batch is mid-build
+    must be MERGED with at commit, not clobbered from the batch's
+    startup snapshot (which lost compact_gen/compacted_from and made
+    the next compaction restart at generation 1)."""
+    import shutil
+
+    import capsbm25.streaming as sm
+
+    out = streamed["out"] + "_race1"
+    shutil.copytree(streamed["out"], out, dirs_exist_ok=True)
+
+    new_pdf = fx.gen_transcripts_pdf(10, 77)
+    bdf = spark.createDataFrame(new_pdf)
+
+    real_assign = sm.assign_doc_ids
+    fired = {}
+
+    def hook(df, cfg, **kw):
+        # runs after process_batch snapshots stats, before its commit
+        if not fired:
+            fired["r"] = sm.compact_segments(spark, out, streamed["cfg"])
+        return real_assign(df, cfg, **kw)
+
+    monkeypatch.setattr(sm, "assign_doc_ids", hook)
+    sm.process_batch(spark, bdf, 99, out, streamed["cfg"])
+
+    assert fired["r"]["compacted"], fired["r"]
+    stats = load_stream_stats(out)
+    assert stats.get("compact_gen") == 1, "batch clobbered the compaction"
+    assert [s["id"] for s in stats["segments"]] == ["compacted-1", 99]
+    assert set(stats.get("compacted_from", [])) == {0, 1, 2}
+    assert stats["N"] == len(streamed["pdf"]) + len(new_pdf)
+
+
+def test_compaction_aborts_when_batch_lands_during_merge(streamed, spark,
+                                                         monkeypatch):
+    """The inverse race: a batch committing while compaction merges must
+    abort the compaction (check + swap are atomic under the write lock),
+    never be dropped from the segment list."""
+    import shutil
+
+    import capsbm25.postings as pmod
+    import capsbm25.streaming as sm
+
+    out = streamed["out"] + "_race2"
+    shutil.copytree(streamed["out"], out, dirs_exist_ok=True)
+
+    new_pdf = fx.gen_transcripts_pdf(8, 88)
+    bdf = spark.createDataFrame(new_pdf)
+
+    real_merge = pmod.merge_hot_partials
+    fired = {}
+
+    def hook(*a, **kw):
+        if not fired:
+            fired["x"] = True
+            sm.process_batch(spark, bdf, 98, out, streamed["cfg"])
+        return real_merge(*a, **kw)
+
+    monkeypatch.setattr(pmod, "merge_hot_partials", hook)
+    r = sm.compact_segments(spark, out, streamed["cfg"])
+    assert not r["compacted"] and "aborted" in r, r
+
+    stats = load_stream_stats(out)
+    ids = [s["id"] for s in stats["segments"]]
+    assert 98 in ids, "the interleaved batch's segment was dropped"
+    assert ids[:3] == [0, 1, 2]
+    assert stats["N"] == len(streamed["pdf"]) + len(new_pdf)
+    # the aborted compaction's segment dir must not linger
+    segdirs = os.listdir(os.path.join(out, "segments"))
+    assert not any("compacted" in d for d in segdirs), segdirs
