@@ -207,6 +207,57 @@ def q_phrase_topk(spark, sf_dir):
     )
 
 
+SUBSTRING_PATTERN = "e hash"   # crosses a token boundary — a word
+SUBSTRING_K = 15               # index cannot answer this, chargrams can
+
+
+def _char_index_for(spark: SparkSession, sf_dir: str) -> dict:
+    """Build (once per sf_dir) a CHARGRAM positional index over
+    documents — enables char-granular substring queries, the graft
+    analog of the reference suffix array's any-substring search
+    (upper_bound, /root/reference/src/Suffix_Array.cpp:252-297)."""
+    import dataclasses
+
+    key = ("char", sf_dir)
+    if key not in _BUILT:
+        out = os.path.join(tempfile.mkdtemp(prefix="capsbm25_chr_"), "idx")
+        cfg = dataclasses.replace(
+            CFG, tokenizer="chargram", chargram_n=3, index_positions=True
+        )
+        res = build_index(
+            spark, _as_transcripts(_documents(spark, sf_dir)), out, cfg
+        )
+        _BUILT[key] = {"res": res, "out": out, "cfg": cfg}
+    return _BUILT[key]
+
+
+def q_substring_topk(spark, sf_dir):
+    """Char-granular substring top-k over the chargram positional index;
+    score = exact (overlap-counting) occurrence count. Oracle: a naive
+    DuckDB scan counting every match position."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.query import substring_topk
+
+    b = _char_index_for(spark, sf_dir)
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [SUBSTRING_PATTERN],
+         "k": np.array([SUBSTRING_K], dtype=np.int32)}
+    )
+    got = substring_topk(
+        spark, load_postings(spark, b["out"]), queries, b["cfg"]
+    )
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.col("g.score").cast("long").alias("n_occ"))
+    )
+
+
 def q_bm25_topk(spark, sf_dir):
     """Index-backed BM25 top-k through the block-max WAND kernel."""
     import numpy as np
@@ -555,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_df_cf": q_postings_df_cf,
         "bm25_topk": q_bm25_topk,
         "phrase_topk": q_phrase_topk,
+        "substring_topk": q_substring_topk,
         "bm25_topk_and": q_bm25_topk_and,
         "bm25_topk_dataframe": q_bm25_topk_dataframe,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -674,6 +726,24 @@ scores AS (
 )
 SELECT doc_id, round(score, 6) AS score_r
 FROM scores ORDER BY score DESC, doc_id LIMIT {PHRASE_K}
+"""
+
+# overlap-counting substring occurrences per doc (list_filter over every
+# start position == counting suffix-array match positions), top-k by
+# (count desc, doc_id) — the naive-scan oracle for the chargram index
+_SUB_L = len(SUBSTRING_PATTERN)
+_SUBSTRING_SQL = f"""
+WITH hits AS (
+  SELECT doc_id, source,
+         len(list_filter(range(1, length(hay) - {_SUB_L} + 2),
+             i -> hay[i:i+{_SUB_L - 1}] = '{SUBSTRING_PATTERN}')) AS n_occ
+  FROM (SELECT doc_id, source, lower(coalesce(text, '')) AS hay
+        FROM documents)
+)
+SELECT doc_id, n_occ FROM hits WHERE n_occ > 0
+-- count ties break by the engine's dense doc order, which is the
+-- stable (conv_id, turn_idx) = (source, doc_id) ordering
+ORDER BY n_occ DESC, source, doc_id LIMIT {SUBSTRING_K}
 """
 
 _BM25_SQL = f"""
@@ -806,6 +876,7 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY term""",
         "bm25_topk": _BM25_SQL,
         "phrase_topk": _PHRASE_SQL,
+        "substring_topk": _SUBSTRING_SQL,
         "bm25_topk_and": _BM25_AND_SQL,
         "bm25_topk_dataframe": _BM25_SQL,
         "dedup_exact": """

@@ -34,6 +34,14 @@ class BuildConfig:
     max_salt_buckets: int = 32
 
     # --- tokenizer ---
+    # "regex": lowercase + token_pattern runs (the word-granular index).
+    # "chargram": lowercase + ALL overlapping chargram_n-char windows,
+    #   position = char offset — the char-granular index mode behind
+    #   substring_topk (the graft analog of the reference suffix array's
+    #   any-byte-substring search, Suffix_Array.cpp:252-297). Index size
+    #   is O(total chars), the same asymptotic as a suffix array.
+    tokenizer: str = "regex"
+    chargram_n: int = 3
     token_pattern: str = "[a-z0-9]+"
     max_token_len: int | None = None  # truncate tokens (max_context analog)
     use_pandas_tokenizer: bool = False  # False = JVM regexp_extract_all (faster)
@@ -67,7 +75,7 @@ class BuildConfig:
     # misalign block slicing against stored block_max and skew scores.
     PERSISTED_FIELDS = (
         "block_size", "k1", "b", "token_pattern", "max_token_len",
-        "index_positions",
+        "index_positions", "tokenizer", "chargram_n",
     )
 
     def persist_dict(self) -> dict:

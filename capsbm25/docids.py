@@ -144,9 +144,18 @@ def assign_doc_ids(
     out_schema = StructType(list(df.schema.fields) + extra)
     out_cols = [f.name for f in out_schema.fields]
     b_offsets = spark.sparkContext.broadcast(offsets)
-    import re
+    if cfg.tokenizer == "chargram":
+        _n = cfg.chargram_n
 
-    tok_re = re.compile(cfg.token_pattern)
+        def _dl_of(texts):
+            return (texts.fillna("").str.len() - (_n - 1)).clip(lower=0)
+    else:
+        import re
+
+        tok_re = re.compile(cfg.token_pattern)
+
+        def _dl_of(texts):
+            return texts.fillna("").str.lower().str.count(tok_re)
 
     def add_ids(it):
         seen: dict[int, int] = {}
@@ -167,9 +176,7 @@ def assign_doc_ids(
             pdf = pdf.copy()
             pdf["doc_id"] = ids
             if with_dl:
-                pdf["dl"] = (
-                    pdf["text"].fillna("").str.lower().str.count(tok_re)
-                ).astype(np.int64)
+                pdf["dl"] = _dl_of(pdf["text"]).astype(np.int64)
             yield pdf[out_cols]
 
     return shuffled.mapInPandas(add_ids, schema=out_schema)

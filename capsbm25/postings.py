@@ -39,7 +39,6 @@ Posting row schema (FIXTURES.md §3, plus dls so queries never join a
 
 from __future__ import annotations
 
-import re
 from itertools import chain
 
 import numpy as np
@@ -88,17 +87,22 @@ POSTINGS_COLS = [
 
 def _batch_pairs(
     pdf: pd.DataFrame,
-    pattern: re.Pattern,
-    max_len,
+    tok,
     with_pos: bool = False,
 ):
     """Vectorized (term, doc_id, tf, dl) extraction for one Arrow batch.
+    tok: Series -> Series-of-token-lists from
+    tokenize.make_series_tokenizer (regex words, or overlapping
+    chargrams — identical downstream path; truncation to max_token_len
+    is the tokenizer's job).
 
     with_pos=True additionally returns the flat array of in-document
     token positions, grouped by pair in the same order as the returned
     rows (pair i owns positions[cumtf[i-1]:cumtf[i]], each strictly
-    increasing) — the payload for phrase queries."""
-    toks = pdf["text"].fillna("").str.lower().str.findall(pattern)
+    increasing) — the payload for phrase queries (in chargram mode,
+    position == char offset, which makes phrase machinery over
+    chargrams exact substring search)."""
+    toks = tok(pdf["text"])
     lens = toks.map(len).to_numpy(dtype=np.int64)
     total = int(lens.sum())
     if total == 0:
@@ -108,8 +112,6 @@ def _batch_pairs(
         )
         return (out, np.zeros(0, dtype=np.int64)) if with_pos else out
     flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
-    if max_len:
-        flat = pd.Series(flat).str.slice(0, max_len).to_numpy(dtype=object)
     rows = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
     codes, uniq = pd.factorize(flat, sort=False)
     order = np.lexsort((codes, rows))
@@ -150,13 +152,14 @@ def extract_pairs(
     same Arrow pass instead of a second kernel over all pairs.
     """
     cfg = cfg or BuildConfig()
-    pattern = re.compile(cfg.token_pattern)
-    max_len = cfg.max_token_len
+    from capsbm25.tokenize import make_series_tokenizer
+
+    tok = make_series_tokenizer(cfg)
     schema = PAIRS_SCHEMA + (", part_id int" if plan is not None else "")
 
     def kernel(it):
         for pdf in it:
-            out = _batch_pairs(pdf, pattern, max_len)
+            out = _batch_pairs(pdf, tok)
             if plan is not None:
                 out["part_id"] = plan.assign(
                     out["term"].to_numpy(dtype=object), out["doc_id"].to_numpy()
@@ -194,8 +197,9 @@ def extract_runs(
     increasing-per-run invariant.
     """
     cfg = cfg or BuildConfig()
-    pattern = re.compile(cfg.token_pattern)
-    max_len = cfg.max_token_len
+    from capsbm25.tokenize import make_series_tokenizer
+
+    tok = make_series_tokenizer(cfg)
     n_parts = plan.num_parts if plan is not None else 1
     with_pos = cfg.index_positions
 
@@ -305,10 +309,9 @@ def extract_runs(
             for si in range(len(bounds) - 1):
                 seg = pdf.iloc[bounds[si]:bounds[si + 1]]
                 if with_pos:
-                    out, posflat = _batch_pairs(seg, pattern, max_len,
-                                                with_pos=True)
+                    out, posflat = _batch_pairs(seg, tok, with_pos=True)
                 else:
-                    out, posflat = _batch_pairs(seg, pattern, max_len), None
+                    out, posflat = _batch_pairs(seg, tok), None
                 if not len(out):
                     continue
                 docs_a = out["doc_id"].to_numpy()

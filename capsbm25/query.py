@@ -422,6 +422,7 @@ def phrase_topk(
     mode: str = "auto",
     max_kernel_df: int = 2_000_000,
     max_kernel_bytes: int = 32 << 20,
+    count_scores: bool = False,
 ) -> DataFrame:
     """Exact phrase top-k: docs containing the query tokens CONSECUTIVELY
     in order, ranked by BM25 over the phrase's distinct terms — the
@@ -437,7 +438,12 @@ def phrase_topk(
     Modes mirror bm25_topk: "kernel" concentrates a query's matched
     postings in one task; "distributed" shuffles (doc, term, positions)
     rows and verifies per doc — no task ever holds a whole hot posting;
-    "auto" (default) routes on Σ df > max_kernel_df.
+    "auto" (default) routes on Σ df > max_kernel_df or Σ payload bytes
+    > max_kernel_bytes.
+
+    count_scores=True ranks by the EXACT (overlap-counting) number of
+    phrase occurrences instead of BM25 — the scoring used by
+    substring_topk, where trigram idf is meaningless.
     """
     cfg = cfg or BuildConfig()
     rows = []
@@ -468,24 +474,25 @@ def phrase_topk(
             mode = "kernel"
         elif len(heavy) == stats.shape[0]:
             return _run_phrase_distributed(
-                matched, df_map, N, avgdl, cfg
+                matched, df_map, N, avgdl, cfg, count_scores
             ).orderBy("query_id", "rank")
         else:
             light = _run_phrase_kernel(
-                matched.where(~F.col("query_id").isin(heavy)), N, avgdl, cfg
+                matched.where(~F.col("query_id").isin(heavy)), N, avgdl,
+                cfg, count_scores,
             )
             dist = _run_phrase_distributed(
                 matched.where(F.col("query_id").isin(heavy)),
-                df_map, N, avgdl, cfg,
+                df_map, N, avgdl, cfg, count_scores,
             )
             return light.unionByName(dist).orderBy("query_id", "rank")
     if mode == "kernel":
-        return _run_phrase_kernel(matched, N, avgdl, cfg).orderBy(
-            "query_id", "rank"
-        )
+        return _run_phrase_kernel(
+            matched, N, avgdl, cfg, count_scores
+        ).orderBy("query_id", "rank")
     if mode == "distributed":
         return _run_phrase_distributed(
-            matched, _term_df_map(filtered), N, avgdl, cfg
+            matched, _term_df_map(filtered), N, avgdl, cfg, count_scores
         ).orderBy("query_id", "rank")
     raise ValueError(mode)
 
@@ -550,7 +557,8 @@ def _phrase_occurrences(
     return cand[hit_ranks], counts
 
 
-def _run_phrase_kernel(matched, N, avgdl, cfg) -> DataFrame:
+def _run_phrase_kernel(matched, N, avgdl, cfg,
+                       count_scores: bool = False) -> DataFrame:
     def kernel(key, pdf):
         k = int(pdf["k"].iloc[0])
         qid = int(pdf["query_id"].iloc[0])
@@ -573,9 +581,13 @@ def _run_phrase_kernel(matched, N, avgdl, cfg) -> DataFrame:
             if cand.size == 0:
                 return _empty_result()
 
-        hit_arr, _ = _phrase_occurrences(phrase, term_data, cand)
+        hit_arr, n_occ = _phrase_occurrences(phrase, term_data, cand)
         if hit_arr.size == 0:
             return _empty_result()
+        if count_scores:
+            # substring semantics: exact overlap-counting match count
+            top_d, top_s = _topk(hit_arr, n_occ.astype(np.float64), k)
+            return _result_pdf(qid, top_d, top_s)
         # BM25 over the distinct phrase terms, query-time N/avgdl
         total = np.zeros(hit_arr.size, dtype=np.float64)
         for t in distinct:
@@ -593,7 +605,8 @@ def _run_phrase_kernel(matched, N, avgdl, cfg) -> DataFrame:
     )
 
 
-def _run_phrase_distributed(matched, df_map, N, avgdl, cfg) -> DataFrame:
+def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
+                            count_scores: bool = False) -> DataFrame:
     """Scale path, two passes so positions only ship for AND candidates:
 
     1. NARROW pass — one row per (query, term, doc) with the BM25
@@ -622,10 +635,16 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg) -> DataFrame:
                         "index_positions=True (pos payload is empty)"
                     )
                 docs, tfs, dls = _decode_posting(row)
-                sc = term_scores(
-                    tfs, dls, float(idf_fn(N, df_map[row.term])),
-                    avgdl, cfg.k1, cfg.b,
-                )
+                if count_scores:
+                    # ranking comes from the verify pass's exact match
+                    # counts; idf over chargrams is meaningless (and N
+                    # may be a dummy) — don't compute it
+                    sc = np.zeros(docs.size, dtype=np.float64)
+                else:
+                    sc = term_scores(
+                        tfs, dls, float(idf_fn(N, df_map[row.term])),
+                        avgdl, cfg.k1, cfg.b,
+                    )
                 yield pd.DataFrame(
                     {
                         "query_id": np.full(docs.size, row.query_id, np.int32),
@@ -707,9 +726,11 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg) -> DataFrame:
             s = np.intersect1d(s, by_term[tok] - off, assume_unique=True)
             if s.size == 0:
                 return empty
+        score = float(s.size) if count_scores \
+            else float(pdf["score"].iloc[0])
         return pd.DataFrame(
             {"query_id": [int(key[0])], "doc_id": [int(key[1])],
-             "score": [float(pdf["score"].iloc[0])],
+             "score": [score],
              "k": [int(pdf["k"].iloc[0])]}
         )
 
@@ -721,4 +742,60 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg) -> DataFrame:
         verified.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= F.col("k"))
         .select("query_id", "doc_id", "score", F.col("rank").cast("int"))
+    )
+
+
+def substring_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: pd.DataFrame,
+    cfg: BuildConfig,
+    mode: str = "auto",
+    max_kernel_df: int = 2_000_000,
+    max_kernel_bytes: int = 32 << 20,
+) -> DataFrame:
+    """Char-granular substring top-k — the direct graft of the
+    reference's suffix-array search primitive (``upper_bound``,
+    /root/reference/src/Suffix_Array.cpp:252-297: LCP-bounded binary
+    search answering "which positions match ANY byte substring P").
+    Token-granular phrase_topk cannot match inside or across tokens
+    (``foo_bar``, code fragments, substrings with punctuation); this
+    can.
+
+    Requires an index built with cfg.tokenizer="chargram" and
+    cfg.index_positions=True: every overlapping chargram_n-window of
+    lower(text) is a term whose position IS its char offset, so a
+    pattern match at char s is exactly "gram_j of the pattern occurs at
+    position s+j for every j" — the existing positional phrase
+    machinery, verbatim, with occurrence-count scoring (count_scores).
+    Index size is O(total chars) — the same asymptotic as the
+    reference's suffix array, and the same three execution modes /
+    skew guards as phrase_topk apply unchanged.
+
+    queries: pandas (query_id, text, k); text is the RAW pattern
+    (matched case-insensitively against lower(text); may contain
+    spaces/punctuation — anything except patterns shorter than
+    chargram_n, which cannot be covered by grams and raise).
+    Returns (query_id, doc_id, score, rank) where score = the exact
+    (overlap-counting) number of match positions.
+    """
+    if cfg.tokenizer != "chargram":
+        raise ValueError(
+            "substring_topk requires a chargram index "
+            "(cfg.tokenizer='chargram'); this index was built with "
+            f"tokenizer={cfg.tokenizer!r}"
+        )
+    n = cfg.chargram_n
+    too_short = [t for t in queries["text"] if len((t or "").lower()) < n]
+    if too_short:
+        raise ValueError(
+            f"patterns shorter than chargram_n={n} cannot be answered "
+            f"from the gram index: {too_short!r} — scan the corpus "
+            "directly (e.g. F.instr) for sub-gram patterns"
+        )
+    # N/avgdl are BM25 inputs only; count_scores never touches them
+    return phrase_topk(
+        spark, postings, queries, N=1, avgdl=1.0, cfg=cfg, mode=mode,
+        max_kernel_df=max_kernel_df, max_kernel_bytes=max_kernel_bytes,
+        count_scores=True,
     )

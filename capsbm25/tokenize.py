@@ -30,9 +30,26 @@ from capsbm25.config import BuildConfig
 DEFAULT_PATTERN = "[a-z0-9]+"
 
 
+def _chargrams_expr(text: Column, n: int) -> Column:
+    """All overlapping n-char windows of lower(text) as a native
+    expression; gram i (0-based) starts at char offset i, so token
+    position == char offset — which is what makes phrase machinery over
+    chargrams equal exact substring search."""
+    hay = F.lower(F.coalesce(text, F.lit("")))
+    return F.when(
+        F.length(hay) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(hay) - (n - 1)),
+            lambda i: hay.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def tokens_expr(text: Column, cfg: BuildConfig | None = None) -> Column:
     """Token array as a native Catalyst expression (the fast path)."""
     cfg = cfg or BuildConfig()
+    if cfg.tokenizer == "chargram":
+        return _chargrams_expr(text, cfg.chargram_n)
     toks = F.regexp_extract_all(
         F.lower(F.coalesce(text, F.lit(""))), F.lit(cfg.token_pattern), 0
     )
@@ -41,18 +58,40 @@ def tokens_expr(text: Column, cfg: BuildConfig | None = None) -> Column:
     return toks
 
 
-def make_tokens_pandas_udf(cfg: BuildConfig | None = None):
-    """Arrow-batched pandas UDF with identical semantics to tokens_expr."""
+def make_series_tokenizer(cfg: BuildConfig | None = None):
+    """pandas-Series -> Series-of-token-lists callable for the Arrow
+    build kernels (_batch_pairs); one place defines both tokenizer
+    modes so build, query and pandas-UDF sides cannot drift."""
     cfg = cfg or BuildConfig()
+    if cfg.tokenizer == "chargram":
+        n = cfg.chargram_n
+
+        def tok(texts: pd.Series) -> pd.Series:
+            low = texts.fillna("").str.lower()
+            return low.map(
+                lambda s: [s[i:i + n] for i in range(len(s) - n + 1)]
+            )
+
+        return tok
     pattern = re.compile(cfg.token_pattern)
     max_len = cfg.max_token_len
 
-    @F.pandas_udf(ArrayType(StringType()))
-    def tokenize(texts: pd.Series) -> pd.Series:
+    def tok(texts: pd.Series) -> pd.Series:
         toks = texts.fillna("").str.lower().str.findall(pattern)
         if max_len:
             toks = toks.map(lambda ts: [t[:max_len] for t in ts])
         return toks
+
+    return tok
+
+
+def make_tokens_pandas_udf(cfg: BuildConfig | None = None):
+    """Arrow-batched pandas UDF with identical semantics to tokens_expr."""
+    tok = make_series_tokenizer(cfg)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def tokenize(texts: pd.Series) -> pd.Series:
+        return tok(texts)
 
     return tokenize
 
@@ -69,7 +108,11 @@ def tokenize_py(text: str, cfg: BuildConfig | None = None) -> list[str]:
     """Pure-Python tokenizer used by tests/oracle.py (must stay in exact
     agreement with tokens_expr / the pandas UDF)."""
     cfg = cfg or BuildConfig()
-    toks = re.findall(cfg.token_pattern, (text or "").lower())
+    s = (text or "").lower()
+    if cfg.tokenizer == "chargram":
+        n = cfg.chargram_n
+        return [s[i:i + n] for i in range(len(s) - n + 1)]
+    toks = re.findall(cfg.token_pattern, s)
     if cfg.max_token_len:
         toks = [t[: cfg.max_token_len] for t in toks]
     return toks
@@ -78,6 +121,10 @@ def tokenize_py(text: str, cfg: BuildConfig | None = None) -> list[str]:
 def duckdb_tokens_sql(text_expr: str, cfg: BuildConfig | None = None) -> str:
     """DuckDB SQL expression producing the same token list (oracle side)."""
     cfg = cfg or BuildConfig()
+    if cfg.tokenizer == "chargram":
+        # substring oracles count occurrences directly (DuckDB's RE2 has
+        # no lookahead); no entry tokenizes via SQL in chargram mode
+        raise ValueError("no DuckDB tokenizer for chargram mode")
     base = (
         f"regexp_extract_all(lower(coalesce({text_expr}, '')), "
         f"'{cfg.token_pattern}')"

@@ -1,0 +1,146 @@
+"""Char-granular substring search over a chargram positional index —
+the direct graft of the reference suffix array's any-substring search
+(upper_bound, /root/reference/src/Suffix_Array.cpp:252-297), tested
+differentially against a naive scan oracle. Token-granular phrase_topk
+cannot answer these queries (patterns cross token boundaries and
+include punctuation); substring_topk must, exactly."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from capsbm25 import fixtures as fx
+from capsbm25.build import build_index, load_postings
+from capsbm25.config import BuildConfig
+from capsbm25.query import substring_topk
+
+
+@pytest.fixture(scope="module")
+def char_index(spark, tmp_path_factory):
+    pdf = fx.gen_transcripts_pdf(100, 42)
+    cfg = BuildConfig(num_part_ids=32, shuffle_partitions=8, num_waves=2,
+                      hot_share_threshold=0.004, max_salt_buckets=8,
+                      tokenizer="chargram", chargram_n=3,
+                      index_positions=True)
+    out = str(tmp_path_factory.mktemp("charidx") / "t1")
+    res = build_index(spark, spark.createDataFrame(pdf), out, cfg)
+    ordered = pdf.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    return {"pdf": pdf, "cfg": cfg, "res": res,
+            "postings": load_postings(spark, out),
+            "hays": [(t or "").lower() for t in ordered["text"]]}
+
+
+def _count_overlapping(hay: str, pat: str) -> int:
+    n, i = 0, hay.find(pat)
+    while i != -1:
+        n += 1
+        i = hay.find(pat, i + 1)
+    return n
+
+
+def _oracle_topk(hays, pattern: str, k: int) -> list[tuple[int, float]]:
+    pat = pattern.lower()
+    counts = [(_count_overlapping(h, pat), d) for d, h in enumerate(hays)]
+    hits = sorted(((-c, d) for c, d in counts if c > 0))[:k]
+    return [(d, float(-negc)) for negc, d in hits]
+
+
+def _patterns(hays):
+    """Corpus-derived patterns a token index cannot answer."""
+    out = []
+    h = hays[0]
+    out.append(h[3:9])           # crosses a token boundary (space inside)
+    out.append(h[:5])            # doc-start anchored
+    out.append(h[-6:])           # doc-end anchored
+    # punctuation + case-insensitivity: ', w' appears after W0003, runs
+    out.append(", w")
+    out.append("0 w00")          # digit-space-prefix, very common
+    out.append("w00")            # exactly chargram_n, stopword-grade
+    out.append("000")            # self-overlapping (w0000 -> 2 matches)
+    out.append("@@never-there@@")
+    return out
+
+
+def _queries_pdf(texts, k=10):
+    return pd.DataFrame({
+        "query_id": np.arange(len(texts), dtype=np.int32),
+        "text": texts,
+        "k": np.full(len(texts), k, dtype=np.int32),
+    })
+
+
+def test_substring_matches_naive_scan_all_modes(char_index, spark):
+    hays, cfg = char_index["hays"], char_index["cfg"]
+    texts = _patterns(hays)
+    queries = _queries_pdf(texts)
+    want = {qid: _oracle_topk(hays, t, 10)
+            for qid, t in zip(queries["query_id"], texts)}
+
+    for mode, kw in [("kernel", {}), ("distributed", {}),
+                     ("auto", {"max_kernel_df": 500})]:
+        got = substring_topk(
+            spark, char_index["postings"], queries, cfg, mode=mode, **kw
+        ).toPandas()
+        for qid in queries["query_id"]:
+            g = got[got.query_id == qid].sort_values("rank")
+            w = want[int(qid)]
+            assert list(zip(g.doc_id, g.score)) == w, (
+                mode, qid, texts[int(qid)])
+
+
+def test_substring_counts_overlapping(char_index, spark):
+    """'000' inside 'w0000' must count 2 (overlap), not 1 — the same
+    semantics as counting suffix-array match positions."""
+    hays, cfg = char_index["hays"], char_index["cfg"]
+    queries = _queries_pdf(["000"], k=5)
+    got = substring_topk(
+        spark, char_index["postings"], queries, cfg, mode="kernel"
+    ).toPandas().sort_values("rank")
+    want = _oracle_topk(hays, "000", 5)
+    assert list(zip(got.doc_id, got.score)) == want
+    assert got.score.iloc[0] >= 2  # corpus has w0000-style runs
+
+
+def test_substring_case_insensitive(char_index, spark):
+    hays, cfg = char_index["hays"], char_index["cfg"]
+    lo = substring_topk(spark, char_index["postings"],
+                        _queries_pdf(["w0003,"]), cfg).toPandas()
+    up = substring_topk(spark, char_index["postings"],
+                        _queries_pdf(["W0003,"]), cfg).toPandas()
+    assert len(lo) > 0
+    assert list(lo.doc_id) == list(up.doc_id)
+    assert list(lo.score) == list(up.score)
+
+
+def test_substring_rejects_subgram_pattern(char_index, spark):
+    with pytest.raises(ValueError, match="shorter than chargram_n"):
+        substring_topk(spark, char_index["postings"],
+                       _queries_pdf(["ab"]), char_index["cfg"])
+
+
+def test_substring_rejects_word_index(spark, char_index):
+    with pytest.raises(ValueError, match="chargram index"):
+        substring_topk(spark, char_index["postings"],
+                       _queries_pdf(["abc"]), BuildConfig())
+
+
+def test_chargram_tokenizer_parity(spark, char_index):
+    """JVM expr, Arrow UDF, and pure-Python chargram tokenizers agree
+    (the 4-way parity contract extended to the new mode)."""
+    from pyspark.sql import functions as F
+
+    from capsbm25.tokenize import (make_tokens_pandas_udf, tokenize_py,
+                                   tokens_expr)
+
+    cfg = char_index["cfg"]
+    texts = ["", "ab", "abc", "AbC d", "w0003, W0001 x", None]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    via_expr = [r.t for r in
+                df.select(tokens_expr(F.col("text"), cfg).alias("t")).collect()]
+    via_udf = [r.t for r in
+               df.select(make_tokens_pandas_udf(cfg)(F.col("text")).alias("t"))
+               .collect()]
+    via_py = [tokenize_py(t, cfg) for t in texts]
+    assert via_expr == via_udf == via_py
+    assert via_py[2] == ["abc"]
+    assert via_py[3] == ["abc", "bc ", "c d"]
