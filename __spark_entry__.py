@@ -170,7 +170,11 @@ def _pos_index_for(spark: SparkSession, sf_dir: str) -> dict:
     key = ("pos", sf_dir)
     if key not in _BUILT:
         out = os.path.join(tempfile.mkdtemp(prefix="capsbm25_pos_"), "idx")
-        cfg = dataclasses.replace(CFG, index_positions=True)
+        # num_waves=1: waves bound peak memory per build stage; a
+        # side-artifact over the (small) documents table doesn't need
+        # the checkpoint granularity, and each extra wave is a fixed
+        # ~0.7s of stage overhead at this scale
+        cfg = dataclasses.replace(CFG, index_positions=True, num_waves=1)
         res = build_index(
             spark, _as_transcripts(_documents(spark, sf_dir)), out, cfg
         )
@@ -222,7 +226,8 @@ def _char_index_for(spark: SparkSession, sf_dir: str) -> dict:
     if key not in _BUILT:
         out = os.path.join(tempfile.mkdtemp(prefix="capsbm25_chr_"), "idx")
         cfg = dataclasses.replace(
-            CFG, tokenizer="chargram", chargram_n=3, index_positions=True
+            CFG, tokenizer="chargram", chargram_n=3, index_positions=True,
+            num_waves=1,
         )
         res = build_index(
             spark, _as_transcripts(_documents(spark, sf_dir)), out, cfg

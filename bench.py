@@ -161,20 +161,38 @@ def run_bench(sf_dir: str, cpus: int, keep_session=None) -> dict:
             E.q_term_df_cf(spark, sf_dir).count()
             timings["term_df_cf_documents"] = round(time.time() - t0, 3)
 
+            # first call builds the one-time positional/chargram index
+            # artifact (reported as *_documents, r2-comparable); the
+            # second call hits the cached index = the steady-state
+            # per-query cost a user actually pays
             t0 = time.time()
             E.q_phrase_topk(spark, sf_dir).collect()
             timings["phrase_documents"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            E.q_phrase_topk(spark, sf_dir).collect()
+            timings["phrase_documents_query"] = round(time.time() - t0, 3)
+
+            t0 = time.time()
+            E.q_substring_topk(spark, sf_dir).collect()
+            timings["substring_documents"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            E.q_substring_topk(spark, sf_dir).collect()
+            timings["substring_documents_query"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         if keep_session is None:
             spark.stop()
 
-    # phrase_documents includes ITS OWN positional index build (separate
-    # artifact); report it but keep the headline total comparable to
-    # earlier rounds (same exclusion as corpus gen and worker warm-up)
+    # phrase_documents / substring_documents each include THEIR OWN
+    # index build (positional / chargram-positional artifacts); report
+    # them but keep the headline total comparable to earlier rounds
+    # (same exclusion as corpus gen and worker warm-up)
     total = round(
         sum(timings.values()) - timings["gen"] - timings["warmup"]
-        - timings.get("phrase_documents", 0.0), 3
+        - timings.get("phrase_documents", 0.0)
+        - timings.get("phrase_documents_query", 0.0)
+        - timings.get("substring_documents", 0.0)
+        - timings.get("substring_documents_query", 0.0), 3
     )
     return {
         "metric": "index build + BM25 query wall-clock (synthetic transcript "

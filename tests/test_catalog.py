@@ -76,3 +76,34 @@ def test_parquet_roundtrip_path_branch(spark, tmp_path):
     back = catalog.read_table(spark, dest)
     assert back.count() == 2
     assert set(back.columns) == {"a", "wave"}
+
+
+def _iceberg_jar_present(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_iceberg_real_roundtrip_when_jar_available(spark, tmp_path):
+    """Executes the REAL writeTo/read.table branch end-to-end whenever an
+    Iceberg runtime jar is on the classpath (a cluster run); skipped in
+    this sandbox, which ships no Iceberg jar — the branch logic itself
+    is covered by the spy tests above, but the JVM write path can only
+    run where the DSv2 catalog class exists."""
+    if not _iceberg_jar_present(spark):
+        pytest.skip("no Iceberg runtime jar on the classpath (sandbox): "
+                    "writeTo/read.table JVM path untestable here; spy "
+                    "tests cover the seam dispatch")
+    spark.conf.set("spark.sql.catalog.it", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.it.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.it.warehouse", str(tmp_path / "wh"))
+    df = spark.createDataFrame(pd.DataFrame({"a": [1, 2], "wave": [0, 1]}))
+    catalog.write_table(df, "it.db.t", partition_by=["wave"])
+    back = catalog.read_table(spark, "it.db.t")
+    assert back.count() == 2
+    catalog.write_table(df, "it.db.t", mode="append")
+    assert catalog.read_table(spark, "it.db.t").count() == 4
