@@ -5,13 +5,19 @@ partition-grained checkpoint/resume, lineage, and build metrics.
 
 Stages (each records a manifest row; resume skips rows marked done):
 
-  docs        doc_id assignment, staged to <out>/docs           (scan 1)
-  stats       doc_stats + corpus_stats (N, avgdl)               (scan 2)
+  docs        doc-id plan (splitters + offsets, persisted: lineage) and
+              the doc_stats artifact — NARROW columns only; the text
+              column is never staged to disk (round 3: the staged-docs
+              corpus rewrite was the largest fixed build cost)
   plan        seeded sample -> PartitionPlan, persisted verbatim
               into the manifest (lineage: the exact shuffle plan)
-  pairs       (term, doc_id, tf, dl, part_id, wave) staged to
-              <out>/pairs partitioned by wave — the double-buffer
-              analog (Suffix_Array.hpp:33-34), and the resume anchor
+  pairs       FUSED id-assignment + run packing: one exchange moves the
+              corpus text from the scan into run packing, ids assigned
+              from the persisted id plan inside the same Arrow pass
+              (identical ids to the docs stage — differential-tested);
+              runs staged to <out>/pairs partitioned by wave — the
+              double-buffer analog (Suffix_Array.hpp:33-34) and the
+              resume anchor
   wave=K      range shuffle + sort + assemble for part_ids in wave K,
               written to <out>/postings/wave=K; independent, idempotent,
               individually checkpointed Spark jobs
@@ -36,7 +42,7 @@ from pyspark.sql import functions as F
 from capsbm25.config import BuildConfig
 from capsbm25.docids import assign_doc_ids
 from capsbm25.partition import PartitionPlan, plan_from_sample
-from capsbm25.catalog import read_table, write_table
+from capsbm25.catalog import write_table
 from capsbm25.postings import (
     assemble_postings,
     extract_pairs,
@@ -129,45 +135,43 @@ def build_index(
         metrics[stage] = {"sec": round(rec["finished_ts"] - t0, 3), **kw}
         return rec
 
-    docs_path = os.path.join(out_dir, "docs")
     stats_path = os.path.join(out_dir, "doc_stats")
     pairs_path = os.path.join(out_dir, "pairs")
     postings_path = os.path.join(out_dir, "postings")
 
-    # --- stage: docs (doc_id assignment, staged; dl fused into the
-    #     same write; N and sum(dl) captured by an Observation during
-    #     the write — zero read-back jobs) ---
+    # --- stage: docs (id plan + NARROW doc_stats; the corpus text never
+    #     hits disk — dl is computed map-side pre-shuffle so only
+    #     (conv_id, turn_idx, dl) cross the id exchange; N and sum(dl)
+    #     captured by an Observation during the write) ---
     def stage_docs():
         from pyspark.sql import Observation
 
-        docs = assign_doc_ids(transcripts, cfg, method="distributed", with_dl=True)
-        # stage only what downstream stages read: doc_id+text feed run
-        # extraction, (conv_id, turn_idx, dl) feed doc_stats. role/tool/
-        # ts stay in the source table — writing them here would add
-        # ~25% to the largest write of the build for no consumer.
-        docs = docs.select("doc_id", "conv_id", "turn_idx", "dl", "text")
+        from capsbm25.docids import compute_id_plan, make_dl_udf
+
+        id_plan = compute_id_plan(transcripts, cfg)
+        narrow = transcripts.select(
+            "conv_id", "turn_idx",
+            make_dl_udf(cfg)(F.col("text")).alias("dl"),
+        )
+        stats = assign_doc_ids(narrow, cfg, id_plan=id_plan).select(
+            "doc_id", "conv_id", "turn_idx", "dl"
+        )
         obs = Observation("docs")
-        docs = docs.observe(obs, F.count(F.lit(1)).alias("n"),
-                            F.sum("dl").alias("sum_dl"))
-        write_table(docs, docs_path)
+        stats = stats.observe(obs, F.count(F.lit(1)).alias("n"),
+                              F.sum("dl").alias("sum_dl"))
+        write_table(stats, stats_path)
         m = obs.get
         n = int(m["n"])
         corpus = {"N": n, "avgdl": (m["sum_dl"] or 0) / n if n else 0.0,
                   "config": cfg.persist_dict()}
         with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
             json.dump(corpus, f)
-        return {"rows": n, **corpus}
+        return {"rows": n, **corpus, "id_plan": id_plan.to_json()}
 
     timed("docs", stage_docs)
-    docs = read_table(spark, docs_path)
+    from capsbm25.docids import IdPlan
 
-    # --- stage: stats (doc_stats artifact; column-pruned scan) ---
-    def stage_stats():
-        write_table(docs.select("doc_id", "conv_id", "turn_idx", "dl"), stats_path)
-        with open(os.path.join(out_dir, "corpus_stats.json")) as f:
-            return json.load(f)
-
-    timed("stats", stage_stats)
+    id_plan = IdPlan.from_json(man.done("docs")["id_plan"])
     with open(os.path.join(out_dir, "corpus_stats.json")) as f:
         corpus = json.load(f)
     N, avgdl = corpus["N"], corpus["avgdl"]
@@ -176,7 +180,12 @@ def build_index(
     def stage_plan():
         target = cfg.num_part_ids * cfg.samples_per_part
         frac = cfg.sample_fraction or min(1.0, target / max(1, N * 20))
-        sample = extract_pairs(docs.sample(fraction=frac, seed=cfg.seed), cfg)
+        # only the term/tf distribution matters for splitters; row-local
+        # ids keep the sample scan narrow (no id shuffle)
+        sample_src = transcripts.sample(fraction=frac, seed=cfg.seed).select(
+            F.monotonically_increasing_id().alias("doc_id"), "text"
+        )
+        sample = extract_pairs(sample_src, cfg)
         plan = plan_from_sample(sample.select("term", "tf").toPandas(), cfg)
         return {"plan": plan.to_json(), "sample_fraction": frac}
 
@@ -184,9 +193,12 @@ def build_index(
     plan = PartitionPlan.from_json(man.done("plan")["plan"])
 
     # --- stage: pairs (staged, wave-partitioned — the resume anchor;
-    #     tokenize + tf + dl + part assignment + RUN PACKING in ONE
-    #     Arrow pass: what lands on disk / crosses the wave shuffles is
-    #     one delta+varint run per (term, part_id, task), not raw pairs) ---
+    #     FUSED: the id exchange feeds run packing directly, so
+    #     tokenize + tf + dl + id assignment + part assignment + RUN
+    #     PACKING happen in ONE Arrow pass over the shuffled corpus:
+    #     what lands on disk / crosses the wave shuffles is one
+    #     delta+varint run per (term, part_id, task), not raw pairs,
+    #     and the corpus text is never written between scan and runs) ---
     def stage_pairs():
         from pyspark.sql import Observation
 
@@ -195,7 +207,10 @@ def build_index(
         # hot parts carry few fat runs (pair-mass-heavy) — contiguous
         # blocks put all of one kind in one wave and the wave durations
         # skewed ~6x at 10M turns; interleaving balances both axes
-        pw = extract_runs(docs, cfg, plan=plan).withColumn(
+        pw = extract_runs(
+            transcripts.select("conv_id", "turn_idx", "text"),
+            cfg, plan=plan, id_plan=id_plan,
+        ).withColumn(
             "wave", (F.col("part_id") % cfg.num_waves).cast("int")
         )
         obs = Observation("pairs")

@@ -44,18 +44,149 @@ def _key(conv_id: pd.Series, turn_idx: pd.Series) -> np.ndarray:
     ).to_numpy(dtype=object)
 
 
+class IdPlan:
+    """The persisted doc-id shuffle plan (splitters + per-part offsets)
+    — lineage for the samplesort id assignment, and the contract that
+    lets SEPARATE passes (doc_stats write, fused run extraction) assign
+    IDENTICAL dense ids to the same corpus: both apply the same
+    splitters and the same driver prefix-sum offsets, and within-part
+    order is the deterministic (conv_id, turn_idx) sort."""
+
+    def __init__(self, splitters: np.ndarray, offsets: dict[int, int],
+                 n_rows: int):
+        self.splitters = splitters          # object ndarray of sort keys
+        self.offsets = offsets              # part_id -> global offset
+        self.n_rows = n_rows
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps({
+            "splitters": list(self.splitters),
+            "offsets": {str(k): v for k, v in self.offsets.items()},
+            "n_rows": self.n_rows,
+        })
+
+    @classmethod
+    def from_json(cls, s: str) -> "IdPlan":
+        import json
+
+        d = json.loads(s)
+        return cls(
+            np.array(d["splitters"], dtype=object),
+            {int(k): int(v) for k, v in d["offsets"].items()},
+            int(d["n_rows"]),
+        )
+
+    def part_of_udf(self):
+        splitters = self.splitters
+
+        @F.pandas_udf("int")
+        def part_of(conv_id: pd.Series, turn_idx: pd.Series) -> pd.Series:
+            return pd.Series(
+                np.searchsorted(
+                    splitters, _key(conv_id, turn_idx), side="right"
+                ).astype(np.int32)
+            )
+
+        return part_of
+
+
+def make_dl_of(cfg: BuildConfig):
+    """Series(text) -> Series(dl): token count matching the tokenizer
+    without materializing token lists (regexp_extract_all in the JVM
+    measured ~4x slower since it materializes every match string just
+    to count them)."""
+    if cfg.tokenizer == "chargram":
+        n = cfg.chargram_n
+
+        def dl_of(texts: pd.Series) -> pd.Series:
+            return (texts.fillna("").str.len() - (n - 1)).clip(lower=0)
+
+        return dl_of
+    import re
+
+    tok_re = re.compile(cfg.token_pattern)
+
+    def dl_of(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").str.lower().str.count(tok_re)
+
+    return dl_of
+
+
+def make_dl_udf(cfg: BuildConfig):
+    dl_of = make_dl_of(cfg)
+
+    @F.pandas_udf("long")
+    def dl_udf(texts: pd.Series) -> pd.Series:
+        return dl_of(texts).astype(np.int64)
+
+    return dl_udf
+
+
+def compute_id_plan(df: DataFrame, cfg: BuildConfig) -> IdPlan:
+    """Sample keys -> splitters -> per-part counts -> prefix-sum
+    offsets. Two narrow jobs over (conv_id, turn_idx) only.
+
+    1. seeded sample of sort keys -> splitters (regular sampling, the
+       analog of sample_pivots/select_pivots, Suffix_Array.cpp:187-222).
+       Bottom-k by key hash instead of Bernoulli: needs no row count up
+       front (uniform without replacement), and orderBy().limit()
+       compiles to TakeOrderedAndProject — per-task top-k heap + tiny
+       k-row merge, NOT a global sort. An Observation on the same scan
+       yields the exact row count, so sampling + counting is ONE job.
+    2. per-part counts (map-side partial agg, tiny shuffle) ->
+       sequential prefix-sum on the driver (the analog of
+       Suffix_Array.cpp:320-330).
+    """
+    from pyspark.sql import Observation
+
+    n_parts = cfg.num_part_ids
+    target = n_parts * cfg.samples_per_part
+    obs = Observation()
+    pri = F.xxhash64("conv_id", "turn_idx", F.lit(cfg.seed))
+    sample = (
+        df.select("conv_id", "turn_idx")
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .orderBy(pri, "conv_id", "turn_idx")
+        .limit(int(target * 1.2))
+        .toPandas()
+    )
+    n_rows = int(obs.get["n"])
+    if n_rows == 0:
+        return IdPlan(np.array([], dtype=object), {}, 0)
+    keys = np.sort(_key(sample["conv_id"], sample["turn_idx"]))
+    n_eff = min(n_parts, max(1, keys.size))
+    cuts = [keys[int(len(keys) * (i + 1) / n_eff) - 1] for i in range(n_eff - 1)]
+    splitters = np.array(sorted(set(cuts)), dtype=object)
+    plan = IdPlan(splitters, {}, n_rows)
+
+    counts = {
+        r["part_id"]: r["cnt"]
+        for r in df.withColumn(
+            "part_id", plan.part_of_udf()("conv_id", "turn_idx")
+        ).groupBy("part_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    acc = 0
+    for pid in sorted(counts):
+        plan.offsets[pid] = acc
+        acc += counts[pid]
+    return plan
+
+
 def assign_doc_ids(
     df: DataFrame,
     cfg: BuildConfig | None = None,
     method: str = "distributed",
     with_dl: bool = False,
+    id_plan: IdPlan | None = None,
 ) -> DataFrame:
     """Return df + doc_id:long, densely ranked by (conv_id, turn_idx).
 
     with_dl=True additionally emits dl (token count) computed inside the
-    same Arrow kernel that assigns ids — one regex pass, no extra scan
-    (Java regexp_extract_all measured ~4x slower since it materializes
-    every match string just to count them)."""
+    same Arrow kernel that assigns ids — one regex pass, no extra scan.
+    id_plan: reuse a previously computed (persisted) plan so separate
+    passes assign identical ids; None computes one here."""
     cfg = cfg or BuildConfig()
     if method == "window":
         w = Window.orderBy("conv_id", "turn_idx")
@@ -70,72 +201,29 @@ def assign_doc_ids(
     if method != "distributed":
         raise ValueError(method)
 
-    spark = df.sparkSession
-    n_parts = cfg.num_part_ids
-
-    # 1. seeded sample of sort keys -> splitters (regular sampling, the
-    #    analog of sample_pivots/select_pivots, Suffix_Array.cpp:187-222).
-    #    Bottom-k by key hash instead of Bernoulli: needs no row count up
-    #    front (uniform without replacement), and orderBy().limit()
-    #    compiles to TakeOrderedAndProject — per-task top-k heap + tiny
-    #    k-row merge, NOT a global sort. An Observation on the same scan
-    #    yields the exact row count, so sampling + counting is ONE job
-    #    (was two full key-column scans).
-    from pyspark.sql import Observation
-
-    target = n_parts * cfg.samples_per_part
-    obs = Observation()
-    pri = F.xxhash64("conv_id", "turn_idx", F.lit(cfg.seed))
-    sample = (
-        df.select("conv_id", "turn_idx")
-        .observe(obs, F.count(F.lit(1)).alias("n"))
-        .orderBy(pri, "conv_id", "turn_idx")
-        .limit(int(target * 1.2))
-        .toPandas()
-    )
-    n_rows = int(obs.get["n"])
-    if n_rows == 0:
+    id_plan = id_plan or compute_id_plan(df, cfg)
+    if id_plan.n_rows == 0:
         out = df.withColumn("doc_id", F.lit(None).cast("long"))
         if with_dl:
             # keep the with_dl contract on the empty relation too —
             # stage_docs aggregates F.sum('dl') downstream
             out = out.withColumn("dl", F.lit(0).cast("long"))
         return out
-    keys = np.sort(_key(sample["conv_id"], sample["turn_idx"]))
-    n_eff = min(n_parts, max(1, keys.size))
-    cuts = [keys[int(len(keys) * (i + 1) / n_eff) - 1] for i in range(n_eff - 1)]
-    splitters = np.array(sorted(set(cuts)), dtype=object)
-
-    # 2. vectorized range assignment as a SCALAR pandas_udf: only the
-    #    two key columns cross the Arrow boundary, and Catalyst can
-    #    column-prune the count job below down to just those columns
-    #    (a mapInPandas here would ship every column, text included)
-    @F.pandas_udf("int")
-    def part_of(conv_id: pd.Series, turn_idx: pd.Series) -> pd.Series:
-        return pd.Series(
-            np.searchsorted(
-                splitters, _key(conv_id, turn_idx), side="right"
-            ).astype(np.int32)
-        )
 
     from pyspark.sql.types import LongType, StructField, StructType
 
-    with_part = df.withColumn("part_id", part_of("conv_id", "turn_idx"))
+    # vectorized range assignment as a SCALAR pandas_udf: only the two
+    # key columns cross the Arrow boundary, and Catalyst can column-
+    # prune narrow consumers down to just those columns (a mapInPandas
+    # here would ship every column, text included)
+    with_part = df.withColumn(
+        "part_id", id_plan.part_of_udf()("conv_id", "turn_idx")
+    )
+    offsets = id_plan.offsets
 
-    # 3. per-part counts -> driver prefix-sum -> offsets
-    counts = {
-        r["part_id"]: r["cnt"]
-        for r in with_part.groupBy("part_id").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-
-    # 4. range shuffle + local sort + offset addition
+    # range shuffle + local sort + offset addition
     shuffled = with_part.repartition(
-        min(cfg.shuffle_partitions, len(counts) or 1), "part_id"
+        min(cfg.shuffle_partitions, len(offsets) or 1), "part_id"
     ).sortWithinPartitions("part_id", "conv_id", "turn_idx")
 
     extra = [StructField("doc_id", LongType())]
@@ -143,40 +231,39 @@ def assign_doc_ids(
         extra.append(StructField("dl", LongType()))
     out_schema = StructType(list(df.schema.fields) + extra)
     out_cols = [f.name for f in out_schema.fields]
-    b_offsets = spark.sparkContext.broadcast(offsets)
-    if cfg.tokenizer == "chargram":
-        _n = cfg.chargram_n
-
-        def _dl_of(texts):
-            return (texts.fillna("").str.len() - (_n - 1)).clip(lower=0)
-    else:
-        import re
-
-        tok_re = re.compile(cfg.token_pattern)
-
-        def _dl_of(texts):
-            return texts.fillna("").str.lower().str.count(tok_re)
+    _dl_of = make_dl_of(cfg) if with_dl else None
 
     def add_ids(it):
-        seen: dict[int, int] = {}
-        off = b_offsets.value
+        ider = batch_id_assigner(offsets)
         for pdf in it:
-            parts = pdf["part_id"].to_numpy()
-            ids = np.empty(len(pdf), dtype=np.int64)
-            # parts are contiguous runs (sorted); vectorize per run
-            if len(pdf):
-                change = np.flatnonzero(np.diff(parts)) + 1
-                starts = np.concatenate(([0], change, [len(pdf)]))
-                for i in range(len(starts) - 1):
-                    lo, hi = starts[i], starts[i + 1]
-                    pid = int(parts[lo])
-                    base = off[pid] + seen.get(pid, 0)
-                    ids[lo:hi] = base + np.arange(hi - lo)
-                    seen[pid] = seen.get(pid, 0) + (hi - lo)
             pdf = pdf.copy()
-            pdf["doc_id"] = ids
+            pdf["doc_id"] = ider(pdf["part_id"].to_numpy())
             if with_dl:
                 pdf["dl"] = _dl_of(pdf["text"]).astype(np.int64)
             yield pdf[out_cols]
 
     return shuffled.mapInPandas(add_ids, schema=out_schema)
+
+
+def batch_id_assigner(offsets: dict[int, int]):
+    """Stateful per-task id assigner: given batches' part_id arrays
+    (contiguous sorted runs within a task — guaranteed by
+    repartition(part_id) + sortWithinPartitions), returns dense ids
+    offset + within-part arrival index. Shared by assign_doc_ids and
+    the fused run-extraction path so both produce identical ids."""
+    seen: dict[int, int] = {}
+
+    def assign(parts: np.ndarray) -> np.ndarray:
+        ids = np.empty(len(parts), dtype=np.int64)
+        if len(parts):
+            change = np.flatnonzero(np.diff(parts)) + 1
+            starts = np.concatenate(([0], change, [len(parts)]))
+            for i in range(len(starts) - 1):
+                lo, hi = starts[i], starts[i + 1]
+                pid = int(parts[lo])
+                base = offsets[pid] + seen.get(pid, 0)
+                ids[lo:hi] = base + np.arange(hi - lo)
+                seen[pid] = seen.get(pid, 0) + (hi - lo)
+        return ids
+
+    return assign

@@ -174,8 +174,18 @@ def extract_runs(
     cfg: BuildConfig | None = None,
     plan: PartitionPlan | None = None,
     flush_pairs: int = 4_000_000,
+    id_plan=None,
 ) -> DataFrame:
     """docs(doc_id, text) -> packed sorted RUNS (see RUNS_SCHEMA).
+
+    id_plan (capsbm25.docids.IdPlan): FUSED mode — docs is the raw
+    corpus (conv_id, turn_idx, text) WITHOUT ids; the id shuffle
+    (part_of -> repartition -> sortWithinPartitions) happens here and
+    ids are assigned inside the same Arrow pass that packs runs. This
+    removes the staged-docs parquet roundtrip from the build: the text
+    column crosses ONE exchange and never hits disk between scan and
+    run packing. Ids are identical to assign_doc_ids with the same
+    plan (same splitters/offsets/within-part sort; differential-tested).
 
     Map-side only, the independent-subarray-sort stage of the samplesort
     graft (/root/reference/src/Suffix_Array.cpp:300-368): each task
@@ -323,6 +333,37 @@ def extract_runs(
                     yield flush()
         if held:
             yield flush()
+
+    if id_plan is not None:
+        from capsbm25.docids import batch_id_assigner
+
+        src = (
+            docs.withColumn(
+                "part_id", id_plan.part_of_udf()("conv_id", "turn_idx")
+            )
+            .repartition(
+                min(cfg.shuffle_partitions, len(id_plan.offsets) or 1),
+                "part_id",
+            )
+            .sortWithinPartitions("part_id", "conv_id", "turn_idx")
+            .select("part_id", "text")
+        )
+
+        def kernel_fused(it):
+            ider = batch_id_assigner(id_plan.offsets)
+
+            def with_ids():
+                for pdf in it:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": ider(pdf["part_id"].to_numpy()),
+                            "text": pdf["text"].to_numpy(),
+                        }
+                    )
+
+            yield from kernel(with_ids())
+
+        return src.mapInPandas(kernel_fused, schema=RUNS_SCHEMA)
 
     return docs.select("doc_id", "text").mapInPandas(kernel, schema=RUNS_SCHEMA)
 

@@ -32,7 +32,19 @@ row = p.select(
     F.xxhash64(
         "term", "df", "cf", "doc_ids", "tfs", "dls",
         F.to_json("block_max"), "part_id",
-    ).alias("h")
-).agg(F.bit_xor("h").alias("fp"), F.count("*").alias("n")).collect()[0]
-print(f"FINGERPRINT {row['fp']} ROWS {row['n']} N {res.N} AVGDL {res.avgdl}")
+    ).alias("h"),
+    # CONTENT fingerprint excludes part_id: the partition LAYOUT may
+    # legitimately move when the plan-sampling source changes (it did in
+    # round 3 when staged docs were removed), but the posting rows the
+    # queries read must stay byte-identical across refactors.
+    F.xxhash64(
+        "term", "df", "cf", "doc_ids", "tfs", "dls",
+        F.to_json("block_max"),
+    ).alias("hc"),
+).agg(
+    F.bit_xor("h").alias("fp"), F.bit_xor("hc").alias("fpc"),
+    F.count("*").alias("n"),
+).collect()[0]
+print(f"FINGERPRINT {row['fp']} CONTENT {row['fpc']} ROWS {row['n']} "
+      f"N {res.N} AVGDL {res.avgdl}")
 spark.stop()

@@ -68,3 +68,22 @@ def test_build_shuffles_once_per_wave(built_index, spark):
     plan = _plan(out)
     assert plan.count("Exchange") == 1, plan
     assert "Sort" in plan, plan
+
+
+def test_fused_run_packing_has_exactly_one_exchange(spark):
+    """Round-3 build shape: the corpus text crosses exactly ONE exchange
+    (the id shuffle) between scan and run packing — no staged-docs
+    parquet write/read in between, no second shuffle."""
+    from capsbm25.config import BuildConfig
+    from capsbm25.docids import compute_id_plan
+    from capsbm25.postings import extract_runs
+
+    cfg = BuildConfig(num_part_ids=8, shuffle_partitions=4)
+    tdf = spark.createDataFrame(fx.gen_transcripts_pdf(20, 42))
+    id_plan = compute_id_plan(tdf, cfg)
+    p = _plan(extract_runs(
+        tdf.select("conv_id", "turn_idx", "text"), cfg, id_plan=id_plan
+    ))
+    assert p.count("Exchange") == 1, p
+    assert "Sort" in p, p
+    assert "MapInPandas" in p, p

@@ -89,12 +89,13 @@ def test_block_max_are_valid_upper_bounds(built_index):
 def test_with_part_id_matches_fused_assignment(built_index, spark):
     """The standalone part-assignment operator (for externally-produced
     pairs) must agree with the fused extract_pairs(plan=...) path."""
-    import os
-
+    from capsbm25.docids import assign_doc_ids
     from capsbm25.postings import extract_pairs, with_part_id
 
     res, cfg = built_index["res"], built_index["cfg"]
-    docs = spark.read.parquet(os.path.join(res.out_dir, "docs")).limit(50)
+    docs = assign_doc_ids(
+        spark.createDataFrame(built_index["pdf"]), cfg
+    ).select("doc_id", "text").limit(50)
     fused = (
         extract_pairs(docs, cfg, plan=res.plan)
         .select("term", "doc_id", "part_id")
@@ -122,7 +123,7 @@ def test_manifest_lineage(built_index, spark):
 
     man = Manifest(built_index["res"].out_dir)
     stages = [r["stage"] for r in man.records()]
-    for s in ["docs", "stats", "plan", "pairs", "hot_merge"]:
+    for s in ["docs", "plan", "pairs", "hot_merge"]:
         assert s in stages
     assert any(s.startswith("wave=") for s in stages)
     for r in man.records():

@@ -184,13 +184,14 @@ def test_runs_pack_pairs_losslessly(built_index, spark):
     """extract_runs is a lossless re-packing of extract_pairs: same
     (term, doc_id, tf, dl) multiset, each run strictly increasing, far
     fewer shuffle rows."""
-    import os
-
     from capsbm25.codec import decode_varints, delta_decode
+    from capsbm25.docids import assign_doc_ids
     from capsbm25.postings import extract_pairs, extract_runs
 
     res, cfg = built_index["res"], built_index["cfg"]
-    docs = spark.read.parquet(os.path.join(res.out_dir, "docs"))
+    docs = assign_doc_ids(
+        spark.createDataFrame(built_index["pdf"]), cfg
+    ).select("doc_id", "text")
     pairs = (
         extract_pairs(docs, cfg, plan=res.plan)
         .toPandas()
