@@ -263,6 +263,18 @@ def q_substring_topk(spark, sf_dir):
     )
 
 
+SCAN_PATTERN = "w "   # shorter than chargram_n=3: the index can't
+                      # answer it, the full-scan fallback must
+
+
+def q_substring_scan(spark, sf_dir):
+    """Non-indexed overlap-counting substring scan (the sub-gram
+    fallback + obviously-correct baseline for substring_topk)."""
+    from capsbm25.dataops import substring_scan
+
+    return substring_scan(_documents(spark, sf_dir), SCAN_PATTERN)
+
+
 def q_bm25_topk(spark, sf_dir):
     """Index-backed BM25 top-k through the block-max WAND kernel."""
     import numpy as np
@@ -612,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "phrase_topk": q_phrase_topk,
         "substring_topk": q_substring_topk,
+        "substring_scan": q_substring_scan,
         "bm25_topk_and": q_bm25_topk_and,
         "bm25_topk_dataframe": q_bm25_topk_dataframe,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -751,6 +764,17 @@ SELECT doc_id, n_occ FROM hits WHERE n_occ > 0
 ORDER BY n_occ DESC, source, doc_id LIMIT {SUBSTRING_K}
 """
 
+_SCAN_L = len(SCAN_PATTERN)
+_SUBSTRING_SCAN_SQL = f"""
+SELECT doc_id,
+       len(list_filter(range(1, length(hay) - {_SCAN_L} + 2),
+           i -> hay[i:i+{_SCAN_L - 1}] = '{SCAN_PATTERN}')) AS n_occ
+FROM (SELECT doc_id, lower(coalesce(text, '')) AS hay FROM documents)
+WHERE length(hay) >= {_SCAN_L}
+  AND len(list_filter(range(1, length(hay) - {_SCAN_L} + 2),
+          i -> hay[i:i+{_SCAN_L - 1}] = '{SCAN_PATTERN}')) > 0
+"""
+
 _BM25_SQL = f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOK}) AS term FROM documents
@@ -882,6 +906,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_SQL,
         "phrase_topk": _PHRASE_SQL,
         "substring_topk": _SUBSTRING_SQL,
+        "substring_scan": _SUBSTRING_SCAN_SQL,
         "bm25_topk_and": _BM25_AND_SQL,
         "bm25_topk_dataframe": _BM25_SQL,
         "dedup_exact": """

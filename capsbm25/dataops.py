@@ -347,6 +347,31 @@ def embedding_neardup_lsh(
     )
 
 
+def substring_scan(docs: DataFrame, pattern: str) -> DataFrame:
+    """Non-indexed substring occurrence count — the full-scan fallback
+    for patterns shorter than the chargram index's gram size (where
+    query.substring_topk cannot answer), and the obviously-correct
+    baseline for it everywhere else. Exact OVERLAP-counting semantics,
+    identical to the index path: every start position is tested. Pure
+    built-in exprs (codegen; column-pruned scan); matches case-
+    insensitively like the chargram index. Returns (doc_id, n_occ) for
+    docs with >= 1 occurrence."""
+    pat = pattern.lower()
+    if not pat:
+        raise ValueError("empty pattern")
+    L = len(pat)
+    hay = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    starts = F.sequence(F.lit(1), F.length(hay) - (L - 1))
+    n_occ = F.when(
+        F.length(hay) >= L,
+        F.size(F.filter(starts, lambda i: hay.substr(i, F.lit(L)) == pat)),
+    ).otherwise(F.lit(0))
+    return (
+        docs.select("doc_id", n_occ.cast("long").alias("n_occ"))
+        .where(F.col("n_occ") > 0)
+    )
+
+
 def langid_heuristic(docs: DataFrame) -> DataFrame:
     """n-gram-free language-ID heuristic: English stopword hit ratio.
     (The corpus is synthetic; the point is the operator shape.)"""

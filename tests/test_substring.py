@@ -144,3 +144,34 @@ def test_chargram_tokenizer_parity(spark, char_index):
     assert via_expr == via_udf == via_py
     assert via_py[2] == ["abc"]
     assert via_py[3] == ["abc", "bc ", "c d"]
+
+
+def test_substring_scan_fallback_matches_naive(char_index, spark):
+    """substring_scan (non-indexed, built-in exprs) must produce the
+    same overlap counts as the naive Python scan — including sub-gram
+    patterns the index path rejects — and agree with substring_topk on
+    indexable patterns."""
+    from capsbm25.dataops import substring_scan
+
+    hays = char_index["hays"]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(hays)), "text": hays})
+    )
+    for pat in ["w0", "0 ", hays[0][3:9], "000"]:
+        got = {r.doc_id: r.n_occ
+               for r in substring_scan(docs, pat).collect()}
+        want = {d: _count_overlapping(h, pat.lower())
+                for d, h in enumerate(hays)
+                if _count_overlapping(h, pat.lower()) > 0}
+        assert got == want, pat
+
+    # cross-check vs the index path on an indexable pattern: the scan
+    # restricted to the index's top-k must carry identical counts
+    queries = _queries_pdf(["000"], k=5)
+    idx = substring_topk(
+        spark, char_index["postings"], queries, char_index["cfg"]
+    ).toPandas()
+    scan = {r.doc_id: r.n_occ
+            for r in substring_scan(docs, "000").collect()}
+    for r in idx.itertuples(index=False):
+        assert scan[r.doc_id] == int(r.score)
