@@ -171,7 +171,14 @@ def build_index(
     timed("docs", stage_docs)
     from capsbm25.docids import IdPlan
 
-    id_plan = IdPlan.from_json(man.done("docs")["id_plan"])
+    docs_rec = man.done("docs")
+    if "id_plan" not in docs_rec:
+        raise RuntimeError(
+            f"manifest at {out_dir} predates the fused build (its docs "
+            "stage has no persisted id_plan) — this layout cannot be "
+            "resumed; rebuild with resume=False"
+        )
+    id_plan = IdPlan.from_json(docs_rec["id_plan"])
     with open(os.path.join(out_dir, "corpus_stats.json")) as f:
         corpus = json.load(f)
     N, avgdl = corpus["N"], corpus["avgdl"]

@@ -101,7 +101,11 @@ def make_dl_of(cfg: BuildConfig):
         n = cfg.chargram_n
 
         def dl_of(texts: pd.Series) -> pd.Series:
-            return (texts.fillna("").str.len() - (n - 1)).clip(lower=0)
+            # measure lower(text): Unicode lowercase can change length
+            # ('İ' -> 'i̇'), and the tokenizer grams the LOWERED string
+            return (
+                texts.fillna("").str.lower().str.len() - (n - 1)
+            ).clip(lower=0)
 
         return dl_of
     import re

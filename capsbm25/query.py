@@ -249,6 +249,12 @@ def bm25_topk(
     # broadcast join alone would still scan every posting row.
     terms = sorted(qt["term"].unique().tolist())
     filtered = postings.where(F.col("term").isin(terms))
+    if "pos" in filtered.columns:
+        # BM25 never reads positions; on a positional index the pos
+        # payload is ~10x the rest and applyInPandas ships EVERY column,
+        # so keeping it would both bloat the kernel task and make the
+        # bytes-based routing demote queries for payload they don't use
+        filtered = filtered.drop("pos")
     matched = filtered.join(F.broadcast(qdf), "term")
 
     if mode == "auto":
@@ -449,9 +455,11 @@ def phrase_topk(
     rows = []
     for q in queries.itertuples(index=False):
         phrase = tokenize_py(q.text, cfg)
+        # the phrase travels as array<string>, NOT a joined string: a
+        # separator would collide with chargram tokens, which can
+        # contain ANY character (substring_topk patterns are raw text)
         for t in sorted(set(phrase)):
-            rows.append((int(q.query_id), t, int(q.k),
-                         "\x1f".join(phrase)))
+            rows.append((int(q.query_id), t, int(q.k), list(phrase)))
     qt = pd.DataFrame(rows, columns=["query_id", "term", "k", "phrase"])
     if qt.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -562,7 +570,7 @@ def _run_phrase_kernel(matched, N, avgdl, cfg,
     def kernel(key, pdf):
         k = int(pdf["k"].iloc[0])
         qid = int(pdf["query_id"].iloc[0])
-        phrase = pdf["phrase"].iloc[0].split("\x1f")
+        phrase = list(pdf["phrase"].iloc[0])
         distinct = sorted(set(phrase))
         if len(set(pdf["term"])) < len(distinct):
             return _empty_result()  # a phrase token is out-of-vocab
@@ -645,6 +653,7 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
                         tfs, dls, float(idf_fn(N, df_map[row.term])),
                         avgdl, cfg.k1, cfg.b,
                     )
+                phrase_list = list(row.phrase)
                 yield pd.DataFrame(
                     {
                         "query_id": np.full(docs.size, row.query_id, np.int32),
@@ -652,16 +661,21 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
                         "doc_id": docs.astype(np.int64),
                         "contrib": sc,
                         "k": np.full(docs.size, row.k, np.int32),
-                        "phrase": np.full(docs.size, row.phrase, dtype=object),
+                        # one shared list object repeated — Arrow
+                        # serializes it per row, which is inherent to
+                        # carrying the phrase on the narrow rows
+                        "phrase": pd.Series(
+                            [phrase_list] * docs.size, dtype=object
+                        ),
                     }
                 )
 
     n1 = matched.mapInPandas(
         narrow_rows,
         schema="query_id int, term string, doc_id long, contrib double, "
-               "k int, phrase string",
+               "k int, phrase array<string>",
     )
-    n_distinct = F.size(F.array_distinct(F.split(F.col("phrase"), "\x1f")))
+    n_distinct = F.size(F.array_distinct(F.col("phrase")))
     and_docs = (
         n1.groupBy("query_id", "doc_id")
         .agg(
@@ -712,7 +726,7 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
              "score": pd.Series(dtype=np.float64),
              "k": pd.Series(dtype=np.int32)}
         )
-        phrase = pdf["phrase"].iloc[0].split("\x1f")
+        phrase = list(pdf["phrase"].iloc[0])
         # a doc lives in one segment/salt bucket so (term, pos) rows are
         # unique; np.unique both sorts and guards against duplicates if
         # that ever changes (a plain sort would break intersect1d's

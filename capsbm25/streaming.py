@@ -259,26 +259,39 @@ def compact_segments(
     # block_max) — exactly the per-term stitch compaction needs; single-
     # row terms pass through it too so every row gets global bounds
     merged = merge_hot_partials(allp, N, avgdl, cfg)
-    # monotone generation counter persisted in stats — counting
-    # compacted segments in the live list would always yield 1 and the
-    # third compaction would overwrite the path it is reading from
-    gen = int(stats.get("compact_gen", 0)) + 1
-    seg_id = f"compacted-{gen}"
-    seg = os.path.join(out_dir, "segments", f"seg={seg_id}", "postings")
-    merged.write.mode("overwrite").parquet(seg)
-    # staleness re-check + swap ATOMICALLY under the write lock: batch
-    # commits also serialize on it, so none can land between the check
-    # and the os.replace (the round-2 check-then-swap race). A batch
-    # that committed while we merged still aborts us cleanly here.
+    # write to a PRIVATE temp dir first: two concurrent compactors would
+    # otherwise derive the same generation from their lock-free stats
+    # snapshots and write the same canonical path — and the loser's
+    # abort would rmtree the directory the winner just published. The
+    # canonical seg=compacted-<gen> name is claimed by an os.rename
+    # under the lock, with gen derived from the stats read UNDER the
+    # lock (monotone counter persisted in stats — counting compacted
+    # segments in the live list would always yield 1 and the third
+    # compaction would overwrite the path it reads from).
+    import shutil
+    import uuid
+
+    tmp_seg_dir = os.path.join(
+        out_dir, "segments", f".compacting-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    )
+    merged.write.mode("overwrite").parquet(os.path.join(tmp_seg_dir, "postings"))
+    # staleness re-check + rename + swap ATOMICALLY under the write
+    # lock: batch commits also serialize on it, so none can land between
+    # the check and the os.replace (the round-2 check-then-swap race).
+    # A batch (or another compaction) that committed while we merged
+    # still aborts us cleanly here — and we only ever delete our own
+    # private temp dir.
     ids_at_start = [s["id"] for s in stats["segments"]]
     with _stats_lock(out_dir):
         now = load_stream_stats(out_dir)
         if [s["id"] for s in now["segments"]] != ids_at_start:
-            import shutil
-
-            shutil.rmtree(os.path.dirname(seg), ignore_errors=True)
+            shutil.rmtree(tmp_seg_dir, ignore_errors=True)
             return {"compacted": False, "aborted": "segments changed "
                     "during compaction — rerun (or pause the stream)"}
+        gen = int(now.get("compact_gen", 0)) + 1
+        seg_id = f"compacted-{gen}"
+        os.rename(tmp_seg_dir,
+                  os.path.join(out_dir, "segments", f"seg={seg_id}"))
         new_stats = {
             "N": now["N"],
             "total_dl": now["total_dl"],

@@ -16,8 +16,13 @@ import __spark_entry__ as E
 
 _args = sys.argv[1:]
 SF = _args[0] if _args and os.path.isdir(_args[0]) else "/root/testdata/sf0.01"
-# remaining (non-directory) args filter which entries run
+# remaining (non-directory) args filter which entries run; anything
+# that looks like a path but doesn't exist is a typo'd SF dir — fail
+# loudly instead of silently treating it as a match-nothing filter
 ONLY = {a for a in _args if not os.path.isdir(a)}
+_bad_paths = [a for a in ONLY if "/" in a]
+if _bad_paths:
+    sys.exit(f"not a directory: {_bad_paths} (SF dir typo?)")
 
 spark = (
     SparkSession.builder.master("local[8]")
@@ -48,10 +53,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 qs, oracles = E.queries(), E.oracle_sql()
+unknown = ONLY - qs.keys()
+if unknown:
+    sys.exit(f"unknown entry names: {sorted(unknown)} "
+             f"(valid: {sorted(qs)})")
 fails = []
+n_ran = 0
 for name, fn in qs.items():
     if ONLY and name not in ONLY:
         continue
+    n_ran += 1
     t0 = time.time()
     try:
         got = fn(spark, SF).toPandas()
@@ -90,7 +101,11 @@ for name, fn in qs.items():
     print(f"{name:24s} {status}  rows={len(got)}  ({time.time()-t0:.1f}s)")
 
 print()
-print("FAILURES:" if fails else "ALL ENTRIES MATCH")
+if n_ran == 0:
+    print("NO ENTRIES RAN (filter matched nothing)")
+    spark.stop()
+    sys.exit(1)
+print("FAILURES:" if fails else f"ALL ENTRIES MATCH ({n_ran} ran)")
 for n, s in fails:
     print(" -", n, s)
 spark.stop()

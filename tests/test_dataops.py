@@ -264,7 +264,8 @@ def test_ann_driver_entries_exact(spark):
 
     import __spark_entry__ as E
 
-    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                   "/root/testdata/sf0.1"):
         if not os.path.isdir(sf_dir):  # driver data absent in some envs
             continue
         exact = [(r.vec_id, r.cos_r)

@@ -245,3 +245,46 @@ def test_compaction_aborts_when_batch_lands_during_merge(streamed, spark,
     # the aborted compaction's segment dir must not linger
     segdirs = os.listdir(os.path.join(out, "segments"))
     assert not any("compacted" in d for d in segdirs), segdirs
+
+
+def test_concurrent_compactions_do_not_destroy_winner(streamed, spark,
+                                                      monkeypatch):
+    """Two racing compactions: the loser must abort WITHOUT touching the
+    segment the winner published (round-3 review finding: a shared
+    canonical path let the loser rmtree the winner's live segment)."""
+    import shutil
+
+    import capsbm25.postings as pmod
+    import capsbm25.streaming as sm
+
+    out = streamed["out"] + "_race3"
+    shutil.copytree(streamed["out"], out, dirs_exist_ok=True)
+
+    real_merge = pmod.merge_hot_partials
+    fired = {}
+
+    def hook(*a, **kw):
+        if not fired:
+            fired["inner"] = True
+            # the INNER compaction runs to completion while the outer
+            # one is mid-merge
+            r = sm.compact_segments(spark, out, streamed["cfg"])
+            fired["r"] = r
+        return real_merge(*a, **kw)
+
+    monkeypatch.setattr(pmod, "merge_hot_partials", hook)
+    outer = sm.compact_segments(spark, out, streamed["cfg"])
+
+    assert fired["r"]["compacted"], fired["r"]
+    assert not outer["compacted"] and "aborted" in outer, outer
+    stats = load_stream_stats(out)
+    assert [s["id"] for s in stats["segments"]] == ["compacted-1"]
+    assert stats["compact_gen"] == 1
+    # the winner's segment directory must still exist and be readable
+    seg = os.path.join(out, "segments", "seg=compacted-1", "postings")
+    assert os.path.isdir(seg), "loser deleted the winner's segment"
+    assert spark.read.parquet(seg).count() > 0
+    # no orphaned temp dirs
+    leftovers = [d for d in os.listdir(os.path.join(out, "segments"))
+                 if d.startswith(".compacting-")]
+    assert not leftovers, leftovers

@@ -175,3 +175,19 @@ def test_substring_scan_fallback_matches_naive(char_index, spark):
             for r in substring_scan(docs, "000").collect()}
     for r in idx.itertuples(index=False):
         assert scan[r.doc_id] == int(r.score)
+
+
+def test_substring_pattern_with_control_chars(char_index, spark):
+    """Chargram tokens can contain ANY character — a pattern containing
+    the old phrase-separator byte (\\x1f) must not corrupt the phrase
+    round-trip (the phrase now travels as array<string>). The fixture
+    corpus has no \\x1f, so the pattern must return empty, not crash,
+    in both modes; a space-containing control-adjacent pattern must
+    still match."""
+    cfg = char_index["cfg"]
+    for mode in ("kernel", "distributed"):
+        got = substring_topk(
+            spark, char_index["postings"],
+            _queries_pdf(["a\x1fb\x1fc"]), cfg, mode=mode,
+        ).toPandas()
+        assert len(got) == 0, mode
