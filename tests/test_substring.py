@@ -191,3 +191,41 @@ def test_substring_pattern_with_control_chars(char_index, spark):
             _queries_pdf(["a\x1fb\x1fc"]), cfg, mode=mode,
         ).toPandas()
         assert len(got) == 0, mode
+
+
+def test_substring_over_streamed_segments(spark, tmp_path):
+    """Composition: a chargram positional index built INCREMENTALLY via
+    Structured Streaming answers substring queries identically to the
+    naive scan — the kernel merges multi-segment terms and their
+    positional payloads."""
+    import os
+
+    from capsbm25.streaming import (load_segment_postings,
+                                    start_incremental_build)
+
+    pdf = fx.gen_transcripts_pdf(60, 42)
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "idx")
+    os.makedirs(src)
+    convs = sorted(pdf["conv_id"].unique())
+    for i, chunk in enumerate([convs[:20], convs[20:40], convs[40:]]):
+        pdf[pdf["conv_id"].isin(chunk)].to_parquet(f"{src}/p{i}.parquet")
+
+    cfg = BuildConfig(num_part_ids=16, shuffle_partitions=4,
+                      tokenizer="chargram", chargram_n=3,
+                      index_positions=True)
+    q = start_incremental_build(spark, src, out, cfg,
+                                max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    ordered = pdf.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    hays = [(t or "").lower() for t in ordered["text"]]
+    texts = [hays[0][2:8], "000", "@@none@@"]
+    queries = _queries_pdf(texts, k=8)
+    got = substring_topk(
+        spark, load_segment_postings(spark, out), queries, cfg,
+        mode="kernel",
+    ).toPandas()
+    for qid, t in zip(queries["query_id"], texts):
+        g = got[got.query_id == qid].sort_values("rank")
+        assert list(zip(g.doc_id, g.score)) == _oracle_topk(hays, t, 8), t
