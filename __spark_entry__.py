@@ -460,6 +460,44 @@ def q_bm25_topk_and(spark, sf_dir):
     )
 
 
+FILTER_SOURCES = tuple(f"src{i}" for i in range(0, 20, 3))
+
+
+def q_bm25_topk_filtered(spark, sf_dir):
+    """Metadata-filtered BM25 (Lucene-filter semantics): candidates
+    restricted to docs from a source subset via a doc_id filter built
+    from the index's doc_stats metadata; scoring stats stay corpus-
+    global, so scores match the unfiltered entry doc-for-doc."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.build import load_doc_stats
+
+    b = _index_for(spark, sf_dir)
+    res = b["res"]
+    fdf = (
+        load_doc_stats(spark, b["out"])
+        .where(F.col("conv_id").isin(list(FILTER_SOURCES)))
+        .select("doc_id")
+    )
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [" ".join(BM25_QUERY_TERMS)],
+         "k": np.array([BM25_K], dtype=np.int32)}
+    )
+    got = bm25_topk(
+        spark, load_postings(spark, b["out"]), queries, res.N, res.avgdl,
+        CFG, mode="auto", doc_filter=fdf,
+    )
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.round("g.score", 6).alias("score_r"))
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate NN (the scale path), parameterized for
     recall 1.0 on the driver embeddings so the exact-cosine SQL is a
@@ -626,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_topk": q_substring_topk,
         "substring_scan": q_substring_scan,
         "bm25_topk_and": q_bm25_topk_and,
+        "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_topk_dataframe": q_bm25_topk_dataframe,
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_exact": q_dedup_exact,
@@ -840,6 +879,41 @@ FROM scores ORDER BY score DESC, doc_id LIMIT {BM25_K}
 """
 
 
+_BM25_FILTERED_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN {BM25_QUERY_TERMS!r}
+  GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  -- scoring stats (n, avgdl, df) are corpus-global: the filter
+  -- restricts CANDIDATES only (Lucene filter semantics)
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * ({_K1} + 1)
+           / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / c.avgdl))
+         ) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus c
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, round(s.score, 6) AS score_r
+FROM scores s JOIN documents d USING (doc_id)
+WHERE d.source IN {FILTER_SOURCES!r}
+-- LIMIT ties break by the ENGINE's dense-id order = (source, doc_id)
+ORDER BY s.score DESC, d.source ASC, d.doc_id ASC LIMIT {BM25_K}
+"""
+
+
 _ANN_EXACT_SQL = """
     WITH q AS (
       SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
@@ -908,6 +982,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_topk": _SUBSTRING_SQL,
         "substring_scan": _SUBSTRING_SCAN_SQL,
         "bm25_topk_and": _BM25_AND_SQL,
+        "bm25_topk_filtered": _BM25_FILTERED_SQL,
         "bm25_topk_dataframe": _BM25_SQL,
         "dedup_exact": """
             SELECT md5(coalesce(text, '')) AS h, count(*) AS n,

@@ -288,6 +288,16 @@ def load_postings(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def load_doc_stats(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-doc metadata written by the build's docs stage:
+    (doc_id, conv_id, turn_idx, dl). The intended source for
+    bm25_topk(doc_filter=...) — e.g.
+    load_doc_stats(spark, out).where(F.col("conv_id").isin([...]))
+    .select("doc_id"); predicates on conv_id/turn_idx push down to
+    the parquet scan."""
+    return spark.read.parquet(os.path.join(out_dir, "doc_stats"))
+
+
 def load_corpus_stats(out_dir: str) -> dict:
     with open(os.path.join(out_dir, "corpus_stats.json")) as f:
         return json.load(f)

@@ -97,8 +97,14 @@ def _topk(docs: np.ndarray, scores: np.ndarray, k: int):
 
 def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
                         cfg: BuildConfig, prune: bool,
-                        conjunctive: bool = False) -> pd.DataFrame:
-    """Score one query's matched postings. pdf: one row per term."""
+                        conjunctive: bool = False,
+                        filt: np.ndarray | None = None) -> pd.DataFrame:
+    """Score one query's matched postings. pdf: one row per term.
+
+    filt: optional SORTED array of allowed doc_ids (Lucene-filter
+    semantics) — candidates are restricted to it BEFORE top-k, but
+    scoring stats (idf from global df, avgdl, N) stay corpus-global,
+    so a doc's score is identical with or without a filter."""
     k = int(pdf["k"].iloc[0])
     qid = int(pdf["query_id"].iloc[0])
     pdf = pdf.sort_values("term")  # fixed summation order -> bit-stable
@@ -115,7 +121,17 @@ def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
         if len(parts) > 1:
             order = np.argsort(docs, kind="stable")
             docs, tfs, dls = docs[order], tfs[order], dls[order]
+        # df is summed BEFORE the filter mask: filters restrict
+        # candidates, never scoring stats
         df_total = int(grp["df"].sum())
+        if filt is not None and docs.size:
+            if filt.size:
+                ix = np.searchsorted(filt, docs)
+                ix[ix == filt.size] = filt.size - 1
+                keep = filt[ix] == docs
+            else:
+                keep = np.zeros(docs.size, dtype=bool)
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
         tidf = float(idf_fn(N, df_total))
         sc = term_scores(tfs, dls, tidf, avgdl, cfg.k1, cfg.b)
         # ALWAYS recompute block uppers from the exact scores just
@@ -138,6 +154,8 @@ def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
     def exact_scores(cand: np.ndarray) -> np.ndarray:
         total = np.zeros(cand.size, dtype=np.float64)
         for t in terms:  # already in sorted-term order
+            if t["docs"].size == 0:  # term fully removed by doc filter
+                continue
             pos = np.searchsorted(t["docs"], cand)
             pos = np.minimum(pos, t["docs"].size - 1)
             hit = t["docs"][pos] == cand
@@ -225,6 +243,8 @@ def bm25_topk(
     conjunctive: bool = False,
     max_kernel_df: int = 2_000_000,
     max_kernel_bytes: int = 32 << 20,
+    doc_filter: DataFrame | None = None,
+    max_kernel_filter: int = 4_000_000,
 ) -> DataFrame:
     """Top-k BM25 over the index for a batch of queries.
 
@@ -238,11 +258,44 @@ def bm25_topk(
     exceeds max_kernel_bytes (positions make bytes/df vary ~10x, so df
     alone under-estimates task memory), in which case that query is
     routed to the distributed path (both rank-identical, tested).
+
+    doc_filter: optional DataFrame with a doc_id column — Lucene-filter
+    semantics: candidates are restricted to these docs for EVERY query
+    in the batch, while scoring stats (idf, avgdl, N) stay corpus-
+    global, so a doc scores identically filtered or not. Build one from
+    index metadata, e.g. load_doc_stats(...).where(...). Up to
+    max_kernel_filter ids the filter ships to kernel tasks as one
+    sorted broadcast array (bounded driver fetch, one job); beyond
+    that, auto mode falls back to the distributed path where the
+    filter stays a DataFrame semi-join and nothing is collected
+    (mode="kernel" raises instead of silently collecting unbounded
+    ids — at 10^12 docs a WHERE-selective filter is not kernel-sized).
     """
     cfg = cfg or BuildConfig()
     qt = _query_terms_pdf(queries, cfg)
     if qt.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
+
+    filt_bc = None
+    if doc_filter is not None:
+        fcol = doc_filter.select("doc_id")
+        if mode != "distributed":
+            # bounded fetch: one job, never more than max+1 rows
+            head = fcol.limit(max_kernel_filter + 1).toPandas()
+            if len(head) > max_kernel_filter:
+                if mode == "kernel":
+                    raise ValueError(
+                        f"doc_filter exceeds max_kernel_filter="
+                        f"{max_kernel_filter}; use mode='distributed' "
+                        "(or 'auto') so the filter stays a semi-join"
+                    )
+                mode = "distributed"
+            else:
+                filt = np.unique(head["doc_id"].to_numpy(np.int64))
+                if filt.size == 0:
+                    return spark.createDataFrame([], RESULT_SCHEMA)
+                filt_bc = spark.sparkContext.broadcast(filt)
+        doc_filter = fcol
     qdf = spark.createDataFrame(qt)
     # isin pre-filter: pushed to the parquet scan (PushedFilters: In(term))
     # so row groups without query terms are skipped entirely — the
@@ -280,27 +333,28 @@ def bm25_topk(
         elif len(heavy) == stats.shape[0]:
             # every query is heavy — don't schedule an empty kernel side
             return _run_distributed(
-                matched, df_map, N, avgdl, cfg, conjunctive
+                matched, df_map, N, avgdl, cfg, conjunctive, doc_filter
             ).orderBy("query_id", "rank")
         else:
             light = _run_kernel(
                 matched.where(~F.col("query_id").isin(heavy)),
-                N, avgdl, cfg, prune, conjunctive,
+                N, avgdl, cfg, prune, conjunctive, filt_bc,
             )
             dist = _run_distributed(
                 matched.where(F.col("query_id").isin(heavy)),
-                df_map, N, avgdl, cfg, conjunctive,
+                df_map, N, avgdl, cfg, conjunctive, doc_filter,
             )
             return light.unionByName(dist).orderBy("query_id", "rank")
 
     if mode == "kernel":
-        return _run_kernel(matched, N, avgdl, cfg, prune, conjunctive).orderBy(
-            "query_id", "rank"
-        )
+        return _run_kernel(
+            matched, N, avgdl, cfg, prune, conjunctive, filt_bc
+        ).orderBy("query_id", "rank")
 
     if mode == "distributed":
         return _run_distributed(
-            matched, _term_df_map(filtered), N, avgdl, cfg, conjunctive
+            matched, _term_df_map(filtered), N, avgdl, cfg, conjunctive,
+            doc_filter,
         ).orderBy("query_id", "rank")
 
     raise ValueError(mode)
@@ -331,19 +385,30 @@ def _term_stats_map(filtered: DataFrame) -> tuple[dict, dict]:
             {r["term"]: int(r["nbytes"]) for r in rows})
 
 
-def _run_kernel(matched, N, avgdl, cfg, prune, conjunctive) -> DataFrame:
+def _run_kernel(matched, N, avgdl, cfg, prune, conjunctive,
+                filt_bc=None) -> DataFrame:
+    # filt_bc: optional pyspark Broadcast of a sorted int64 doc-id array
+    # (one copy per executor, not per task — the array can be MBs)
     def kernel(key, pdf):
-        return _score_query_kernel(pdf, N, avgdl, cfg, prune, conjunctive)
+        filt = filt_bc.value if filt_bc is not None else None
+        return _score_query_kernel(pdf, N, avgdl, cfg, prune, conjunctive,
+                                   filt)
 
     return matched.groupBy("query_id").applyInPandas(
         kernel, schema=RESULT_SCHEMA
     )
 
 
-def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive) -> DataFrame:
+def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive,
+                     doc_filter: DataFrame | None = None) -> DataFrame:
     # df_map: global df per term from _term_df_map (pre-query-join —
     # see its docstring); shipped in the task closure (tiny) instead of
     # a broadcast join
+    # doc_filter: optional single-column (doc_id) DataFrame of allowed
+    # docs — semi-joined against the contrib rows BEFORE the aggregate,
+    # so with AQE a selective filter broadcasts and drops rows map-side
+    # ahead of the groupBy shuffle; a huge filter degrades to a
+    # sort-merge semi join, never a driver collect
 
     def contribs(it):
         for pdf in it:
@@ -371,6 +436,8 @@ def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive) -> DataFrame:
         schema="query_id int, term string, doc_id long, contrib double, "
                "k int, n_query_terms int",
     )
+    if doc_filter is not None:
+        c = c.join(doc_filter.select("doc_id"), "doc_id", "semi")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )

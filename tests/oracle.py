@@ -62,7 +62,8 @@ class OracleIndex:
         return s
 
     def topk(
-        self, query_text: str, k: int, conjunctive: bool = False
+        self, query_text: str, k: int, conjunctive: bool = False,
+        doc_filter: set[int] | None = None,
     ) -> list[tuple[int, float]]:
         terms = sorted(set(tokenize_py(query_text)))
         cand: set[int] = set()
@@ -75,6 +76,10 @@ class OracleIndex:
         else:
             for t in terms:
                 cand.update(self.postings.get(t, {}).keys())
+        if doc_filter is not None:
+            # Lucene filter semantics: restricts candidates only —
+            # scores (idf/avgdl/N) stay corpus-global
+            cand &= doc_filter
         scored = [(d, self.score_doc(terms, d)) for d in cand]
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
@@ -104,11 +109,13 @@ class OracleIndex:
         return pd.DataFrame(rows, columns=["query_id", "doc_id", "score", "rank"])
 
     def topk_pdf(
-        self, queries: pd.DataFrame, conjunctive: bool = False
+        self, queries: pd.DataFrame, conjunctive: bool = False,
+        doc_filter: set[int] | None = None,
     ) -> pd.DataFrame:
         rows = []
         for q in queries.itertuples(index=False):
-            hits = self.topk(q.text, int(q.k), conjunctive=conjunctive)
+            hits = self.topk(q.text, int(q.k), conjunctive=conjunctive,
+                             doc_filter=doc_filter)
             for rank, (doc_id, score) in enumerate(hits, 1):
                 rows.append((int(q.query_id), doc_id, score, rank))
         return pd.DataFrame(rows, columns=["query_id", "doc_id", "score", "rank"])

@@ -92,3 +92,94 @@ def test_k_larger_than_matches(built_index, spark):
     ).toPandas()
     assert len(got) == oracle.df(rare) == 1
     _assert_rank_identical(got, want=oracle.topk_pdf(queries), queries=queries)
+
+
+def _conv_filter(built_index, spark, stride=3):
+    """Filter = docs from every `stride`-th conversation, built BOTH
+    ways: engine-side from doc_stats metadata (what a user does) and
+    oracle-side from the dense-id construction order."""
+    from pyspark.sql import functions as F
+
+    from capsbm25.build import load_doc_stats
+
+    convs = sorted(built_index["pdf"]["conv_id"].unique())[::stride]
+    fdf = (
+        load_doc_stats(spark, built_index["res"].out_dir)
+        .where(F.col("conv_id").isin(convs))
+        .select("doc_id")
+    )
+    meta = built_index["oracle"].doc_meta
+    fset = {i for i, c in enumerate(meta["conv_id"]) if c in set(convs)}
+    return fdf, fset
+
+
+def test_filtered_rank_identical(built_index, spark):
+    """Lucene-filter semantics: candidates restricted to a metadata-
+    selected doc set, scores corpus-global — engine (all modes) vs
+    oracle, OR and AND semantics."""
+    res, cfg = built_index["res"], built_index["cfg"]
+    queries = fx.queries_pdf(42)
+    fdf, fset = _conv_filter(built_index, spark)
+    for conj in (False, True):
+        want = built_index["oracle"].topk_pdf(
+            queries, conjunctive=conj, doc_filter=fset
+        )
+        for mode, prune in [
+            ("kernel", True), ("kernel", False),
+            ("distributed", False), ("auto", True),
+        ]:
+            got = bm25_topk(
+                spark, built_index["postings"], queries, res.N, res.avgdl,
+                cfg, mode=mode, prune=prune, conjunctive=conj,
+                doc_filter=fdf,
+            ).toPandas()
+            assert len(got) == len(want), (mode, conj)
+            _assert_rank_identical(got, want, queries)
+    # the filter actually bites: filtered results differ from unfiltered
+    unf = built_index["oracle"].topk_pdf(queries)
+    flt = built_index["oracle"].topk_pdf(queries, doc_filter=fset)
+    assert not flt.equals(unf)
+    assert set(flt.doc_id) <= fset
+
+
+def test_filter_edges(built_index, spark):
+    from pyspark.sql import functions as F
+
+    res, cfg = built_index["res"], built_index["cfg"]
+    queries = fx.queries_pdf(42)
+    fdf, fset = _conv_filter(built_index, spark)
+    all_docs = fdf.sparkSession.range(res.N).select(F.col("id").alias("doc_id"))
+
+    # empty filter -> zero rows (both routes)
+    empty = all_docs.where(F.col("doc_id") < 0)
+    for mode in ("kernel", "distributed"):
+        got = bm25_topk(
+            spark, built_index["postings"], queries, res.N, res.avgdl, cfg,
+            mode=mode, doc_filter=empty,
+        ).toPandas()
+        assert len(got) == 0, mode
+
+    # all-docs filter == unfiltered
+    want = built_index["oracle"].topk_pdf(queries)
+    got = bm25_topk(
+        spark, built_index["postings"], queries, res.N, res.avgdl, cfg,
+        doc_filter=all_docs,
+    ).toPandas()
+    _assert_rank_identical(got, want, queries)
+
+    # oversized filter: kernel mode refuses (no unbounded collect);
+    # auto mode silently degrades to the distributed semi-join path
+    # and still matches the oracle
+    import pytest
+
+    with pytest.raises(ValueError, match="max_kernel_filter"):
+        bm25_topk(
+            spark, built_index["postings"], queries, res.N, res.avgdl, cfg,
+            mode="kernel", doc_filter=fdf, max_kernel_filter=3,
+        )
+    want_f = built_index["oracle"].topk_pdf(queries, doc_filter=fset)
+    got = bm25_topk(
+        spark, built_index["postings"], queries, res.N, res.avgdl, cfg,
+        mode="auto", doc_filter=fdf, max_kernel_filter=3,
+    ).toPandas()
+    _assert_rank_identical(got, want_f, queries)
