@@ -461,6 +461,44 @@ def q_bm25_topk_and(spark, sf_dir):
 
 
 FILTER_SOURCES = tuple(f"src{i}" for i in range(0, 20, 3))
+KWIC_WINDOW = 3
+
+
+def q_kwic_snippets(spark, sf_dir):
+    """KWIC snippets for the BM25 top-k results — the fetch/highlight
+    phase (positions -> readable context; the reference emits match
+    positions into the text, Suffix_Array.cpp:252-297). Result doc ids
+    are pushed into the metadata and corpus scans as isin filters, so
+    the corpus is never fully re-scanned for the fetch."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.build import load_doc_stats
+    from capsbm25.snippets import kwic_snippets
+
+    b = _index_for(spark, sf_dir)
+    res = b["res"]
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [" ".join(BM25_QUERY_TERMS)],
+         "k": np.array([BM25_K], dtype=np.int32)}
+    )
+    results = bm25_topk(
+        spark, load_postings(spark, b["out"]), queries, res.N, res.avgdl,
+        CFG, mode="kernel",
+    )
+    got = kwic_snippets(
+        spark, _as_transcripts(_documents(spark, sf_dir)),
+        load_doc_stats(spark, b["out"]), results, queries, CFG,
+        window=KWIC_WINDOW,
+    )
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.col("g.first_pos"), F.col("g.snippet"))
+    )
 
 
 def q_bm25_topk_filtered(spark, sf_dir):
@@ -665,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_scan": q_substring_scan,
         "bm25_topk_and": q_bm25_topk_and,
         "bm25_topk_filtered": q_bm25_topk_filtered,
+        "kwic_snippets": q_kwic_snippets,
         "bm25_topk_dataframe": q_bm25_topk_dataframe,
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_exact": q_dedup_exact,
@@ -914,6 +953,55 @@ ORDER BY s.score DESC, d.source ASC, d.doc_id ASC LIMIT {BM25_K}
 """
 
 
+_P_MISS = 10 ** 9  # sentinel: term absent (list_position = 0)
+_KWIC_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN {BM25_QUERY_TERMS!r}
+  GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * ({_K1} + 1)
+           / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / c.avgdl))
+         ) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus c
+  GROUP BY tf.doc_id
+),
+-- LIMIT ties break by the ENGINE's dense-id order = (source, doc_id)
+topk AS (
+  SELECT s.doc_id FROM scores s JOIN documents d USING (doc_id)
+  ORDER BY s.score DESC, d.source ASC, d.doc_id ASC LIMIT {BM25_K}
+),
+tk AS (
+  SELECT d.doc_id, {_TOK} AS tl FROM documents d JOIN topk USING (doc_id)
+),
+pos AS (
+  SELECT doc_id, tl,
+         least(
+           coalesce(nullif(list_position(tl, '{BM25_QUERY_TERMS[0]}'), 0), {_P_MISS}),
+           coalesce(nullif(list_position(tl, '{BM25_QUERY_TERMS[1]}'), 0), {_P_MISS}),
+           coalesce(nullif(list_position(tl, '{BM25_QUERY_TERMS[2]}'), 0), {_P_MISS})
+         ) AS p
+  FROM tk
+)
+SELECT doc_id, (p - 1)::INTEGER AS first_pos,
+       array_to_string(tl[greatest(1, p - {KWIC_WINDOW}):p + {KWIC_WINDOW}], ' ') AS snippet
+FROM pos WHERE p < {_P_MISS}
+"""
+
+
 _ANN_EXACT_SQL = """
     WITH q AS (
       SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
@@ -983,6 +1071,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_scan": _SUBSTRING_SCAN_SQL,
         "bm25_topk_and": _BM25_AND_SQL,
         "bm25_topk_filtered": _BM25_FILTERED_SQL,
+        "kwic_snippets": _KWIC_SQL,
         "bm25_topk_dataframe": _BM25_SQL,
         "dedup_exact": """
             SELECT md5(coalesce(text, '')) AS h, count(*) AS n,
