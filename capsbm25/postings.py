@@ -639,12 +639,19 @@ def assemble_postings(
 
 
 def merge_hot_partials(
-    partials: DataFrame, N: int, avgdl: float, cfg: BuildConfig | None = None
+    partials: DataFrame, N: int, avgdl: float, cfg: BuildConfig | None = None,
+    drop: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Stitch salted partial postings into final rows (boundary fix-up).
 
     Only hot terms reach this groupBy — its input is tiny (a handful of
     rows per hot term), so the extra shuffle is negligible.
+
+    drop: optional SORTED int64 array of doc ids to physically remove
+    while merging (compaction applying delete tombstones — the Lucene
+    merge-drops-deleted-docs analog). N/avgdl must then be the LIVE
+    stats so recomputed block maxima bound the post-delete scores. A
+    term whose docs are all dropped vanishes (no df=0 rows).
     """
     cfg = cfg or BuildConfig()
 
@@ -658,11 +665,23 @@ def merge_hot_partials(
         dls = np.concatenate(
             [decode_varints(b).astype(np.int64) for b in pdf["dls"]]
         )
+        pos = (
+            decode_pair_positions(b"".join(pdf["pos"]), tfs)
+            if with_pos else None
+        )
+        if drop is not None and drop.size and docs.size:
+            ix = np.searchsorted(drop, docs)
+            ix[ix == drop.size] = drop.size - 1
+            keep = drop[ix] != docs
+            if pos is not None:
+                pos = pos[np.repeat(keep, tfs)]
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+            if docs.size == 0:
+                return pd.DataFrame([], columns=POSTINGS_COLS)
         order = np.argsort(docs, kind="stable")
         part_id = int(pdf["part_id"].min())
         flush = [key[0], docs[order], tfs[order], dls[order], part_id]
-        if with_pos:
-            pos = decode_pair_positions(b"".join(pdf["pos"]), tfs)
+        if pos is not None:
             flush.append(permute_pair_payload(pos, tfs, order))
         return _posting_rows([tuple(flush)], N, avgdl, cfg, set())
 

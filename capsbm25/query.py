@@ -98,13 +98,17 @@ def _topk(docs: np.ndarray, scores: np.ndarray, k: int):
 def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
                         cfg: BuildConfig, prune: bool,
                         conjunctive: bool = False,
-                        filt: np.ndarray | None = None) -> pd.DataFrame:
+                        filt: np.ndarray | None = None,
+                        excl: np.ndarray | None = None) -> pd.DataFrame:
     """Score one query's matched postings. pdf: one row per term.
 
     filt: optional SORTED array of allowed doc_ids (Lucene-filter
     semantics) — candidates are restricted to it BEFORE top-k, but
     scoring stats (idf from global df, avgdl, N) stay corpus-global,
-    so a doc's score is identical with or without a filter."""
+    so a doc's score is identical with or without a filter.
+    excl: optional SORTED array of EXCLUDED doc_ids (delete tombstones
+    — Lucene's liveDocs mask: deleted docs stop matching immediately,
+    while df/N stay stale until a merge physically drops them)."""
     k = int(pdf["k"].iloc[0])
     qid = int(pdf["query_id"].iloc[0])
     pdf = pdf.sort_values("term")  # fixed summation order -> bit-stable
@@ -131,6 +135,11 @@ def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
                 keep = filt[ix] == docs
             else:
                 keep = np.zeros(docs.size, dtype=bool)
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+        if excl is not None and excl.size and docs.size:
+            ix = np.searchsorted(excl, docs)
+            ix[ix == excl.size] = excl.size - 1
+            keep = excl[ix] != docs
             docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
         tidf = float(idf_fn(N, df_total))
         sc = term_scores(tfs, dls, tidf, avgdl, cfg.k1, cfg.b)
@@ -245,6 +254,7 @@ def bm25_topk(
     max_kernel_bytes: int = 32 << 20,
     doc_filter: DataFrame | None = None,
     max_kernel_filter: int = 4_000_000,
+    doc_exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 over the index for a batch of queries.
 
@@ -270,6 +280,13 @@ def bm25_topk(
     filter stays a DataFrame semi-join and nothing is collected
     (mode="kernel" raises instead of silently collecting unbounded
     ids — at 10^12 docs a WHERE-selective filter is not kernel-sized).
+
+    doc_exclude: optional DataFrame with a doc_id column — the
+    COMPLEMENT of doc_filter: these docs stop matching (Lucene liveDocs
+    / delete-tombstone semantics; scoring stats stay stale-global until
+    a compaction physically drops the docs). Same kernel-vs-semi-join
+    routing rules as doc_filter; typical tombstone sets are tiny and
+    ride the kernel broadcast.
     """
     cfg = cfg or BuildConfig()
     qt = _query_terms_pdf(queries, cfg)
@@ -296,6 +313,25 @@ def bm25_topk(
                     return spark.createDataFrame([], RESULT_SCHEMA)
                 filt_bc = spark.sparkContext.broadcast(filt)
         doc_filter = fcol
+
+    excl_bc = None
+    if doc_exclude is not None:
+        ecol = doc_exclude.select("doc_id")
+        if mode != "distributed":
+            head = ecol.limit(max_kernel_filter + 1).toPandas()
+            if len(head) > max_kernel_filter:
+                if mode == "kernel":
+                    raise ValueError(
+                        f"doc_exclude exceeds max_kernel_filter="
+                        f"{max_kernel_filter}; use mode='distributed' "
+                        "(or 'auto') so the exclusion stays an anti-join"
+                    )
+                mode = "distributed"
+            else:
+                excl = np.unique(head["doc_id"].to_numpy(np.int64))
+                if excl.size:
+                    excl_bc = spark.sparkContext.broadcast(excl)
+        doc_exclude = ecol
     qdf = spark.createDataFrame(qt)
     # isin pre-filter: pushed to the parquet scan (PushedFilters: In(term))
     # so row groups without query terms are skipped entirely — the
@@ -333,28 +369,30 @@ def bm25_topk(
         elif len(heavy) == stats.shape[0]:
             # every query is heavy — don't schedule an empty kernel side
             return _run_distributed(
-                matched, df_map, N, avgdl, cfg, conjunctive, doc_filter
+                matched, df_map, N, avgdl, cfg, conjunctive, doc_filter,
+                doc_exclude,
             ).orderBy("query_id", "rank")
         else:
             light = _run_kernel(
                 matched.where(~F.col("query_id").isin(heavy)),
-                N, avgdl, cfg, prune, conjunctive, filt_bc,
+                N, avgdl, cfg, prune, conjunctive, filt_bc, excl_bc,
             )
             dist = _run_distributed(
                 matched.where(F.col("query_id").isin(heavy)),
                 df_map, N, avgdl, cfg, conjunctive, doc_filter,
+                doc_exclude,
             )
             return light.unionByName(dist).orderBy("query_id", "rank")
 
     if mode == "kernel":
         return _run_kernel(
-            matched, N, avgdl, cfg, prune, conjunctive, filt_bc
+            matched, N, avgdl, cfg, prune, conjunctive, filt_bc, excl_bc
         ).orderBy("query_id", "rank")
 
     if mode == "distributed":
         return _run_distributed(
             matched, _term_df_map(filtered), N, avgdl, cfg, conjunctive,
-            doc_filter,
+            doc_filter, doc_exclude,
         ).orderBy("query_id", "rank")
 
     raise ValueError(mode)
@@ -386,13 +424,14 @@ def _term_stats_map(filtered: DataFrame) -> tuple[dict, dict]:
 
 
 def _run_kernel(matched, N, avgdl, cfg, prune, conjunctive,
-                filt_bc=None) -> DataFrame:
-    # filt_bc: optional pyspark Broadcast of a sorted int64 doc-id array
-    # (one copy per executor, not per task — the array can be MBs)
+                filt_bc=None, excl_bc=None) -> DataFrame:
+    # filt_bc/excl_bc: optional pyspark Broadcasts of sorted int64
+    # doc-id arrays (one copy per executor, not per task — can be MBs)
     def kernel(key, pdf):
         filt = filt_bc.value if filt_bc is not None else None
+        excl = excl_bc.value if excl_bc is not None else None
         return _score_query_kernel(pdf, N, avgdl, cfg, prune, conjunctive,
-                                   filt)
+                                   filt, excl)
 
     return matched.groupBy("query_id").applyInPandas(
         kernel, schema=RESULT_SCHEMA
@@ -400,7 +439,8 @@ def _run_kernel(matched, N, avgdl, cfg, prune, conjunctive,
 
 
 def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive,
-                     doc_filter: DataFrame | None = None) -> DataFrame:
+                     doc_filter: DataFrame | None = None,
+                     doc_exclude: DataFrame | None = None) -> DataFrame:
     # df_map: global df per term from _term_df_map (pre-query-join —
     # see its docstring); shipped in the task closure (tiny) instead of
     # a broadcast join
@@ -438,6 +478,10 @@ def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive,
     )
     if doc_filter is not None:
         c = c.join(doc_filter.select("doc_id"), "doc_id", "semi")
+    if doc_exclude is not None:
+        # anti join = liveDocs mask; tombstone sets are small, so AQE
+        # broadcasts and drops deleted rows map-side pre-shuffle
+        c = c.join(doc_exclude.select("doc_id"), "doc_id", "anti")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )

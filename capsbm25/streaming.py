@@ -102,7 +102,10 @@ def process_batch(
     if n_rows == 0:
         return
     t0 = time.time()
-    offset = stats["N"]
+    # doc-id ranges allocate from a MONOTONE counter, not the live doc
+    # count: deletes + compaction shrink N, and allocating from N would
+    # hand a new batch ids still owned by surviving docs
+    offset = stats.get("next_doc_id", stats["N"])
 
     docs = assign_doc_ids(batch_df, cfg, method="distributed", with_dl=True)
     docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(offset)).select(
@@ -137,13 +140,15 @@ def process_batch(
         ingested_now.update(cur.get("compacted_from", []))
         if batch_id in ingested_now:
             return  # lost a replay race — already committed
-        if cur["N"] != offset:
+        cur_next = cur.get("next_doc_id", cur["N"])
+        if cur_next != offset:
             raise RuntimeError(
-                f"stats.json N moved {offset} -> {cur['N']} during batch "
+                f"next_doc_id moved {offset} -> {cur_next} during batch "
                 f"{batch_id}: concurrent segment writers on one index "
                 "directory are not supported (doc-id ranges would overlap)"
             )
         cur["N"] += n_rows
+        cur["next_doc_id"] = offset + n_rows
         cur["total_dl"] += int(seg_dl)
         cur.setdefault("config", cfg.persist_dict())
         cur["segments"].append(
@@ -229,6 +234,99 @@ def load_segment_postings(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
+def _tombstone_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "tombstones")
+
+
+def _tombstone_files(out_dir: str) -> list[str]:
+    d = _tombstone_dir(out_dir)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+
+
+def load_tombstones(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Deleted docs as (doc_id, dl) rows, deduped; None if no deletes.
+    Pass .select("doc_id") as bm25_topk(doc_exclude=...) to mask
+    deleted docs at query time before a compaction applies them."""
+    files = _tombstone_files(out_dir)
+    if not files:
+        return None
+    return (
+        spark.read.parquet(*files)
+        .dropDuplicates(["doc_id"])
+        .select("doc_id", "dl")
+    )
+
+
+def segment_docs(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-doc metadata of all live segments:
+    (doc_id, conv_id, turn_idx, dl, text)."""
+    stats = load_stream_stats(out_dir)
+    paths = [
+        os.path.join(out_dir, "segments", f"seg={s['id']}", "docs")
+        for s in stats["segments"]
+    ]
+    if not paths:
+        return spark.createDataFrame(
+            [], "doc_id long, conv_id string, turn_idx int, dl int, "
+                "text string"
+        )
+    return spark.read.parquet(*paths)
+
+
+def delete_docs(spark: SparkSession, out_dir: str,
+                conv_ids: list[str]) -> dict:
+    """Record delete tombstones for whole conversations (the GDPR-
+    shaped delete: a conversation and all its turns). Lucene liveDocs
+    semantics: deleted docs stop matching as soon as queries pass
+    load_tombstones(...) as doc_exclude; scoring stats stay stale-
+    global until compact_segments() physically drops the docs and
+    restores exact N/avgdl/df.
+
+    The resolved id set is collected driver-side — deletes are
+    request-sized (a conversation list), not corpus-sized. Dedup
+    against existing tombstones and the counter update run under the
+    index write lock, so concurrent deletes never double-count."""
+    import uuid
+
+    resolved = (
+        segment_docs(spark, out_dir)
+        .where(F.col("conv_id").isin(list(conv_ids)))
+        .select("doc_id", "dl")
+        .toPandas()
+    )
+    if resolved.empty:
+        return {"deleted": 0}
+    with _stats_lock(out_dir):
+        files = _tombstone_files(out_dir)
+        if files:
+            import pyarrow.parquet as pq
+
+            seen = set()
+            for f in files:
+                seen.update(
+                    pq.read_table(f, columns=["doc_id"])["doc_id"]
+                    .to_pylist()
+                )
+            resolved = resolved[~resolved["doc_id"].isin(seen)]
+        if resolved.empty:
+            return {"deleted": 0}
+        os.makedirs(_tombstone_dir(out_dir), exist_ok=True)
+        resolved.to_parquet(
+            os.path.join(_tombstone_dir(out_dir),
+                         f"del-{uuid.uuid4().hex[:12]}.parquet"),
+            index=False,
+        )
+        cur = load_stream_stats(out_dir)
+        cur["deleted_n"] = cur.get("deleted_n", 0) + len(resolved)
+        cur["deleted_dl"] = cur.get("deleted_dl", 0) + int(resolved["dl"].sum())
+        _write_stats(out_dir, cur)
+    return {"deleted": len(resolved), "dl": int(resolved["dl"].sum())}
+
+
 def compact_segments(
     spark: SparkSession, out_dir: str, cfg: BuildConfig | None = None
 ) -> dict:
@@ -239,6 +337,15 @@ def compact_segments(
     ingest time. Doc ids are unchanged (segments own disjoint dense
     ranges by construction), so compacted == incremental == batch,
     rank-identically (tested).
+
+    Delete tombstones (delete_docs) are APPLIED here, the Lucene-merge
+    analog: tombstoned docs are physically dropped from postings AND
+    doc metadata, block maxima are recomputed with the post-delete
+    LIVE N/avgdl, and stats shrink to exact live values — after
+    compaction, queries need no doc_exclude and the index is rank-
+    identical to a fresh batch build over the surviving corpus
+    (tested). The doc-id allocator (next_doc_id) stays monotone so
+    later batches never reuse a surviving doc's id.
 
     Idempotent and atomic: writes segments/seg=compacted-<gen>, then
     swaps stats.json to reference only the new segment; old segment
@@ -251,14 +358,29 @@ def compact_segments(
     # block size, positions flag) — a mismatched caller cfg would build
     # wrong block_max / drop positions
     cfg = (cfg or BuildConfig()).adopt(stats.get("config", {}))
-    if len(stats["segments"]) <= 1:
+    tomb_files_at_start = _tombstone_files(out_dir)
+    if len(stats["segments"]) <= 1 and not tomb_files_at_start:
         return {"compacted": False, "segments": len(stats["segments"])}
-    N, avgdl = stream_corpus_stats(out_dir)
+    drop = None
+    n_del = dl_del = 0
+    if tomb_files_at_start:
+        import numpy as np
+
+        tpdf = (
+            spark.read.parquet(*tomb_files_at_start)
+            .dropDuplicates(["doc_id"])
+            .toPandas()
+        )
+        n_del = len(tpdf)
+        dl_del = int(tpdf["dl"].sum())
+        drop = np.unique(tpdf["doc_id"].to_numpy(np.int64))
+    N = stats["N"] - n_del
+    avgdl = ((stats["total_dl"] - dl_del) / N) if N else 0.0
     allp = load_segment_postings(spark, out_dir)
     # merge_hot_partials merges ANY multi-row term (sort by doc, global
     # block_max) — exactly the per-term stitch compaction needs; single-
     # row terms pass through it too so every row gets global bounds
-    merged = merge_hot_partials(allp, N, avgdl, cfg)
+    merged = merge_hot_partials(allp, N, avgdl, cfg, drop=drop)
     # write to a PRIVATE temp dir first: two concurrent compactors would
     # otherwise derive the same generation from their lock-free stats
     # snapshots and write the same canonical path — and the loser's
@@ -275,6 +397,15 @@ def compact_segments(
         out_dir, "segments", f".compacting-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     )
     merged.write.mode("overwrite").parquet(os.path.join(tmp_seg_dir, "postings"))
+    # doc metadata survives compaction (minus deleted docs) — without
+    # it, later delete-by-conversation calls could not resolve ids and
+    # snippet fetches could not map keys (Lucene rewrites stored fields
+    # on merge for the same reason)
+    live_docs = segment_docs(spark, out_dir)
+    if drop is not None:
+        tomb = spark.read.parquet(*tomb_files_at_start).select("doc_id")
+        live_docs = live_docs.join(tomb, "doc_id", "anti")
+    live_docs.write.mode("overwrite").parquet(os.path.join(tmp_seg_dir, "docs"))
     # staleness re-check + rename + swap ATOMICALLY under the write
     # lock: batch commits also serialize on it, so none can land between
     # the check and the os.replace (the round-2 check-then-swap race).
@@ -288,17 +419,28 @@ def compact_segments(
             shutil.rmtree(tmp_seg_dir, ignore_errors=True)
             return {"compacted": False, "aborted": "segments changed "
                     "during compaction — rerun (or pause the stream)"}
+        if _tombstone_files(out_dir) != tomb_files_at_start:
+            # a delete landed while we merged: the new tombstones are
+            # NOT applied in our output — aborting keeps them pending
+            # rather than silently resurrecting the docs
+            shutil.rmtree(tmp_seg_dir, ignore_errors=True)
+            return {"compacted": False, "aborted": "tombstones changed "
+                    "during compaction — rerun"}
         gen = int(now.get("compact_gen", 0)) + 1
         seg_id = f"compacted-{gen}"
         os.rename(tmp_seg_dir,
                   os.path.join(out_dir, "segments", f"seg={seg_id}"))
+        n_live = now["N"] - n_del
+        dl_live = now["total_dl"] - dl_del
         new_stats = {
-            "N": now["N"],
-            "total_dl": now["total_dl"],
+            "N": n_live,
+            "total_dl": dl_live,
+            # id allocation stays monotone across delete-compactions
+            "next_doc_id": now.get("next_doc_id", now["N"]),
             "config": now.get("config", cfg.persist_dict()),
             "compact_gen": gen,
-            "segments": [{"id": seg_id, "rows": now["N"],
-                          "dl": now["total_dl"], "sec": 0.0}],
+            "segments": [{"id": seg_id, "rows": n_live,
+                          "dl": dl_live, "sec": 0.0}],
             # UNION with the previous compaction's ids — dropping them
             # would let a streaming replay re-ingest pre-compaction
             # batches
@@ -309,7 +451,12 @@ def compact_segments(
             ),
         }
         _write_stats(out_dir, new_stats)
-    return {"compacted": True, "segments_before": len(stats["segments"])}
+        # tombstones are applied — clear them (tiny local metadata
+        # files; the big segment dirs stay for async GC as before)
+        for f in tomb_files_at_start:
+            os.remove(f)
+    return {"compacted": True, "segments_before": len(stats["segments"]),
+            "deleted_applied": n_del}
 
 
 def stream_corpus_stats(out_dir: str) -> tuple[int, float]:
