@@ -293,45 +293,11 @@ def bm25_topk(
     if qt.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
-    filt_bc = None
-    if doc_filter is not None:
-        fcol = doc_filter.select("doc_id")
-        if mode != "distributed":
-            # bounded fetch: one job, never more than max+1 rows
-            head = fcol.limit(max_kernel_filter + 1).toPandas()
-            if len(head) > max_kernel_filter:
-                if mode == "kernel":
-                    raise ValueError(
-                        f"doc_filter exceeds max_kernel_filter="
-                        f"{max_kernel_filter}; use mode='distributed' "
-                        "(or 'auto') so the filter stays a semi-join"
-                    )
-                mode = "distributed"
-            else:
-                filt = np.unique(head["doc_id"].to_numpy(np.int64))
-                if filt.size == 0:
-                    return spark.createDataFrame([], RESULT_SCHEMA)
-                filt_bc = spark.sparkContext.broadcast(filt)
-        doc_filter = fcol
-
-    excl_bc = None
-    if doc_exclude is not None:
-        ecol = doc_exclude.select("doc_id")
-        if mode != "distributed":
-            head = ecol.limit(max_kernel_filter + 1).toPandas()
-            if len(head) > max_kernel_filter:
-                if mode == "kernel":
-                    raise ValueError(
-                        f"doc_exclude exceeds max_kernel_filter="
-                        f"{max_kernel_filter}; use mode='distributed' "
-                        "(or 'auto') so the exclusion stays an anti-join"
-                    )
-                mode = "distributed"
-            else:
-                excl = np.unique(head["doc_id"].to_numpy(np.int64))
-                if excl.size:
-                    excl_bc = spark.sparkContext.broadcast(excl)
-        doc_exclude = ecol
+    mode, doc_filter, doc_exclude, filt_bc, excl_bc, empty = \
+        _prep_doc_sets(spark, mode, doc_filter, doc_exclude,
+                       max_kernel_filter)
+    if empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
     qdf = spark.createDataFrame(qt)
     # isin pre-filter: pushed to the parquet scan (PushedFilters: In(term))
     # so row groups without query terms are skipped entirely — the
@@ -396,6 +362,58 @@ def bm25_topk(
         ).orderBy("query_id", "rank")
 
     raise ValueError(mode)
+
+
+def _prep_doc_sets(spark, mode, doc_filter, doc_exclude,
+                   max_kernel_filter):
+    """Shared doc_filter/doc_exclude routing for the query entry points.
+
+    Returns (mode, doc_filter, doc_exclude, filt_bc, excl_bc, empty):
+    the possibly-demoted mode, single-column DataFrames for the
+    distributed semi/anti joins, sorted-array Broadcasts for the kernel
+    masks (None when absent or routed distributed), and empty=True when
+    the filter is provably empty (the caller returns zero rows). The
+    driver fetch is bounded: one job, never more than
+    max_kernel_filter + 1 rows per set; oversized sets demote auto mode
+    to distributed and make explicit kernel mode raise (collecting an
+    unbounded id set on the driver is never silent)."""
+    filt_bc = excl_bc = None
+    empty = False
+    if doc_filter is not None:
+        doc_filter = doc_filter.select("doc_id")
+        if mode != "distributed":
+            head = doc_filter.limit(max_kernel_filter + 1).toPandas()
+            if len(head) > max_kernel_filter:
+                if mode == "kernel":
+                    raise ValueError(
+                        f"doc_filter exceeds max_kernel_filter="
+                        f"{max_kernel_filter}; use mode='distributed' "
+                        "(or 'auto') so the filter stays a semi-join"
+                    )
+                mode = "distributed"
+            else:
+                filt = np.unique(head["doc_id"].to_numpy(np.int64))
+                if filt.size == 0:
+                    empty = True
+                else:
+                    filt_bc = spark.sparkContext.broadcast(filt)
+    if doc_exclude is not None:
+        doc_exclude = doc_exclude.select("doc_id")
+        if mode != "distributed":
+            head = doc_exclude.limit(max_kernel_filter + 1).toPandas()
+            if len(head) > max_kernel_filter:
+                if mode == "kernel":
+                    raise ValueError(
+                        f"doc_exclude exceeds max_kernel_filter="
+                        f"{max_kernel_filter}; use mode='distributed' "
+                        "(or 'auto') so the exclusion stays an anti-join"
+                    )
+                mode = "distributed"
+            else:
+                excl = np.unique(head["doc_id"].to_numpy(np.int64))
+                if excl.size:
+                    excl_bc = spark.sparkContext.broadcast(excl)
+    return mode, doc_filter, doc_exclude, filt_bc, excl_bc, empty
 
 
 def _term_df_map(filtered: DataFrame) -> dict:
@@ -540,6 +558,9 @@ def phrase_topk(
     max_kernel_df: int = 2_000_000,
     max_kernel_bytes: int = 32 << 20,
     count_scores: bool = False,
+    doc_filter: DataFrame | None = None,
+    doc_exclude: DataFrame | None = None,
+    max_kernel_filter: int = 4_000_000,
 ) -> DataFrame:
     """Exact phrase top-k: docs containing the query tokens CONSECUTIVELY
     in order, ranked by BM25 over the phrase's distinct terms — the
@@ -561,6 +582,11 @@ def phrase_topk(
     count_scores=True ranks by the EXACT (overlap-counting) number of
     phrase occurrences instead of BM25 — the scoring used by
     substring_topk, where trigram idf is meaningless.
+
+    doc_filter / doc_exclude: same Lucene filter + liveDocs semantics
+    and routing as bm25_topk (candidates restricted, scoring stats stay
+    corpus-global) — in particular doc_exclude=load_tombstones(...)
+    masks streaming deletes for phrase/substring queries too.
     """
     cfg = cfg or BuildConfig()
     rows = []
@@ -579,6 +605,12 @@ def phrase_topk(
     filtered = postings.where(F.col("term").isin(terms))
     matched = filtered.join(F.broadcast(qdf), "term")
 
+    mode, doc_filter, doc_exclude, filt_bc, excl_bc, empty = \
+        _prep_doc_sets(spark, mode, doc_filter, doc_exclude,
+                       max_kernel_filter)
+    if empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
     if mode == "auto":
         df_map, bytes_map = _term_stats_map(filtered)
         stats = qt.assign(
@@ -593,25 +625,28 @@ def phrase_topk(
             mode = "kernel"
         elif len(heavy) == stats.shape[0]:
             return _run_phrase_distributed(
-                matched, df_map, N, avgdl, cfg, count_scores
+                matched, df_map, N, avgdl, cfg, count_scores,
+                doc_filter, doc_exclude,
             ).orderBy("query_id", "rank")
         else:
             light = _run_phrase_kernel(
                 matched.where(~F.col("query_id").isin(heavy)), N, avgdl,
-                cfg, count_scores,
+                cfg, count_scores, filt_bc, excl_bc,
             )
             dist = _run_phrase_distributed(
                 matched.where(F.col("query_id").isin(heavy)),
                 df_map, N, avgdl, cfg, count_scores,
+                doc_filter, doc_exclude,
             )
             return light.unionByName(dist).orderBy("query_id", "rank")
     if mode == "kernel":
         return _run_phrase_kernel(
-            matched, N, avgdl, cfg, count_scores
+            matched, N, avgdl, cfg, count_scores, filt_bc, excl_bc
         ).orderBy("query_id", "rank")
     if mode == "distributed":
         return _run_phrase_distributed(
-            matched, _term_df_map(filtered), N, avgdl, cfg, count_scores
+            matched, _term_df_map(filtered), N, avgdl, cfg, count_scores,
+            doc_filter, doc_exclude,
         ).orderBy("query_id", "rank")
     raise ValueError(mode)
 
@@ -677,7 +712,8 @@ def _phrase_occurrences(
 
 
 def _run_phrase_kernel(matched, N, avgdl, cfg,
-                       count_scores: bool = False) -> DataFrame:
+                       count_scores: bool = False,
+                       filt_bc=None, excl_bc=None) -> DataFrame:
     def kernel(key, pdf):
         k = int(pdf["k"].iloc[0])
         qid = int(pdf["query_id"].iloc[0])
@@ -699,6 +735,14 @@ def _run_phrase_kernel(matched, N, avgdl, cfg,
             cand = np.intersect1d(cand, term_data[t][0], assume_unique=True)
             if cand.size == 0:
                 return _empty_result()
+        # filter/liveDocs masks apply to the candidate set only —
+        # per-term postings (and so df/idf) stay corpus-global
+        if filt_bc is not None:
+            cand = np.intersect1d(cand, filt_bc.value, assume_unique=True)
+        if excl_bc is not None:
+            cand = np.setdiff1d(cand, excl_bc.value, assume_unique=True)
+        if cand.size == 0:
+            return _empty_result()
 
         hit_arr, n_occ = _phrase_occurrences(phrase, term_data, cand)
         if hit_arr.size == 0:
@@ -725,7 +769,10 @@ def _run_phrase_kernel(matched, N, avgdl, cfg,
 
 
 def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
-                            count_scores: bool = False) -> DataFrame:
+                            count_scores: bool = False,
+                            doc_filter: DataFrame | None = None,
+                            doc_exclude: DataFrame | None = None,
+                            ) -> DataFrame:
     """Scale path, two passes so positions only ship for AND candidates:
 
     1. NARROW pass — one row per (query, term, doc) with the BM25
@@ -798,6 +845,13 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
         .where(F.col("nm") == n_distinct)
         .drop("nm")
     )
+    # filter/liveDocs masks restrict the AND-candidate set BEFORE the
+    # positions pass, so positional payload for filtered-out docs is
+    # never decoded into rows that survive the join
+    if doc_filter is not None:
+        and_docs = and_docs.join(doc_filter, "doc_id", "semi")
+    if doc_exclude is not None:
+        and_docs = and_docs.join(doc_exclude, "doc_id", "anti")
 
     def pos_rows(it):
         # FLAT (query, term, doc, pos) long rows — one np.repeat per
@@ -878,6 +932,8 @@ def substring_topk(
     mode: str = "auto",
     max_kernel_df: int = 2_000_000,
     max_kernel_bytes: int = 32 << 20,
+    doc_filter: DataFrame | None = None,
+    doc_exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Char-granular substring top-k — the direct graft of the
     reference's suffix-array search primitive (``upper_bound``,
@@ -922,5 +978,5 @@ def substring_topk(
     return phrase_topk(
         spark, postings, queries, N=1, avgdl=1.0, cfg=cfg, mode=mode,
         max_kernel_df=max_kernel_df, max_kernel_bytes=max_kernel_bytes,
-        count_scores=True,
+        count_scores=True, doc_filter=doc_filter, doc_exclude=doc_exclude,
     )

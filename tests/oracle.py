@@ -84,26 +84,32 @@ class OracleIndex:
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
-    def phrase_topk(self, query_text: str, k: int) -> list[tuple[int, float]]:
+    def phrase_topk(self, query_text: str, k: int,
+                    doc_filter: set[int] | None = None,
+                    ) -> list[tuple[int, float]]:
         """Docs containing the query tokens consecutively in order,
-        ranked by BM25 over the phrase's distinct terms."""
+        ranked by BM25 over the phrase's distinct terms. doc_filter:
+        Lucene filter semantics (candidates only, stats corpus-global)."""
         phrase = tokenize_py(query_text)
         if not phrase:
             return []
         n = len(phrase)
         hits = []
         for doc_id, toks in enumerate(self.docs):
+            if doc_filter is not None and doc_id not in doc_filter:
+                continue
             if any(toks[i:i + n] == phrase for i in range(len(toks) - n + 1)):
                 hits.append(doc_id)
         scored = [(d, self.score_doc(phrase, d)) for d in hits]
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
-    def phrase_topk_pdf(self, queries: pd.DataFrame) -> pd.DataFrame:
+    def phrase_topk_pdf(self, queries: pd.DataFrame,
+                        doc_filter: set[int] | None = None) -> pd.DataFrame:
         rows = []
         for q in queries.itertuples(index=False):
             for rank, (doc_id, score) in enumerate(
-                self.phrase_topk(q.text, int(q.k)), 1
+                self.phrase_topk(q.text, int(q.k), doc_filter=doc_filter), 1
             ):
                 rows.append((int(q.query_id), doc_id, score, rank))
         return pd.DataFrame(rows, columns=["query_id", "doc_id", "score", "rank"])

@@ -248,3 +248,52 @@ def test_positional_delete_compact_phrase(spark, tmp_path):
                  suffixes=("_g", "_w"))
     assert len(m) == len(want)
     assert np.allclose(m["score_g"], m["score_w"], atol=1e-9)
+
+
+def test_positional_pre_compaction_phrase_exclusion(spark, tmp_path):
+    """Before compaction, phrase queries mask deletes via
+    doc_exclude=load_tombstones (liveDocs semantics: stale-global BM25
+    stats, deleted docs gone from results)."""
+    from capsbm25.query import phrase_topk
+
+    pdf = fx.gen_transcripts_pdf(30, 13)
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "idx")
+    os.makedirs(src)
+    convs = sorted(pdf["conv_id"].unique())
+    for i, chunk in enumerate([convs[:15], convs[15:]]):
+        pdf[pdf["conv_id"].isin(chunk)].to_parquet(f"{src}/p{i}.parquet")
+    cfg = BuildConfig(num_part_ids=16, shuffle_partitions=4,
+                      index_positions=True)
+    q = start_incremental_build(spark, src, out, cfg,
+                                max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    victims = convs[::3]
+    delete_docs(spark, out, victims)
+
+    oracle = OracleIndex(pdf)   # FULL corpus: stats stay stale
+    live = {i for i, c in enumerate(oracle.doc_meta["conv_id"])
+            if c not in set(victims)}
+    # phrase from a SURVIVING doc so the filtered result is non-empty
+    toks = next(oracle.docs[d] for d in sorted(live)
+                if len(oracle.docs[d]) >= 2)
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [" ".join(toks[:2])],
+         "k": np.array([50], dtype=np.int32)}
+    )
+    want = oracle.phrase_topk_pdf(queries, doc_filter=live)
+    assert len(want) > 0
+    N, avgdl = stream_corpus_stats(out)
+    tomb = load_tombstones(spark, out)
+    for mode in ("kernel", "distributed"):
+        got = phrase_topk(
+            spark, load_segment_postings(spark, out), queries, N, avgdl,
+            cfg, mode=mode, doc_exclude=tomb,
+        ).toPandas()
+        assert len(got) == len(want), mode
+        g = got.sort_values("rank")
+        w = want.sort_values("rank")
+        assert list(g.doc_id) == list(w.doc_id), mode
+        assert np.allclose(g.score, w.score, atol=1e-9), mode

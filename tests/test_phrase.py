@@ -171,3 +171,45 @@ def test_bytes_routing_forces_distributed(pos_index, spark, monkeypatch):
     w = want[want.query_id == 0].sort_values("rank")
     assert list(g.doc_id) == list(w.doc_id)
     assert np.allclose(g.score, w.score, atol=1e-9)
+
+
+def test_phrase_filtered_and_excluded(pos_index, spark):
+    """doc_filter / doc_exclude on phrase_topk: Lucene filter + liveDocs
+    semantics (candidates restricted, BM25 stats corpus-global) —
+    kernel, distributed and auto modes vs the filtered oracle."""
+    from pyspark.sql import functions as F
+
+    from capsbm25.build import load_doc_stats
+
+    res, cfg, oracle = pos_index["res"], pos_index["cfg"], pos_index["oracle"]
+    texts = _phrases_from_corpus(oracle)
+    queries = pd.DataFrame(
+        {"query_id": np.arange(len(texts), dtype=np.int32),
+         "text": texts,
+         "k": np.full(len(texts), 10, dtype=np.int32)}
+    )
+    convs = sorted(pos_index["pdf"]["conv_id"].unique())
+    allowed = set(convs[::2])
+    fset = {i for i, c in enumerate(oracle.doc_meta["conv_id"])
+            if c in allowed}
+    stats_df = load_doc_stats(spark, res.out_dir)
+    fdf = stats_df.where(F.col("conv_id").isin(sorted(allowed))) \
+                  .select("doc_id")
+    edf = stats_df.where(~F.col("conv_id").isin(sorted(allowed))) \
+                  .select("doc_id")
+
+    want = oracle.phrase_topk_pdf(queries, doc_filter=fset)
+    assert len(want) > 0
+    # filter and its complement-exclusion must agree with the oracle
+    for kwargs in ({"doc_filter": fdf}, {"doc_exclude": edf}):
+        for mode in ("kernel", "distributed", "auto"):
+            got = phrase_topk(
+                spark, pos_index["postings"], queries, res.N, res.avgdl,
+                cfg, mode=mode, **kwargs,
+            ).toPandas()
+            assert len(got) == len(want), (mode, list(kwargs))
+            for qid in queries["query_id"]:
+                g = got[got.query_id == qid].sort_values("rank")
+                w = want[want.query_id == qid].sort_values("rank")
+                assert list(g.doc_id) == list(w.doc_id), (mode, qid)
+                assert np.allclose(g.score, w.score, atol=1e-9), (mode, qid)
