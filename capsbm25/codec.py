@@ -100,6 +100,18 @@ def decode_varints(buf: bytes) -> np.ndarray:
     return vals
 
 
+def sorted_member_mask(sorted_ids: np.ndarray,
+                       values: np.ndarray) -> np.ndarray:
+    """Boolean mask: values[i] in sorted_ids (sorted, unique). The
+    searchsorted+clamp+compare idiom shared by the query doc-filter /
+    liveDocs masks and the compaction tombstone drop."""
+    if sorted_ids.size == 0 or values.size == 0:
+        return np.zeros(values.size, dtype=bool)
+    ix = np.searchsorted(sorted_ids, values)
+    ix[ix == sorted_ids.size] = sorted_ids.size - 1
+    return sorted_ids[ix] == values
+
+
 def delta_encode(sorted_ids: np.ndarray) -> bytes:
     """Encode a strictly-increasing int64 array as varint gaps."""
     a = np.asarray(sorted_ids, dtype=np.int64)

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 from capsbm25.codec import (decode_pair_positions, decode_varints,
                             delta_decode, encode_varints_grouped,
-                            permute_pair_payload)
+                            permute_pair_payload, sorted_member_mask)
 from capsbm25.config import BuildConfig
 from capsbm25.partition import PartitionPlan
 from capsbm25.scoring import idf as idf_fn
@@ -670,9 +670,7 @@ def merge_hot_partials(
             if with_pos else None
         )
         if drop is not None and drop.size and docs.size:
-            ix = np.searchsorted(drop, docs)
-            ix[ix == drop.size] = drop.size - 1
-            keep = drop[ix] != docs
+            keep = ~sorted_member_mask(drop, docs)
             if pos is not None:
                 pos = pos[np.repeat(keep, tfs)]
             docs, tfs, dls = docs[keep], tfs[keep], dls[keep]

@@ -40,7 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from capsbm25.codec import decode_varints, delta_decode
+from capsbm25.codec import decode_varints, delta_decode, sorted_member_mask
 from capsbm25.config import BuildConfig
 from capsbm25.scoring import idf as idf_fn
 from capsbm25.scoring import term_scores
@@ -129,17 +129,10 @@ def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
         # candidates, never scoring stats
         df_total = int(grp["df"].sum())
         if filt is not None and docs.size:
-            if filt.size:
-                ix = np.searchsorted(filt, docs)
-                ix[ix == filt.size] = filt.size - 1
-                keep = filt[ix] == docs
-            else:
-                keep = np.zeros(docs.size, dtype=bool)
+            keep = sorted_member_mask(filt, docs)
             docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
         if excl is not None and excl.size and docs.size:
-            ix = np.searchsorted(excl, docs)
-            ix[ix == excl.size] = excl.size - 1
-            keep = excl[ix] != docs
+            keep = ~sorted_member_mask(excl, docs)
             docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
         tidf = float(idf_fn(N, df_total))
         sc = term_scores(tfs, dls, tidf, avgdl, cfg.k1, cfg.b)
@@ -377,43 +370,33 @@ def _prep_doc_sets(spark, mode, doc_filter, doc_exclude,
     max_kernel_filter + 1 rows per set; oversized sets demote auto mode
     to distributed and make explicit kernel mode raise (collecting an
     unbounded id set on the driver is never silent)."""
-    filt_bc = excl_bc = None
+    cols: list = [None, None]
+    bcs: list = [None, None]
     empty = False
-    if doc_filter is not None:
-        doc_filter = doc_filter.select("doc_id")
-        if mode != "distributed":
-            head = doc_filter.limit(max_kernel_filter + 1).toPandas()
-            if len(head) > max_kernel_filter:
-                if mode == "kernel":
-                    raise ValueError(
-                        f"doc_filter exceeds max_kernel_filter="
-                        f"{max_kernel_filter}; use mode='distributed' "
-                        "(or 'auto') so the filter stays a semi-join"
-                    )
-                mode = "distributed"
-            else:
-                filt = np.unique(head["doc_id"].to_numpy(np.int64))
-                if filt.size == 0:
-                    empty = True
-                else:
-                    filt_bc = spark.sparkContext.broadcast(filt)
-    if doc_exclude is not None:
-        doc_exclude = doc_exclude.select("doc_id")
-        if mode != "distributed":
-            head = doc_exclude.limit(max_kernel_filter + 1).toPandas()
-            if len(head) > max_kernel_filter:
-                if mode == "kernel":
-                    raise ValueError(
-                        f"doc_exclude exceeds max_kernel_filter="
-                        f"{max_kernel_filter}; use mode='distributed' "
-                        "(or 'auto') so the exclusion stays an anti-join"
-                    )
-                mode = "distributed"
-            else:
-                excl = np.unique(head["doc_id"].to_numpy(np.int64))
-                if excl.size:
-                    excl_bc = spark.sparkContext.broadcast(excl)
-    return mode, doc_filter, doc_exclude, filt_bc, excl_bc, empty
+    sets = [("doc_filter", doc_filter, "semi-join"),
+            ("doc_exclude", doc_exclude, "anti-join")]
+    for i, (name, df, join_kind) in enumerate(sets):
+        if df is None:
+            continue
+        cols[i] = df.select("doc_id")
+        if mode == "distributed":
+            continue
+        head = cols[i].limit(max_kernel_filter + 1).toPandas()
+        if len(head) > max_kernel_filter:
+            if mode == "kernel":
+                raise ValueError(
+                    f"{name} exceeds max_kernel_filter="
+                    f"{max_kernel_filter}; use mode='distributed' "
+                    f"(or 'auto') so the set stays a {join_kind}"
+                )
+            mode = "distributed"
+            continue
+        ids = np.unique(head["doc_id"].to_numpy(np.int64))
+        if ids.size:
+            bcs[i] = spark.sparkContext.broadcast(ids)
+        elif name == "doc_filter":
+            empty = True  # empty allowlist -> provably zero results
+    return mode, cols[0], cols[1], bcs[0], bcs[1], empty
 
 
 def _term_df_map(filtered: DataFrame) -> dict:

@@ -58,17 +58,23 @@ def kwic_snippets(
     doc_ids = sorted(hits["doc_id"].unique().tolist())
 
     # pushed isin filters: doc_map prunes to the k result rows, corpus
-    # prunes to their conversations — no full corpus scan
-    md = (
+    # prunes to their conversations — no full corpus scan. The metadata
+    # rows are already on the driver after the first (pruned) scan, so
+    # the broadcast join side is rebuilt from them instead of
+    # re-executing the doc_map plan a second time.
+    md_pdf = (
         doc_map.where(F.col("doc_id").isin(doc_ids))
         .select("doc_id", "conv_id", "turn_idx")
+        .toPandas()
     )
-    md_pdf = md.toPandas()
+    if md_pdf.empty:  # results reference no doc known to doc_map
+        return spark.createDataFrame([], SNIPPET_SCHEMA)
     convs = sorted(md_pdf["conv_id"].unique().tolist())
     docs = (
         corpus.where(F.col("conv_id").isin(convs))
         .select("conv_id", "turn_idx", "text")
-        .join(F.broadcast(md), ["conv_id", "turn_idx"])
+        .join(F.broadcast(spark.createDataFrame(md_pdf)),
+              ["conv_id", "turn_idx"])
         .select("doc_id", "text")
     )
 

@@ -131,9 +131,10 @@ def process_batch(
 
     # COMMIT under the write lock: re-load stats so a compaction that
     # swapped the segment list mid-batch is merged with, not clobbered
-    # (compaction preserves N/total_dl, so the doc-id offset taken at
-    # batch start stays valid; concurrent BATCH writers on one out_dir
-    # are not supported and are detected below).
+    # (compaction preserves next_doc_id — N/total_dl may SHRINK when it
+    # applies delete tombstones — so the id range taken at batch start
+    # stays valid; concurrent BATCH writers on one out_dir are not
+    # supported and are detected below).
     with _stats_lock(out_dir):
         cur = load_stream_stats(out_dir)
         ingested_now = {s["id"] for s in cur["segments"]}
@@ -238,12 +239,21 @@ def _tombstone_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "tombstones")
 
 
-def _tombstone_files(out_dir: str) -> list[str]:
+def _tombstone_files(out_dir: str, stats: dict | None = None) -> list[str]:
+    """PENDING tombstone files: on-disk parquet minus the ones a past
+    compaction already applied (tracked in stats, like compacted_from).
+    Applied files are left on disk for external/async GC — removing
+    them at the compaction swap would break a concurrently-planned
+    load_tombstones reader mid-job, the exact race the segment dirs'
+    async-GC policy avoids."""
     d = _tombstone_dir(out_dir)
     if not os.path.isdir(d):
         return []
+    stats = stats if stats is not None else load_stream_stats(out_dir)
+    applied = set(stats.get("tombstones_applied", []))
     return sorted(
-        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        os.path.join(d, f) for f in os.listdir(d)
+        if f.endswith(".parquet") and f not in applied
     )
 
 
@@ -288,43 +298,61 @@ def delete_docs(spark: SparkSession, out_dir: str,
 
     The resolved id set is collected driver-side — deletes are
     request-sized (a conversation list), not corpus-sized. Dedup
-    against existing tombstones and the counter update run under the
-    index write lock, so concurrent deletes never double-count."""
+    against pending tombstones and the counter update run under the
+    index write lock, so concurrent deletes never double-count; the
+    resolution snapshot is validated under the lock and RETRIED if a
+    compaction (or batch) swapped the segment list while we resolved —
+    committing ids resolved against since-compacted segments would
+    re-tombstone physically-removed docs and permanently understate
+    N/total_dl at the next compaction."""
     import uuid
 
-    resolved = (
-        segment_docs(spark, out_dir)
-        .where(F.col("conv_id").isin(list(conv_ids)))
-        .select("doc_id", "dl")
-        .toPandas()
-    )
-    if resolved.empty:
-        return {"deleted": 0}
-    with _stats_lock(out_dir):
-        files = _tombstone_files(out_dir)
-        if files:
-            import pyarrow.parquet as pq
+    def _marker(s: dict):
+        return (s.get("compact_gen", 0), [x["id"] for x in s["segments"]])
 
-            seen = set()
-            for f in files:
-                seen.update(
-                    pq.read_table(f, columns=["doc_id"])["doc_id"]
-                    .to_pylist()
-                )
-            resolved = resolved[~resolved["doc_id"].isin(seen)]
-        if resolved.empty:
-            return {"deleted": 0}
-        os.makedirs(_tombstone_dir(out_dir), exist_ok=True)
-        resolved.to_parquet(
-            os.path.join(_tombstone_dir(out_dir),
-                         f"del-{uuid.uuid4().hex[:12]}.parquet"),
-            index=False,
+    for _ in range(5):
+        stats0 = load_stream_stats(out_dir)
+        before = _marker(stats0)
+        resolved = (
+            segment_docs(spark, out_dir)
+            .where(F.col("conv_id").isin(list(conv_ids)))
+            .select("doc_id", "dl")
+            .toPandas()
         )
-        cur = load_stream_stats(out_dir)
-        cur["deleted_n"] = cur.get("deleted_n", 0) + len(resolved)
-        cur["deleted_dl"] = cur.get("deleted_dl", 0) + int(resolved["dl"].sum())
-        _write_stats(out_dir, cur)
-    return {"deleted": len(resolved), "dl": int(resolved["dl"].sum())}
+        with _stats_lock(out_dir):
+            cur = load_stream_stats(out_dir)
+            if _marker(cur) != before:
+                continue  # segments moved under us — re-resolve
+            if resolved.empty:
+                return {"deleted": 0}
+            files = _tombstone_files(out_dir, cur)
+            if files:
+                import pyarrow.parquet as pq
+
+                seen = set()
+                for f in files:
+                    seen.update(
+                        pq.read_table(f, columns=["doc_id"])["doc_id"]
+                        .to_pylist()
+                    )
+                resolved = resolved[~resolved["doc_id"].isin(seen)]
+            if resolved.empty:
+                return {"deleted": 0}
+            os.makedirs(_tombstone_dir(out_dir), exist_ok=True)
+            resolved.to_parquet(
+                os.path.join(_tombstone_dir(out_dir),
+                             f"del-{uuid.uuid4().hex[:12]}.parquet"),
+                index=False,
+            )
+            cur["deleted_n"] = cur.get("deleted_n", 0) + len(resolved)
+            cur["deleted_dl"] = (cur.get("deleted_dl", 0)
+                                 + int(resolved["dl"].sum()))
+            _write_stats(out_dir, cur)
+        return {"deleted": len(resolved), "dl": int(resolved["dl"].sum())}
+    raise RuntimeError(
+        "delete_docs could not get a stable segment snapshot after 5 "
+        "attempts (continuous compaction/ingest churn) — retry later"
+    )
 
 
 def compact_segments(
@@ -450,11 +478,11 @@ def compact_segments(
                 key=str,
             ),
         }
+        new_stats["tombstones_applied"] = sorted(
+            set(now.get("tombstones_applied", []))
+            | {os.path.basename(f) for f in tomb_files_at_start}
+        )
         _write_stats(out_dir, new_stats)
-        # tombstones are applied — clear them (tiny local metadata
-        # files; the big segment dirs stay for async GC as before)
-        for f in tomb_files_at_start:
-            os.remove(f)
     return {"compacted": True, "segments_before": len(stats["segments"]),
             "deleted_applied": n_del}
 

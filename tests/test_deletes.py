@@ -120,9 +120,10 @@ def test_compaction_applies_deletes(streamed_del, spark):
     stats = load_stream_stats(out)
     assert stats["N"] == oracle.N == len(surviving)
     assert stats.get("deleted_n", 0) == 0
-    assert not os.path.isdir(os.path.join(out, "tombstones")) or not os.listdir(
-        os.path.join(out, "tombstones")
-    )
+    # applied tombstone files stay on disk for async GC but are no
+    # longer PENDING: load_tombstones filters them via the applied list
+    assert load_tombstones(spark, out) is None
+    assert len(stats.get("tombstones_applied", [])) > 0
     N, avgdl = stream_corpus_stats(out)
     assert N == oracle.N and abs(avgdl - oracle.avgdl) < 1e-9
 
@@ -227,7 +228,6 @@ def test_positional_delete_compact_phrase(spark, tmp_path):
     oracle = OracleIndex(surviving)
     N, avgdl = stream_corpus_stats(out)
     assert N == oracle.N
-    phrase = fx.PHRASE_TEXT if hasattr(fx, "PHRASE_TEXT") else None
     # pick a phrase that certainly occurs: first two tokens of a
     # surviving doc
     toks = next(d for d in oracle.docs if len(d) >= 2)
@@ -297,3 +297,38 @@ def test_positional_pre_compaction_phrase_exclusion(spark, tmp_path):
         w = want.sort_values("rank")
         assert list(g.doc_id) == list(w.doc_id), mode
         assert np.allclose(g.score, w.score, atol=1e-9), mode
+
+
+def test_delete_resolution_races_compaction(streamed_del, spark,
+                                            monkeypatch):
+    """Review finding (round 3): ids resolved BEFORE a compaction that
+    applies the same docs must not be committed AFTER it — that would
+    re-tombstone physically-removed docs and the next compaction would
+    double-subtract N/total_dl. delete_docs validates its snapshot
+    under the lock and re-resolves."""
+    import capsbm25.streaming as sm
+
+    out = _fresh(streamed_del)
+    delete_docs(spark, out, streamed_del["victims"])  # pending tombstones
+    real = sm.segment_docs
+    state = {"fired": False}
+
+    def hook(spark_, out_):
+        df = real(spark_, out_)
+        if not state["fired"]:
+            state["fired"] = True
+            # compaction applies the pending tombstones AFTER the
+            # retried delete resolved its ids, BEFORE it commits
+            r = sm.compact_segments(spark_, out_, streamed_del["cfg"])
+            assert r["compacted"], r
+        return df
+
+    monkeypatch.setattr(sm, "segment_docs", hook)
+    r = sm.delete_docs(spark, out, streamed_del["victims"])
+    assert r["deleted"] == 0, "re-tombstoned physically-removed docs"
+    stats = load_stream_stats(out)
+    assert stats.get("deleted_n", 0) == 0
+    n_live = stats["N"]
+    # a later compaction must not shrink N again
+    sm.compact_segments(spark, out, streamed_del["cfg"])
+    assert load_stream_stats(out)["N"] == n_live
