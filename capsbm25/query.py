@@ -439,6 +439,39 @@ def _run_kernel(matched, N, avgdl, cfg, prune, conjunctive,
     )
 
 
+_TOPK_SALT = 32
+
+
+def _window_topk(scored: DataFrame) -> DataFrame:
+    """Two-phase top-k over (query_id, doc_id, score, k, ...) rows.
+
+    A single Window.partitionBy(query_id) funnels a query's ENTIRE
+    scored set through one task — a stopword-grade query at 10^12 docs
+    means one executor sorting 10^9+ rows. Phase 1 takes a per-salt
+    local top-k (partitioned by (query_id, doc_id % _TOPK_SALT), so the
+    bulk sort spreads over _TOPK_SALT tasks per query); phase 2 ranks
+    the surviving <= _TOPK_SALT * k rows per query. Every global
+    top-k row wins its own salt bucket, and both phases use the same
+    (score desc, doc_id asc) order, so the result is identical to the
+    single-window form (covered by the distributed-vs-oracle
+    rank-identity tests)."""
+    w_local = Window.partitionBy("query_id", "salt").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(_TOPK_SALT)))
+        .withColumn("r1", F.row_number().over(w_local))
+        .where(F.col("r1") <= F.col("k"))
+        .drop("salt", "r1")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.col("k"))
+        .select("query_id", "doc_id", "score", F.col("rank").cast("int"))
+    )
+
+
 def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive,
                      doc_filter: DataFrame | None = None,
                      doc_exclude: DataFrame | None = None) -> DataFrame:
@@ -483,9 +516,6 @@ def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive,
         # anti join = liveDocs mask; tombstone sets are small, so AQE
         # broadcasts and drops deleted rows map-side pre-shuffle
         c = c.join(doc_exclude.select("doc_id"), "doc_id", "anti")
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
     scored = c.groupBy("query_id", "doc_id").agg(
         F.sum("contrib").alias("score"),
         F.first("k").alias("k"),
@@ -496,11 +526,7 @@ def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive,
         # AND semantics: doc must contain every distinct query term
         # (segments may split one term across rows — count distinct)
         scored = scored.where(F.col("n_matched") >= F.col("nq"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= F.col("k"))
-        .select("query_id", "doc_id", "score", F.col("rank").cast("int"))
-    )
+    return _window_topk(scored)
 
 
 def _merge_term_rows(grp, with_pos: bool):
@@ -899,12 +925,7 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
     verified = joined.groupBy("query_id", "doc_id").applyInPandas(
         verify, schema="query_id int, doc_id long, score double, k int"
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        verified.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= F.col("k"))
-        .select("query_id", "doc_id", "score", F.col("rank").cast("int"))
-    )
+    return _window_topk(verified)
 
 
 def substring_topk(
