@@ -149,6 +149,25 @@ def run_bench(sf_dir: str, cpus: int, keep_session=None) -> dict:
             )
         extras["query_result_rows"] = {"kernel": n1, "distributed": n2}
 
+        # filtered retrieval (round-3 feature): the same 30 queries
+        # under a 1-in-3 metadata doc filter from the index's doc_stats
+        # — reported, excluded from the headline for round comparability
+        from pyspark.sql import functions as F
+
+        from capsbm25.build import load_doc_stats
+
+        fdf = (
+            load_doc_stats(spark, res.out_dir)
+            .where(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+            .select("doc_id")
+        )
+        t0 = time.time()
+        nf = bm25_topk(
+            spark, postings, queries, res.N, res.avgdl, cfg, doc_filter=fdf
+        ).count()
+        timings["query_filtered"] = round(time.time() - t0, 3)
+        extras["query_result_rows"]["filtered"] = nf
+
         # --- documents-table queries (driver tables) ---
         if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
             import __spark_entry__ as E
@@ -192,7 +211,8 @@ def run_bench(sf_dir: str, cpus: int, keep_session=None) -> dict:
         - timings.get("phrase_documents", 0.0)
         - timings.get("phrase_documents_query", 0.0)
         - timings.get("substring_documents", 0.0)
-        - timings.get("substring_documents_query", 0.0), 3
+        - timings.get("substring_documents_query", 0.0)
+        - timings.get("query_filtered", 0.0), 3
     )
     return {
         "metric": "index build + BM25 query wall-clock (synthetic transcript "

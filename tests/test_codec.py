@@ -50,3 +50,18 @@ def test_single_byte_density():
     # gaps < 128 must take exactly one byte (index size matters at scale)
     ids = np.arange(0, 1000, dtype=np.int64)
     assert len(delta_encode(ids)) == 1000
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=1000), unique=True),
+    st.lists(st.integers(min_value=0, max_value=1000), max_size=300),
+)
+@settings(max_examples=200, deadline=None)
+def test_sorted_member_mask_matches_isin(ids, vals):
+    from capsbm25.codec import sorted_member_mask
+
+    s = np.array(sorted(ids), dtype=np.int64)
+    v = np.array(vals, dtype=np.int64)
+    got = sorted_member_mask(s, v)
+    assert got.dtype == bool and got.shape == v.shape
+    assert (got == np.isin(v, s)).all()

@@ -183,3 +183,31 @@ def test_filter_edges(built_index, spark):
         mode="auto", doc_filter=fdf, max_kernel_filter=3,
     ).toPandas()
     _assert_rank_identical(got, want_f, queries)
+
+
+def test_window_topk_ties_across_salt_buckets(spark):
+    """Two-phase salted top-k: exact score ties straddling the k
+    boundary, tied docs spread across salt buckets, must rank exactly
+    like a single global (score desc, doc_id asc) sort."""
+    from capsbm25.query import _window_topk
+
+    rows = [
+        (q, d, float(d // 10), 7) for q in (0, 1) for d in range(100)
+    ]
+    pdf = pd.DataFrame(rows, columns=["query_id", "doc_id", "score", "k"])
+    got = (
+        _window_topk(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want_rows = []
+    for q in (0, 1):
+        sub = pdf[pdf.query_id == q].sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).head(7)
+        for r, (d, s) in enumerate(zip(sub.doc_id, sub.score), 1):
+            want_rows.append((q, int(d), float(s), r))
+    want = pd.DataFrame(
+        want_rows, columns=["query_id", "doc_id", "score", "rank"]
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
