@@ -536,6 +536,31 @@ def q_bm25_topk_filtered(spark, sf_dir):
     )
 
 
+def q_facet_counts(spark, sf_dir):
+    """Facet counts (Lucene faceting analog): matching docs per source
+    for the reference BM25 query — narrow (query, term, doc) pass,
+    distinct-doc aggregate, metadata join; nothing collected."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import facet_counts
+
+    b = _index_for(spark, sf_dir)
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [" ".join(BM25_QUERY_TERMS)],
+         "k": np.array([BM25_K], dtype=np.int32)}
+    )
+    got = facet_counts(
+        spark, load_postings(spark, b["out"]), queries,
+        load_doc_stats(spark, b["out"]), "conv_id", CFG,
+    )
+    return got.select(
+        "query_id", F.col("conv_id").alias("source"), "n_docs"
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate NN (the scale path), parameterized for
     recall 1.0 on the driver embeddings so the exact-cosine SQL is a
@@ -704,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_and": q_bm25_topk_and,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "kwic_snippets": q_kwic_snippets,
+        "facet_counts": q_facet_counts,
         "bm25_topk_dataframe": q_bm25_topk_dataframe,
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_exact": q_dedup_exact,
@@ -1072,6 +1098,18 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_and": _BM25_AND_SQL,
         "bm25_topk_filtered": _BM25_FILTERED_SQL,
         "kwic_snippets": _KWIC_SQL,
+        "facet_counts": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            matched AS (
+              SELECT DISTINCT doc_id FROM toks
+              WHERE term IN {BM25_QUERY_TERMS!r}
+            )
+            SELECT 0 AS query_id, d.source AS source,
+                   count(*)::BIGINT AS n_docs
+            FROM matched JOIN documents d USING (doc_id)
+            GROUP BY d.source""",
         "bm25_topk_dataframe": _BM25_SQL,
         "dedup_exact": """
             SELECT md5(coalesce(text, '')) AS h, count(*) AS n,

@@ -928,6 +928,68 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
     return _window_topk(verified)
 
 
+def facet_counts(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: pd.DataFrame,
+    doc_map: DataFrame,
+    facet_col: str,
+    cfg: BuildConfig | None = None,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """Facet counts (Lucene faceting analog): for each query, the
+    number of MATCHING docs per value of doc_map.facet_col — the
+    "n hits per source / per language / per shard" panel next to
+    search results.
+
+    queries: pandas (query_id, text[, k — ignored]). doc_map: per-doc
+    metadata with a doc_id column (load_doc_stats(...)). Returns
+    (query_id, <facet_col>, n_docs).
+
+    Scale shape: the narrow pass emits 16-byte (query, term, doc) rows
+    (no scores, no positions), aggregates to distinct matching docs,
+    then joins doc metadata on doc_id — a shuffle join that AQE turns
+    into a broadcast when the matched set is small. No task ever holds
+    a whole posting list and nothing is collected."""
+    cfg = cfg or BuildConfig()
+    qt = _query_terms_pdf(queries, cfg)
+    if qt.empty:
+        return spark.createDataFrame(
+            [], f"query_id int, {facet_col} string, n_docs long"
+        )
+    qdf = spark.createDataFrame(qt)
+    terms = sorted(qt["term"].unique().tolist())
+    filtered = postings.where(F.col("term").isin(terms))
+    if "pos" in filtered.columns:
+        filtered = filtered.drop("pos")
+    matched = filtered.join(F.broadcast(qdf), "term")
+
+    def doc_rows(it):
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                docs = delta_decode(row.doc_ids)
+                yield pd.DataFrame(
+                    {"query_id": np.full(docs.size, row.query_id, np.int32),
+                     "term": np.full(docs.size, row.term, dtype=object),
+                     "doc_id": docs.astype(np.int64),
+                     "nq": np.full(docs.size, row.n_query_terms, np.int32)}
+                )
+
+    pairs = matched.mapInPandas(
+        doc_rows, schema="query_id int, term string, doc_id long, nq int"
+    )
+    docs = pairs.groupBy("query_id", "doc_id").agg(
+        F.count_distinct("term").alias("nm"), F.first("nq").alias("nq")
+    )
+    if conjunctive:
+        docs = docs.where(F.col("nm") >= F.col("nq"))
+    return (
+        docs.join(doc_map.select("doc_id", facet_col), "doc_id")
+        .groupBy("query_id", facet_col)
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def substring_topk(
     spark: SparkSession,
     postings: DataFrame,

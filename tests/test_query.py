@@ -211,3 +211,48 @@ def test_window_topk_ties_across_salt_buckets(spark):
         want_rows, columns=["query_id", "doc_id", "score", "rank"]
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_facet_counts_matches_oracle(built_index, spark):
+    """Facet counts per conversation == naive oracle, OR and AND."""
+    from collections import Counter
+
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import facet_counts
+    from capsbm25.tokenize import tokenize_py
+
+    cfg, oracle = built_index["cfg"], built_index["oracle"]
+    queries = fx.queries_pdf(42)
+    doc_map = load_doc_stats(spark, built_index["res"].out_dir)
+    for conj in (False, True):
+        got = (
+            facet_counts(
+                spark, built_index["postings"], queries, doc_map,
+                "conv_id", cfg, conjunctive=conj,
+            )
+            .toPandas()
+            .sort_values(["query_id", "conv_id"], ignore_index=True)
+        )
+        rows = []
+        for q in queries.itertuples(index=False):
+            terms = sorted(set(tokenize_py(q.text, cfg)))
+            if conj:
+                if not terms or any(t not in oracle.postings for t in terms):
+                    continue
+                m = set(oracle.postings[terms[0]])
+                for t in terms[1:]:
+                    m &= oracle.postings[t].keys()
+            else:
+                m = set()
+                for t in terms:
+                    m |= oracle.postings.get(t, {}).keys()
+            c = Counter(oracle.doc_meta["conv_id"].iloc[d] for d in m)
+            rows.extend(
+                (int(q.query_id), cv, n) for cv, n in c.items()
+            )
+        want = (
+            pd.DataFrame(rows, columns=["query_id", "conv_id", "n_docs"])
+            .sort_values(["query_id", "conv_id"], ignore_index=True)
+        )
+        assert len(got) == len(want) > 0, conj
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
