@@ -536,6 +536,38 @@ def q_bm25_topk_filtered(spark, sf_dir):
     )
 
 
+PREFIX_PATTERN = "merg"   # expands to merge/merges/merged/merging...
+PREFIX_K = 15
+
+
+def q_prefix_topk(spark, sf_dir):
+    """Prefix query (Lucene PrefixQuery / the reference suffix array's
+    term-range scan): docs containing any term starting with the
+    pattern, ranked by summed tf of matching terms. StringStartsWith
+    pushes into the postings scan."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.query import prefix_topk
+
+    b = _index_for(spark, sf_dir)
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [PREFIX_PATTERN],
+         "k": np.array([PREFIX_K], dtype=np.int32)}
+    )
+    got = prefix_topk(
+        spark, load_postings(spark, b["out"]), queries, CFG
+    )
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.col("g.score").cast("long").alias("n_tf"))
+    )
+
+
 def q_facet_counts(spark, sf_dir):
     """Facet counts (Lucene faceting analog): matching docs per source
     for the reference BM25 query — narrow (query, term, doc) pass,
@@ -730,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "kwic_snippets": q_kwic_snippets,
         "facet_counts": q_facet_counts,
+        "prefix_topk": q_prefix_topk,
         "bm25_topk_dataframe": q_bm25_topk_dataframe,
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_exact": q_dedup_exact,
@@ -1098,6 +1131,20 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_and": _BM25_AND_SQL,
         "bm25_topk_filtered": _BM25_FILTERED_SQL,
         "kwic_snippets": _KWIC_SQL,
+        "prefix_topk": f"""
+            WITH tf AS (
+              SELECT term, doc_id, count(*) AS tf FROM (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents
+              ) WHERE term LIKE '{PREFIX_PATTERN}%' GROUP BY 1, 2
+            ),
+            scores AS (
+              SELECT doc_id, sum(tf)::BIGINT AS n_tf FROM tf GROUP BY doc_id
+            )
+            SELECT s.doc_id, s.n_tf FROM scores s
+            JOIN documents d USING (doc_id)
+            -- LIMIT ties break by the ENGINE dense-id order
+            ORDER BY s.n_tf DESC, d.source ASC, d.doc_id ASC
+            LIMIT {PREFIX_K}""",
         "facet_counts": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOK}) AS term FROM documents

@@ -928,6 +928,80 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
     return _window_topk(verified)
 
 
+def prefix_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: pd.DataFrame,
+    cfg: BuildConfig | None = None,
+    doc_filter: DataFrame | None = None,
+    doc_exclude: DataFrame | None = None,
+) -> DataFrame:
+    """Prefix query (Lucene PrefixQuery / the reference suffix array's
+    term-range scan): docs containing ANY term starting with the
+    pattern, ranked by the summed tf of matching terms (deterministic,
+    idf-free — a prefix's expansion set makes per-term idf unstable),
+    ties by doc_id.
+
+    queries: pandas (query_id, text, k) — text IS the prefix, matched
+    against the index's normalized terms (lowercased).
+
+    Scale shape: the StringStartsWith predicates push into the parquet
+    scan (row groups without matching terms are skipped), the tiny
+    query table broadcast-theta-joins the surviving rows, and scoring
+    is the narrow decode + aggregate + two-phase top-k — no kernel mode
+    because a prefix can expand to unboundedly many terms; no task
+    ever holds more than one posting row."""
+    cfg = cfg or BuildConfig()
+    qpdf = queries.copy()
+    qpdf["prefix"] = [str(t or "").lower() for t in qpdf["text"]]
+    qpdf = qpdf[qpdf["prefix"] != ""][["query_id", "prefix", "k"]]
+    if qpdf.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    prefixes = sorted(set(qpdf["prefix"]))
+
+    mode, doc_filter, doc_exclude, _, _, empty = _prep_doc_sets(
+        spark, "distributed", doc_filter, doc_exclude, 0
+    )
+    if empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
+    cond = F.col("term").startswith(prefixes[0])
+    for p in prefixes[1:]:
+        cond = cond | F.col("term").startswith(p)
+    filtered = postings.where(cond)
+    if "pos" in filtered.columns:
+        filtered = filtered.drop("pos")
+    qdf = spark.createDataFrame(qpdf)
+    matched = filtered.join(
+        F.broadcast(qdf), F.col("term").startswith(F.col("prefix"))
+    )
+
+    def doc_rows(it):
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                docs = delta_decode(row.doc_ids)
+                tfs = decode_varints(row.tfs).astype(np.int64)
+                yield pd.DataFrame(
+                    {"query_id": np.full(docs.size, row.query_id, np.int32),
+                     "doc_id": docs.astype(np.int64),
+                     "tf": tfs,
+                     "k": np.full(docs.size, row.k, np.int32)}
+                )
+
+    c = matched.mapInPandas(
+        doc_rows, schema="query_id int, doc_id long, tf long, k int"
+    )
+    if doc_filter is not None:
+        c = c.join(doc_filter, "doc_id", "semi")
+    if doc_exclude is not None:
+        c = c.join(doc_exclude, "doc_id", "anti")
+    scored = c.groupBy("query_id", "doc_id").agg(
+        F.sum("tf").cast("double").alias("score"),
+        F.first("k").alias("k"),
+    )
+    return _window_topk(scored).orderBy("query_id", "rank")
+
+
 def facet_counts(
     spark: SparkSession,
     postings: DataFrame,

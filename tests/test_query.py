@@ -256,3 +256,61 @@ def test_facet_counts_matches_oracle(built_index, spark):
         )
         assert len(got) == len(want) > 0, conj
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_prefix_topk_matches_oracle(built_index, spark):
+    """Prefix query (summed-tf ranking) vs a naive oracle, with and
+    without a doc filter; StringStartsWith reaches the postings scan."""
+    from capsbm25.query import prefix_topk
+
+    res, cfg, oracle = (built_index["res"], built_index["cfg"],
+                        built_index["oracle"])
+    # prefixes with real expansions in the fixture vocab + a miss
+    texts = ["w00", "rare", "zzznope"]
+    queries = pd.DataFrame(
+        {"query_id": np.arange(len(texts), dtype=np.int32),
+         "text": texts,
+         "k": np.full(len(texts), 12, dtype=np.int32)}
+    )
+
+    def naive(doc_filter=None):
+        rows = []
+        for q in queries.itertuples(index=False):
+            scores = {}
+            for term, posting in oracle.postings.items():
+                if not term.startswith(q.text):
+                    continue
+                for d, tf in posting.items():
+                    if doc_filter is not None and d not in doc_filter:
+                        continue
+                    scores[d] = scores.get(d, 0) + tf
+            top = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+            for r, (d, s) in enumerate(top[: int(q.k)], 1):
+                rows.append((int(q.query_id), d, float(s), r))
+        return pd.DataFrame(
+            rows, columns=["query_id", "doc_id", "score", "rank"]
+        )
+
+    got = prefix_topk(
+        spark, built_index["postings"], queries, cfg
+    ).toPandas()
+    want = naive()
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+    assert not (got.query_id == 2).any()  # no-expansion prefix -> 0 rows
+
+    fdf, fset = _conv_filter(built_index, spark)
+    got_f = prefix_topk(
+        spark, built_index["postings"], queries, cfg, doc_filter=fdf
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        got_f.reset_index(drop=True), naive(fset), check_dtype=False
+    )
+
+    # pushdown: the prefix predicate reaches the parquet scan
+    plan = prefix_topk(
+        spark, built_index["postings"], queries, cfg
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "StartsWith" in plan, plan[:1500]
