@@ -538,6 +538,69 @@ def q_bm25_topk_filtered(spark, sf_dir):
 
 PREFIX_PATTERN = "merg"   # expands to merge/merges/merged/merging...
 PREFIX_K = 15
+MUST_NOT_TERM = "merge"
+MLT_SRC_DOC = 7      # original documents.doc_id of the MLT source
+MLT_TERMS = 10
+MLT_K = 12
+
+
+def q_more_like_this(spark, sf_dir):
+    """More-like-this: top tf*idf terms of a source doc drive a BM25
+    top-k that excludes the source (Lucene MLT)."""
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import more_like_this
+
+    b = _index_for(spark, sf_dir)
+    res = b["res"]
+    dm = load_doc_stats(spark, b["out"])
+    src_engine = int(
+        dm.where(F.col("turn_idx") == MLT_SRC_DOC)
+        .select("doc_id").head()[0]
+    )
+    got = more_like_this(
+        spark, load_postings(spark, b["out"]),
+        _as_transcripts(_documents(spark, sf_dir)), dm,
+        [src_engine], res.N, res.avgdl, CFG, k=MLT_K,
+        max_terms=MLT_TERMS,
+    )
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.round("g.score", 6).alias("score_r"))
+    )
+
+
+def q_bm25_topk_must_not(spark, sf_dir):
+    """Boolean MUST_NOT clause by composition: BM25 over the reference
+    query terms, excluding docs containing MUST_NOT_TERM via
+    doc_exclude=term_doc_ids(...) — Lucene semantics: the negative
+    clause drops candidates, scoring stats stay corpus-global."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.query import term_doc_ids
+
+    b = _index_for(spark, sf_dir)
+    res = b["res"]
+    posts = load_postings(spark, b["out"])
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [" ".join(BM25_QUERY_TERMS)],
+         "k": np.array([BM25_K], dtype=np.int32)}
+    )
+    got = bm25_topk(
+        spark, posts, queries, res.N, res.avgdl, CFG, mode="auto",
+        doc_exclude=term_doc_ids(posts, [MUST_NOT_TERM]),
+    )
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.round("g.score", 6).alias("score_r"))
+    )
 
 
 def q_prefix_topk(spark, sf_dir):
@@ -763,6 +826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic_snippets": q_kwic_snippets,
         "facet_counts": q_facet_counts,
         "prefix_topk": q_prefix_topk,
+        "bm25_topk_must_not": q_bm25_topk_must_not,
+        "more_like_this": q_more_like_this,
         "bm25_topk_dataframe": q_bm25_topk_dataframe,
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_exact": q_dedup_exact,
@@ -1145,6 +1210,88 @@ def oracle_sql() -> dict[str, str]:
             -- LIMIT ties break by the ENGINE dense-id order
             ORDER BY s.n_tf DESC, d.source ASC, d.doc_id ASC
             LIMIT {PREFIX_K}""",
+        "more_like_this": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            corpus AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl)::DOUBLE
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            src_tf AS (
+              SELECT term, count(*) AS tf FROM toks
+              WHERE doc_id = {MLT_SRC_DOC} GROUP BY 1
+            ),
+            gdf AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+            ),
+            mlt AS (
+              SELECT s.term FROM src_tf s JOIN gdf g USING (term)
+              CROSS JOIN corpus c
+              ORDER BY s.tf * ln(1 + (c.n - g.df + 0.5) / (g.df + 0.5))
+                       DESC, s.term ASC
+              LIMIT {MLT_TERMS}
+            ),
+            tf AS (
+              SELECT term, doc_id, count(*) AS tf FROM toks
+              WHERE term IN (SELECT term FROM mlt) GROUP BY 1, 2
+            ),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            scores AS (
+              SELECT tf.doc_id,
+                     sum(
+                       ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+                       * tf.tf * ({_K1} + 1)
+                       / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / c.avgdl))
+                     ) AS score
+              FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN corpus c
+              WHERE tf.doc_id != {MLT_SRC_DOC}
+              GROUP BY tf.doc_id
+            )
+            SELECT s.doc_id, round(s.score, 6) AS score_r
+            FROM scores s JOIN documents d USING (doc_id)
+            ORDER BY s.score DESC, d.source ASC, d.doc_id ASC
+            LIMIT {MLT_K}""",
+        "bm25_topk_must_not": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            corpus AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl)::DOUBLE
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            tf AS (
+              SELECT term, doc_id, count(*) AS tf FROM toks
+              WHERE term IN {BM25_QUERY_TERMS!r}
+              GROUP BY 1, 2
+            ),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            mnot AS (
+              SELECT DISTINCT doc_id FROM toks
+              WHERE term = '{MUST_NOT_TERM}'
+            ),
+            scores AS (
+              -- MUST_NOT drops candidates only; n/avgdl/df stay global
+              SELECT tf.doc_id,
+                     sum(
+                       ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+                       * tf.tf * ({_K1} + 1)
+                       / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / c.avgdl))
+                     ) AS score
+              FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN corpus c
+              WHERE tf.doc_id NOT IN (SELECT doc_id FROM mnot)
+              GROUP BY tf.doc_id
+            )
+            SELECT s.doc_id, round(s.score, 6) AS score_r
+            FROM scores s JOIN documents d USING (doc_id)
+            ORDER BY s.score DESC, d.source ASC, d.doc_id ASC
+            LIMIT {BM25_K}""",
         "facet_counts": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOK}) AS term FROM documents

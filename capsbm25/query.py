@@ -928,6 +928,111 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
     return _window_topk(verified)
 
 
+def more_like_this(
+    spark: SparkSession,
+    postings: DataFrame,
+    corpus: DataFrame,
+    doc_map: DataFrame,
+    src_doc_ids: list[int],
+    N: int,
+    avgdl: float,
+    cfg: BuildConfig | None = None,
+    k: int = 10,
+    max_terms: int = 10,
+    mode: str = "auto",
+) -> DataFrame:
+    """More-like-this (Lucene MLT): for each source doc, select its
+    top max_terms terms by tf x idf (idf = the engine's BM25 idf over
+    global df; ties by term asc) and run a BM25 top-k with them. All
+    source docs in the batch are excluded from every result (Lucene
+    excludes the source; batch-global exclusion keeps the exclusion a
+    single broadcast set).
+
+    corpus/doc_map as in kwic_snippets — source texts are fetched with
+    pushed isin filters (one bounded driver fetch of len(src_doc_ids)
+    rows), term dfs with a pushdown-pruned postings aggregate over the
+    sources' distinct terms only. Returns (src_doc_id, doc_id, score,
+    rank)."""
+    cfg = cfg or BuildConfig()
+    srcs = sorted(set(int(d) for d in src_doc_ids))
+    if not srcs:
+        return spark.createDataFrame(
+            [], "src_doc_id long, doc_id long, score double, rank int")
+    md = (
+        doc_map.where(F.col("doc_id").isin(srcs))
+        .select("doc_id", "conv_id", "turn_idx").toPandas()
+    )
+    if md.empty:
+        return spark.createDataFrame(
+            [], "src_doc_id long, doc_id long, score double, rank int")
+    texts = (
+        corpus.where(F.col("conv_id").isin(sorted(set(md["conv_id"]))))
+        .select("conv_id", "turn_idx", "text")
+        .join(F.broadcast(spark.createDataFrame(md)),
+              ["conv_id", "turn_idx"])
+        .select("doc_id", "text").toPandas()
+    )
+    tf_by_src = {
+        int(r.doc_id): pd.Series(tokenize_py(r.text or "", cfg))
+        .value_counts().to_dict()
+        for r in texts.itertuples(index=False)
+    }
+    all_terms = sorted({t for tfs in tf_by_src.values() for t in tfs})
+    if not all_terms:
+        return spark.createDataFrame(
+            [], "src_doc_id long, doc_id long, score double, rank int")
+    df_map = _term_df_map(postings.where(F.col("term").isin(all_terms)))
+
+    rows, src_of = [], {}
+    for qid, (src, tfs) in enumerate(sorted(tf_by_src.items())):
+        ranked = sorted(
+            ((tf * idf_fn(N, df_map.get(t, 0)), t) for t, tf in tfs.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:max_terms]
+        if not ranked:
+            continue
+        src_of[qid] = src
+        rows.append((qid, " ".join(t for _, t in ranked), k))
+    queries = pd.DataFrame(rows, columns=["query_id", "text", "k"])
+    queries["query_id"] = queries["query_id"].astype(np.int32)
+    queries["k"] = queries["k"].astype(np.int32)
+
+    excl = spark.createDataFrame(
+        pd.DataFrame({"doc_id": pd.Series(srcs, dtype=np.int64)}))
+    got = bm25_topk(
+        spark, postings, queries, N, avgdl, cfg, mode=mode,
+        doc_exclude=excl,
+    )
+    src_df = F.broadcast(spark.createDataFrame(
+        pd.DataFrame({"query_id": pd.Series(list(src_of), dtype=np.int32),
+                      "src_doc_id": pd.Series([src_of[q] for q in src_of],
+                                              dtype=np.int64)})))
+    return (
+        got.join(src_df, "query_id")
+        .select("src_doc_id", "doc_id", "score", "rank")
+        .orderBy("src_doc_id", "rank")
+    )
+
+
+def term_doc_ids(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """Distinct doc_ids containing ANY of the given terms — the
+    building block for boolean must_not composition:
+    bm25_topk(..., doc_exclude=term_doc_ids(postings, ["spam"]))
+    is Lucene's MUST_NOT clause (candidates drop, scoring stats stay
+    global). Pushdown-pruned scan, narrow decode, distinct."""
+    f = postings.where(F.col("term").isin(list(terms)))
+    if "pos" in f.columns:
+        f = f.drop("pos")
+
+    def rows(it):
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                docs = delta_decode(row.doc_ids)
+                yield pd.DataFrame({"doc_id": docs.astype(np.int64)})
+
+    return f.mapInPandas(rows, schema="doc_id long").distinct()
+
+
 def prefix_topk(
     spark: SparkSession,
     postings: DataFrame,

@@ -314,3 +314,74 @@ def test_prefix_topk_matches_oracle(built_index, spark):
         spark, built_index["postings"], queries, cfg
     )._jdf.queryExecution().executedPlan().toString()
     assert "StartsWith" in plan, plan[:1500]
+
+
+def test_bm25_must_not_composition(built_index, spark):
+    """Boolean MUST_NOT by composition: doc_exclude=term_doc_ids(neg)
+    == oracle restricted to docs without the negative term (scoring
+    stats stay corpus-global)."""
+    from capsbm25.query import term_doc_ids
+
+    res, cfg, oracle = (built_index["res"], built_index["cfg"],
+                        built_index["oracle"])
+    neg = fx.HOT_TERM
+    neg_docs = set(oracle.postings[neg])
+    tdf = term_doc_ids(built_index["postings"], [neg])
+    assert set(tdf.toPandas()["doc_id"]) == neg_docs
+
+    queries = fx.queries_pdf(42)
+    allowed = {d for d in range(oracle.N) if d not in neg_docs}
+    want = oracle.topk_pdf(queries, doc_filter=allowed)
+    for mode in ("kernel", "distributed"):
+        got = bm25_topk(
+            spark, built_index["postings"], queries, res.N, res.avgdl,
+            cfg, mode=mode, doc_exclude=tdf,
+        ).toPandas()
+        assert len(got) == len(want), mode
+        _assert_rank_identical(got, want, queries)
+
+
+def test_more_like_this_matches_naive(built_index, spark):
+    """MLT: engine == naive oracle (top tf*idf terms -> BM25, source
+    docs excluded) for a batch of source docs."""
+    import math
+
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import more_like_this
+
+    res, cfg, oracle = (built_index["res"], built_index["cfg"],
+                        built_index["oracle"])
+    srcs = [0, 17, 93]
+    corpus = spark.createDataFrame(built_index["pdf"])
+    got = more_like_this(
+        spark, built_index["postings"], corpus,
+        load_doc_stats(spark, res.out_dir), srcs, res.N, res.avgdl,
+        cfg, k=8, max_terms=6,
+    ).toPandas()
+
+    src_set = set(srcs)
+    rows = []
+    for src in srcs:
+        tfs = {}
+        for t in oracle.docs[src]:
+            tfs[t] = tfs.get(t, 0) + 1
+        ranked = sorted(
+            ((tf * oracle.idf(t), t) for t, tf in tfs.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:6]
+        terms = " ".join(t for _, t in ranked)
+        for rank, (d, s) in enumerate(
+            (x for x in oracle.topk(terms, 10**9)
+             if x[0] not in src_set), 1,
+        ):
+            if rank > 8:
+                break
+            rows.append((src, d, s, rank))
+    want = pd.DataFrame(
+        rows, columns=["src_doc_id", "doc_id", "score", "rank"]
+    )
+    assert len(got) == len(want) > 0
+    g = got.sort_values(["src_doc_id", "rank"], ignore_index=True)
+    w = want.sort_values(["src_doc_id", "rank"], ignore_index=True)
+    assert list(g.doc_id) == list(w.doc_id)
+    assert np.allclose(g.score, w.score, atol=1e-9)
