@@ -928,6 +928,19 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
     return _window_topk(verified)
 
 
+def _iter_decoded_postings(it, with_tf: bool = False):
+    """Shared decode loop for the narrow mapInPandas passes: yields
+    (row, doc_ids:int64, tfs:int64|None) per posting row — keeps the
+    delta/varint decode in one place across term_doc_ids, prefix_topk
+    and facet_counts."""
+    for pdf in it:
+        for row in pdf.itertuples(index=False):
+            docs = delta_decode(row.doc_ids).astype(np.int64)
+            tfs = (decode_varints(row.tfs).astype(np.int64)
+                   if with_tf else None)
+            yield row, docs, tfs
+
+
 def more_like_this(
     spark: SparkSession,
     postings: DataFrame,
@@ -952,8 +965,23 @@ def more_like_this(
     pushed isin filters (one bounded driver fetch of len(src_doc_ids)
     rows), term dfs with a pushdown-pruned postings aggregate over the
     sources' distinct terms only. Returns (src_doc_id, doc_id, score,
-    rank)."""
+    rank).
+
+    Terms absent from the index (df = 0 — corpus drift, an unmerged
+    streaming segment) are SKIPPED, as in Lucene MLT: idf_fn would
+    otherwise give them the maximum idf and they would crowd out every
+    real term. Word tokenizers only: the selected terms travel as a
+    space-joined query that bm25_topk re-tokenizes, which requires
+    every term to be a tokenizer fixed point — chargram terms are not
+    (use substring/phrase queries for similarity at char granularity).
+    """
     cfg = cfg or BuildConfig()
+    if cfg.tokenizer == "chargram":
+        raise ValueError(
+            "more_like_this requires a word tokenizer: chargram terms "
+            "contain arbitrary characters and do not survive the "
+            "query-string round-trip"
+        )
     srcs = sorted(set(int(d) for d in src_doc_ids))
     if not srcs:
         return spark.createDataFrame(
@@ -986,7 +1014,8 @@ def more_like_this(
     rows, src_of = [], {}
     for qid, (src, tfs) in enumerate(sorted(tf_by_src.items())):
         ranked = sorted(
-            ((tf * idf_fn(N, df_map.get(t, 0)), t) for t, tf in tfs.items()),
+            ((tf * idf_fn(N, df_map[t]), t) for t, tf in tfs.items()
+             if df_map.get(t, 0) > 0),
             key=lambda x: (-x[0], x[1]),
         )[:max_terms]
         if not ranked:
@@ -1025,10 +1054,8 @@ def term_doc_ids(postings: DataFrame, terms: list[str]) -> DataFrame:
         f = f.drop("pos")
 
     def rows(it):
-        for pdf in it:
-            for row in pdf.itertuples(index=False):
-                docs = delta_decode(row.doc_ids)
-                yield pd.DataFrame({"doc_id": docs.astype(np.int64)})
+        for _, docs, _ in _iter_decoded_postings(it):
+            yield pd.DataFrame({"doc_id": docs})
 
     return f.mapInPandas(rows, schema="doc_id long").distinct()
 
@@ -1048,7 +1075,10 @@ def prefix_topk(
     ties by doc_id.
 
     queries: pandas (query_id, text, k) — text IS the prefix, matched
-    against the index's normalized terms (lowercased).
+    against the index's normalized terms. Word tokenizers only
+    (normalization = lowercasing, so a lowered prefix is consistent
+    with the term dictionary); on a chargram index a "prefix of a
+    gram" is not a meaningful query — use substring_topk.
 
     Scale shape: the StringStartsWith predicates push into the parquet
     scan (row groups without matching terms are skipped), the tiny
@@ -1057,6 +1087,11 @@ def prefix_topk(
     because a prefix can expand to unboundedly many terms; no task
     ever holds more than one posting row."""
     cfg = cfg or BuildConfig()
+    if cfg.tokenizer == "chargram":
+        raise ValueError(
+            "prefix_topk requires a word-tokenizer index; a prefix of "
+            "a chargram is not meaningful — use substring_topk"
+        )
     qpdf = queries.copy()
     qpdf["prefix"] = [str(t or "").lower() for t in qpdf["text"]]
     qpdf = qpdf[qpdf["prefix"] != ""][["query_id", "prefix", "k"]]
@@ -1082,16 +1117,13 @@ def prefix_topk(
     )
 
     def doc_rows(it):
-        for pdf in it:
-            for row in pdf.itertuples(index=False):
-                docs = delta_decode(row.doc_ids)
-                tfs = decode_varints(row.tfs).astype(np.int64)
-                yield pd.DataFrame(
-                    {"query_id": np.full(docs.size, row.query_id, np.int32),
-                     "doc_id": docs.astype(np.int64),
-                     "tf": tfs,
-                     "k": np.full(docs.size, row.k, np.int32)}
-                )
+        for row, docs, tfs in _iter_decoded_postings(it, with_tf=True):
+            yield pd.DataFrame(
+                {"query_id": np.full(docs.size, row.query_id, np.int32),
+                 "doc_id": docs,
+                 "tf": tfs,
+                 "k": np.full(docs.size, row.k, np.int32)}
+            )
 
     c = matched.mapInPandas(
         doc_rows, schema="query_id int, doc_id long, tf long, k int"
@@ -1133,9 +1165,17 @@ def facet_counts(
     cfg = cfg or BuildConfig()
     qt = _query_terms_pdf(queries, cfg)
     if qt.empty:
-        return spark.createDataFrame(
-            [], f"query_id int, {facet_col} string, n_docs long"
-        )
+        from pyspark.sql import types as T
+
+        # empty result keeps doc_map's ACTUAL facet column type — a
+        # hardcoded string would make the schema depend on whether the
+        # batch tokenized to any terms (unionByName breakage)
+        schema = T.StructType([
+            T.StructField("query_id", T.IntegerType()),
+            doc_map.schema[facet_col],
+            T.StructField("n_docs", T.LongType()),
+        ])
+        return spark.createDataFrame([], schema)
     qdf = spark.createDataFrame(qt)
     terms = sorted(qt["term"].unique().tolist())
     filtered = postings.where(F.col("term").isin(terms))
@@ -1144,15 +1184,13 @@ def facet_counts(
     matched = filtered.join(F.broadcast(qdf), "term")
 
     def doc_rows(it):
-        for pdf in it:
-            for row in pdf.itertuples(index=False):
-                docs = delta_decode(row.doc_ids)
-                yield pd.DataFrame(
-                    {"query_id": np.full(docs.size, row.query_id, np.int32),
-                     "term": np.full(docs.size, row.term, dtype=object),
-                     "doc_id": docs.astype(np.int64),
-                     "nq": np.full(docs.size, row.n_query_terms, np.int32)}
-                )
+        for row, docs, _ in _iter_decoded_postings(it):
+            yield pd.DataFrame(
+                {"query_id": np.full(docs.size, row.query_id, np.int32),
+                 "term": np.full(docs.size, row.term, dtype=object),
+                 "doc_id": docs,
+                 "nq": np.full(docs.size, row.n_query_terms, np.int32)}
+            )
 
     pairs = matched.mapInPandas(
         doc_rows, schema="query_id int, term string, doc_id long, nq int"
