@@ -132,6 +132,16 @@ def test_compaction_applies_deletes(streamed_del, spark):
     assert len(md) == oracle.N
     assert not set(md["conv_id"]) & set(streamed_del["victims"])
 
+    # posting invariants hold on the delete-compacted index (df/cf
+    # consistency, strict doc-id order, tf/dl sanity)
+    from capsbm25.validate import validate_postings
+
+    v = validate_postings(
+        load_segment_postings(spark, out), streamed_del["cfg"]
+    )
+    assert v["violations"] == 0, v
+    assert v["rows"] > 0
+
     # k large enough to avoid tie-order truncation across id layouts
     queries = fx.queries_pdf(7).assign(k=np.int32(10_000))
     want = oracle.topk_pdf(queries)
