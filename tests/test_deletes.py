@@ -342,3 +342,44 @@ def test_delete_resolution_races_compaction(streamed_del, spark,
     # a later compaction must not shrink N again
     sm.compact_segments(spark, out, streamed_del["cfg"])
     assert load_stream_stats(out)["N"] == n_live
+
+
+def test_batch_crash_before_commit_replays_cleanly(streamed_del, spark,
+                                                   monkeypatch):
+    """Crash consistency: a batch that dies AFTER writing its segment
+    dirs but BEFORE the stats commit leaves no trace in stats; the
+    streaming replay re-processes it exactly once (segment dirs are
+    overwritten, not duplicated)."""
+    import capsbm25.streaming as sm
+    from capsbm25.validate import validate_postings
+
+    out = _fresh(streamed_del)
+    new_pdf = fx.gen_transcripts_pdf(5, 123)
+    bdf = spark.createDataFrame(new_pdf)
+
+    real_lock = sm._stats_lock
+
+    def boom(out_dir):
+        raise RuntimeError("crash before commit")
+
+    monkeypatch.setattr(sm, "_stats_lock", boom)
+    with pytest.raises(RuntimeError, match="crash before commit"):
+        sm.process_batch(spark, bdf, 77, out, streamed_del["cfg"])
+    monkeypatch.setattr(sm, "_stats_lock", real_lock)
+
+    before = load_stream_stats(out)
+    assert all(s["id"] != 77 for s in before["segments"])
+    assert before["N"] == len(streamed_del["pdf"])
+
+    sm.process_batch(spark, bdf, 77, out, streamed_del["cfg"])
+    stats = load_stream_stats(out)
+    assert [s["id"] for s in stats["segments"]].count(77) == 1
+    assert stats["N"] == len(streamed_del["pdf"]) + len(new_pdf)
+    # multi-segment index: a term has one final row per segment, so
+    # relax the uniqueness invariant (strict form re-applies after
+    # compaction — see test_compaction_applies_deletes)
+    v = validate_postings(
+        load_segment_postings(spark, out), streamed_del["cfg"],
+        unique_terms=False,
+    )
+    assert v["violations"] == 0, v
