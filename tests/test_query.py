@@ -385,3 +385,47 @@ def test_more_like_this_matches_naive(built_index, spark):
     w = want.sort_values(["src_doc_id", "rank"], ignore_index=True)
     assert list(g.doc_id) == list(w.doc_id)
     assert np.allclose(g.score, w.score, atol=1e-9)
+
+
+def test_filter_and_exclude_combined(built_index, spark):
+    """doc_filter AND doc_exclude together (kernel + distributed):
+    allowed = filter set minus exclude set; scores corpus-global."""
+    from pyspark.sql import functions as F
+
+    from capsbm25.build import load_doc_stats
+
+    res, cfg, oracle = (built_index["res"], built_index["cfg"],
+                        built_index["oracle"])
+    queries = fx.queries_pdf(42)
+    fdf, fset = _conv_filter(built_index, spark, stride=2)
+    stats_df = load_doc_stats(spark, res.out_dir)
+    edf = stats_df.where(F.col("turn_idx") % 3 == 0).select("doc_id")
+    eset = {
+        i for i, (c, t) in enumerate(
+            zip(oracle.doc_meta["conv_id"], oracle.doc_meta["turn_idx"]))
+        if t % 3 == 0
+    }
+    want = oracle.topk_pdf(queries, doc_filter=fset - eset)
+    assert len(want) > 0
+    for mode in ("kernel", "distributed"):
+        got = bm25_topk(
+            spark, built_index["postings"], queries, res.N, res.avgdl,
+            cfg, mode=mode, doc_filter=fdf, doc_exclude=edf,
+        ).toPandas()
+        assert len(got) == len(want), mode
+        _assert_rank_identical(got, want, queries)
+
+
+def test_prefix_empty_and_all_empty(built_index, spark):
+    from capsbm25.query import prefix_topk
+
+    cfg = built_index["cfg"]
+    queries = pd.DataFrame(
+        {"query_id": np.array([0, 1], dtype=np.int32),
+         "text": ["", None],
+         "k": np.array([5, 5], dtype=np.int32)}
+    )
+    got = prefix_topk(
+        spark, built_index["postings"], queries, cfg
+    ).toPandas()
+    assert len(got) == 0
