@@ -383,3 +383,37 @@ def test_batch_crash_before_commit_replays_cleanly(streamed_del, spark,
         unique_terms=False,
     )
     assert v["violations"] == 0, v
+
+
+def test_reader_isolation_across_compaction(streamed_del, spark):
+    """A query planned against pre-compaction segment paths still
+    executes correctly after the compaction swap: old segment dirs and
+    applied tombstone files are left on disk for async GC precisely so
+    in-flight readers never hit FileNotFound."""
+    out = _fresh(streamed_del)
+    delete_docs(spark, out, streamed_del["victims"])
+    # plan (lazily) against the PRE-compaction state
+    postings_old = load_segment_postings(spark, out)
+    tomb_old = load_tombstones(spark, out)
+    N_old, avgdl_old = stream_corpus_stats(out)
+
+    c = compact_segments(spark, out, streamed_del["cfg"])
+    assert c["compacted"]
+
+    # the old plan executes after the swap, matching the stale-stats
+    # oracle (full corpus stats, deleted docs masked)
+    oracle = OracleIndex(streamed_del["pdf"])
+    live = {i for i, cv in enumerate(oracle.doc_meta["conv_id"])
+            if cv not in set(streamed_del["victims"])}
+    queries = fx.queries_pdf(7)
+    want = oracle.topk_pdf(queries, doc_filter=live)
+    got = bm25_topk(
+        spark, postings_old, queries, N_old, avgdl_old,
+        streamed_del["cfg"], mode="kernel", doc_exclude=tomb_old,
+    ).toPandas()
+    assert len(got) == len(want)
+    for qid in queries["query_id"]:
+        g = got[got.query_id == qid].sort_values("rank")
+        w = want[want.query_id == qid].sort_values("rank")
+        assert list(g.doc_id) == list(w.doc_id), qid
+        assert np.allclose(g.score, w.score, atol=1e-9), qid
