@@ -73,5 +73,51 @@ for mode, prune in [("kernel", True), ("kernel", False), ("distributed", False)]
         assert np.allclose(g.score, w.score, atol=1e-9), (mode, qid)
     print(f"mode={mode} prune={prune}: rank-identical to oracle on {len(queries)} queries")
 
+# --- round-3 query surfaces over the same index ---
+from pyspark.sql import functions as F
+
+from capsbm25.build import load_doc_stats
+from capsbm25.query import (facet_counts, more_like_this, prefix_topk,
+                            term_doc_ids)
+from capsbm25.snippets import kwic_snippets
+
+dm = load_doc_stats(spark, out)
+convs = sorted(pdf["conv_id"].unique())[::3]
+fdf = dm.where(F.col("conv_id").isin(convs)).select("doc_id")
+fset = {i for i, c in enumerate(oracle.doc_meta["conv_id"]) if c in set(convs)}
+got = bm25_topk(spark, postings, queries, res.N, res.avgdl, cfg,
+                doc_filter=fdf).toPandas()
+want = oracle.topk_pdf(queries, doc_filter=fset)
+assert len(got) == len(want) and set(got.doc_id) <= fset
+print("filtered retrieval ok:", len(got), "rows inside the filter")
+
+neg = fx.HOT_TERM
+excl = term_doc_ids(postings, [neg])
+got = bm25_topk(spark, postings, queries, res.N, res.avgdl, cfg,
+                doc_exclude=excl).toPandas()
+assert not set(got.doc_id) & set(oracle.postings[neg])
+print("MUST_NOT ok:", len(got), "rows, none containing", repr(neg))
+
+fc = facet_counts(spark, postings, queries, dm, "conv_id", cfg).toPandas()
+assert (fc.groupby("query_id")["n_docs"].sum() > 0).all()
+print("facet counts ok:", len(fc), "facet rows")
+
+pq = prefix_topk(
+    spark, postings,
+    queries.assign(text="w00").head(3).reset_index(drop=True), cfg,
+).toPandas()
+assert len(pq) > 0
+print("prefix query ok:", len(pq), "rows for prefix 'w00'")
+
+mlt = more_like_this(spark, postings, tdf, dm, [0, 5], res.N, res.avgdl,
+                     cfg, k=5).toPandas()
+assert len(mlt) > 0 and not set(mlt.doc_id) & {0, 5}
+print("more-like-this ok:", len(mlt), "rows, sources excluded")
+
+results = bm25_topk(spark, postings, queries, res.N, res.avgdl, cfg)
+snip = kwic_snippets(spark, tdf, dm, results, queries, cfg).toPandas()
+assert len(snip) > 0 and (snip["snippet"].str.len() > 0).all()
+print("KWIC snippets ok:", len(snip), "snippets")
+
 print("E2E OK")
 spark.stop()
