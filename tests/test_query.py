@@ -429,3 +429,54 @@ def test_prefix_empty_and_all_empty(built_index, spark):
         spark, built_index["postings"], queries, cfg
     ).toPandas()
     assert len(got) == 0
+
+
+def test_date_histogram_by_composition(built_index, spark):
+    """Date-histogram faceting (the ES/Lucene date_histogram analog) by
+    COMPOSITION: facet_counts with a time-bucket doc_map built from the
+    corpus ts column — no new operator needed."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import facet_counts
+    from capsbm25.tokenize import tokenize_py
+
+    cfg, oracle = built_index["cfg"], built_index["oracle"]
+    corpus = spark.createDataFrame(built_index["pdf"])
+    dm = (
+        load_doc_stats(spark, built_index["res"].out_dir)
+        .join(corpus.select("conv_id", "turn_idx", "ts"),
+              ["conv_id", "turn_idx"])
+        .select("doc_id", F.date_trunc("hour", "ts").alias("hour"))
+    )
+    queries = fx.queries_pdf(42).head(5).reset_index(drop=True)
+    got = (
+        facet_counts(spark, built_index["postings"], queries, dm,
+                     "hour", cfg)
+        .toPandas()
+        .sort_values(["query_id", "hour"], ignore_index=True)
+    )
+
+    key = built_index["pdf"].set_index(["conv_id", "turn_idx"])["ts"]
+    hours = [
+        key.loc[(c, t)].floor("h")
+        for c, t in zip(oracle.doc_meta["conv_id"],
+                        oracle.doc_meta["turn_idx"])
+    ]
+    rows = []
+    for q in queries.itertuples(index=False):
+        m = set()
+        for t in sorted(set(tokenize_py(q.text, cfg))):
+            m |= oracle.postings.get(t, {}).keys()
+        c = Counter(hours[d] for d in m)
+        rows.extend((int(q.query_id), h, n) for h, n in c.items())
+    want = (
+        pd.DataFrame(rows, columns=["query_id", "hour", "n_docs"])
+        .sort_values(["query_id", "hour"], ignore_index=True)
+    )
+    assert len(got) == len(want) > 0
+    got["hour"] = pd.to_datetime(got["hour"])
+    want["hour"] = pd.to_datetime(want["hour"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
