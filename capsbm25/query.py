@@ -956,10 +956,11 @@ def more_like_this(
 ) -> DataFrame:
     """More-like-this (Lucene MLT): for each source doc, select its
     top max_terms terms by tf x idf (idf = the engine's BM25 idf over
-    global df; ties by term asc) and run a BM25 top-k with them. All
-    source docs in the batch are excluded from every result (Lucene
-    excludes the source; batch-global exclusion keeps the exclusion a
-    single broadcast set).
+    global df; ties by term asc) and run a BM25 top-k with them. Each
+    query excludes exactly its OWN source doc (Lucene semantics —
+    another query's source is a legitimate result): the inner top-k
+    over-fetches by one, the self row drops in a post-join filter, and
+    ranks renumber.
 
     corpus/doc_map as in kwic_snippets — source texts are fetched with
     pushed isin filters (one bounded driver fetch of len(src_doc_ids)
@@ -1021,23 +1022,23 @@ def more_like_this(
         if not ranked:
             continue
         src_of[qid] = src
-        rows.append((qid, " ".join(t for _, t in ranked), k))
+        # +1: the query's own source can occupy at most one slot
+        rows.append((qid, " ".join(t for _, t in ranked), k + 1))
     queries = pd.DataFrame(rows, columns=["query_id", "text", "k"])
     queries["query_id"] = queries["query_id"].astype(np.int32)
     queries["k"] = queries["k"].astype(np.int32)
 
-    excl = spark.createDataFrame(
-        pd.DataFrame({"doc_id": pd.Series(srcs, dtype=np.int64)}))
-    got = bm25_topk(
-        spark, postings, queries, N, avgdl, cfg, mode=mode,
-        doc_exclude=excl,
-    )
+    got = bm25_topk(spark, postings, queries, N, avgdl, cfg, mode=mode)
     src_df = F.broadcast(spark.createDataFrame(
         pd.DataFrame({"query_id": pd.Series(list(src_of), dtype=np.int32),
                       "src_doc_id": pd.Series([src_of[q] for q in src_of],
                                               dtype=np.int64)})))
+    w = Window.partitionBy("query_id").orderBy("rank")
     return (
         got.join(src_df, "query_id")
+        .where(F.col("doc_id") != F.col("src_doc_id"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= F.lit(k))
         .select("src_doc_id", "doc_id", "score", "rank")
         .orderBy("src_doc_id", "rank")
     )

@@ -111,8 +111,8 @@ print("prefix query ok:", len(pq), "rows for prefix 'w00'")
 
 mlt = more_like_this(spark, postings, tdf, dm, [0, 5], res.N, res.avgdl,
                      cfg, k=5).toPandas()
-assert len(mlt) > 0 and not set(mlt.doc_id) & {0, 5}
-print("more-like-this ok:", len(mlt), "rows, sources excluded")
+assert len(mlt) > 0 and not (mlt.src_doc_id == mlt.doc_id).any()
+print("more-like-this ok:", len(mlt), "rows, own source excluded per query")
 
 results = bm25_topk(spark, postings, queries, res.N, res.avgdl, cfg)
 snip = kwic_snippets(spark, tdf, dm, results, queries, cfg).toPandas()

@@ -342,10 +342,9 @@ def test_bm25_must_not_composition(built_index, spark):
 
 
 def test_more_like_this_matches_naive(built_index, spark):
-    """MLT: engine == naive oracle (top tf*idf terms -> BM25, source
-    docs excluded) for a batch of source docs."""
-    import math
-
+    """MLT: engine == naive oracle (top tf*idf terms -> BM25, each
+    query excluding exactly its OWN source) for a batch of source
+    docs; another query's source is a legitimate result."""
     from capsbm25.build import load_doc_stats
     from capsbm25.query import more_like_this
 
@@ -359,7 +358,6 @@ def test_more_like_this_matches_naive(built_index, spark):
         cfg, k=8, max_terms=6,
     ).toPandas()
 
-    src_set = set(srcs)
     rows = []
     for src in srcs:
         tfs = {}
@@ -371,8 +369,7 @@ def test_more_like_this_matches_naive(built_index, spark):
         )[:6]
         terms = " ".join(t for _, t in ranked)
         for rank, (d, s) in enumerate(
-            (x for x in oracle.topk(terms, 10**9)
-             if x[0] not in src_set), 1,
+            (x for x in oracle.topk(terms, 10**9) if x[0] != src), 1,
         ):
             if rank > 8:
                 break
