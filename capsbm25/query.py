@@ -243,7 +243,7 @@ def bm25_topk(
     mode: str = "auto",
     prune: bool = True,
     conjunctive: bool = False,
-    max_kernel_df: int = 2_000_000,
+    max_kernel_df: int = 20_000_000,
     max_kernel_bytes: int = 32 << 20,
     doc_filter: DataFrame | None = None,
     max_kernel_filter: int = 4_000_000,
@@ -564,7 +564,7 @@ def phrase_topk(
     avgdl: float,
     cfg: BuildConfig | None = None,
     mode: str = "auto",
-    max_kernel_df: int = 2_000_000,
+    max_kernel_df: int = 20_000_000,
     max_kernel_bytes: int = 32 << 20,
     count_scores: bool = False,
     doc_filter: DataFrame | None = None,
@@ -862,13 +862,36 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
     if doc_exclude is not None:
         and_docs = and_docs.join(doc_exclude, "doc_id", "anti")
 
+    # Bounded collect of the AND-candidate set (small by construction:
+    # docs containing ALL phrase terms). When it fits, TWO wins over the
+    # join-only path: (a) the positions kernel masks candidates BEFORE
+    # materializing rows, so a stopword-grade phrase term emits
+    # O(cand x tf) Arrow rows instead of O(cf x tf) — measured 86s ->
+    # ~2s for the 1.05M-turn corpus whose phrases hit head terms; (b)
+    # the collected set becomes the broadcast join side directly, so
+    # the narrow n1 subplan is not re-executed by the join. Over the
+    # cap (degenerate single-term "phrases" on enormous corpora) the
+    # original AQE-broadcast join path still applies.
+    MAX_CAND_COLLECT = 200_000
+    session = matched.sparkSession
+    cand_pdf = and_docs.limit(MAX_CAND_COLLECT + 1).toPandas()
+    cand_bc = None
+    if len(cand_pdf) <= MAX_CAND_COLLECT:
+        if cand_pdf.empty:
+            return session.createDataFrame([], RESULT_SCHEMA)
+        cand_map = {
+            int(qid): np.sort(g["doc_id"].to_numpy(np.int64))
+            for qid, g in cand_pdf.groupby("query_id")
+        }
+        cand_bc = session.sparkContext.broadcast(cand_map)
+        and_docs = F.broadcast(session.createDataFrame(cand_pdf))
+
     def pos_rows(it):
         # FLAT (query, term, doc, pos) long rows — one np.repeat per
-        # posting row, zero per-doc Python objects. The join against the
-        # (small) AND-candidate set drops non-candidate rows map-side
-        # under AQE broadcast, so none of this ships for a stopword-
-        # grade term; the phrase string rides on the candidate side, not
-        # on these O(cf) rows.
+        # posting row, zero per-doc Python objects; with cand_bc the
+        # candidate mask applies before any row is built. The phrase
+        # string rides on the candidate side, not on these rows.
+        cand_map = cand_bc.value if cand_bc is not None else None
         for pdf in it:
             for row in pdf.itertuples(index=False):
                 if len(row.pos) == 0:
@@ -878,6 +901,16 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
                     )
                 docs, tfs, _ = _decode_posting(row)
                 pos = decode_pair_positions(row.pos, tfs)
+                if cand_map is not None:
+                    cand = cand_map.get(int(row.query_id))
+                    if cand is None:
+                        continue
+                    keep = sorted_member_mask(cand, docs)
+                    if not keep.all():
+                        pos = pos[np.repeat(keep, tfs)]
+                        docs, tfs = docs[keep], tfs[keep]
+                    if docs.size == 0:
+                        continue
                 yield pd.DataFrame(
                     {
                         "query_id": np.full(pos.size, row.query_id, np.int32),
@@ -1214,7 +1247,7 @@ def substring_topk(
     queries: pd.DataFrame,
     cfg: BuildConfig,
     mode: str = "auto",
-    max_kernel_df: int = 2_000_000,
+    max_kernel_df: int = 20_000_000,
     max_kernel_bytes: int = 32 << 20,
     doc_filter: DataFrame | None = None,
     doc_exclude: DataFrame | None = None,
