@@ -48,6 +48,12 @@ from capsbm25.tokenize import tokenize_py
 
 RESULT_SCHEMA = "query_id int, doc_id long, score double, rank int"
 
+# distributed-phrase positions pass: AND-candidate sets up to this many
+# rows are collected + broadcast so candidates mask map-side BEFORE any
+# positional row is materialized; larger sets fall back to the
+# AQE-broadcast join (module-level so tests can force the fallback)
+MAX_CAND_COLLECT = 200_000
+
 
 def _query_terms_pdf(queries: pd.DataFrame, cfg: BuildConfig) -> pd.DataFrame:
     rows = []
@@ -872,7 +878,6 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
     # the narrow n1 subplan is not re-executed by the join. Over the
     # cap (degenerate single-term "phrases" on enormous corpora) the
     # original AQE-broadcast join path still applies.
-    MAX_CAND_COLLECT = 200_000
     session = matched.sparkSession
     cand_pdf = and_docs.limit(MAX_CAND_COLLECT + 1).toPandas()
     cand_bc = None
