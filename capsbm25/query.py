@@ -641,7 +641,7 @@ def phrase_topk(
         elif len(heavy) == stats.shape[0]:
             return _run_phrase_distributed(
                 matched, df_map, N, avgdl, cfg, count_scores,
-                doc_filter, doc_exclude,
+                doc_filter, doc_exclude, qt,
             ).orderBy("query_id", "rank")
         else:
             light = _run_phrase_kernel(
@@ -651,7 +651,7 @@ def phrase_topk(
             dist = _run_phrase_distributed(
                 matched.where(F.col("query_id").isin(heavy)),
                 df_map, N, avgdl, cfg, count_scores,
-                doc_filter, doc_exclude,
+                doc_filter, doc_exclude, qt,
             )
             return light.unionByName(dist).orderBy("query_id", "rank")
     if mode == "kernel":
@@ -661,7 +661,7 @@ def phrase_topk(
     if mode == "distributed":
         return _run_phrase_distributed(
             matched, _term_df_map(filtered), N, avgdl, cfg, count_scores,
-            doc_filter, doc_exclude,
+            doc_filter, doc_exclude, qt,
         ).orderBy("query_id", "rank")
     raise ValueError(mode)
 
@@ -787,7 +787,7 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
                             count_scores: bool = False,
                             doc_filter: DataFrame | None = None,
                             doc_exclude: DataFrame | None = None,
-                            ) -> DataFrame:
+                            qt: pd.DataFrame | None = None) -> DataFrame:
     """Scale path, two passes so positions only ship for AND candidates:
 
     1. NARROW pass — one row per (query, term, doc) with the BM25
@@ -806,6 +806,17 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
     price of decoding the matched postings twice, which is cheap next
     to shuffled bytes at cluster scale)."""
     from capsbm25.codec import decode_pair_positions
+
+    session = matched.sparkSession
+    # per-query metadata (phrase tokens, k, distinct-token count) is
+    # DRIVER-known — it joins the tiny aggregated candidate set instead
+    # of riding every narrow row: a stopword-grade term otherwise ships
+    # its phrase array<string> once per matched DOC through the
+    # exchange (the dominant narrow-pass payload)
+    qmeta = qt.drop_duplicates(subset=["query_id"])[
+        ["query_id", "k", "phrase"]].copy()
+    qmeta["n_distinct"] = [len(set(p)) for p in qmeta["phrase"]]
+    qmeta_df = F.broadcast(session.createDataFrame(qmeta))
 
     def narrow_rows(it):
         for pdf in it:
@@ -826,39 +837,28 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
                         tfs, dls, float(idf_fn(N, df_map[row.term])),
                         avgdl, cfg.k1, cfg.b,
                     )
-                phrase_list = list(row.phrase)
                 yield pd.DataFrame(
                     {
                         "query_id": np.full(docs.size, row.query_id, np.int32),
                         "term": np.full(docs.size, row.term, dtype=object),
                         "doc_id": docs.astype(np.int64),
                         "contrib": sc,
-                        "k": np.full(docs.size, row.k, np.int32),
-                        # one shared list object repeated — Arrow
-                        # serializes it per row, which is inherent to
-                        # carrying the phrase on the narrow rows
-                        "phrase": pd.Series(
-                            [phrase_list] * docs.size, dtype=object
-                        ),
                     }
                 )
 
     n1 = matched.mapInPandas(
         narrow_rows,
-        schema="query_id int, term string, doc_id long, contrib double, "
-               "k int, phrase array<string>",
+        schema="query_id int, term string, doc_id long, contrib double",
     )
-    n_distinct = F.size(F.array_distinct(F.col("phrase")))
     and_docs = (
         n1.groupBy("query_id", "doc_id")
         .agg(
             F.count_distinct("term").alias("nm"),
             F.sum("contrib").alias("score"),
-            F.first("k").alias("k"),
-            F.first("phrase").alias("phrase"),
         )
-        .where(F.col("nm") == n_distinct)
-        .drop("nm")
+        .join(qmeta_df, "query_id")
+        .where(F.col("nm") == F.col("n_distinct"))
+        .drop("nm", "n_distinct")
     )
     # filter/liveDocs masks restrict the AND-candidate set BEFORE the
     # positions pass, so positional payload for filtered-out docs is
@@ -878,7 +878,6 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
     # the narrow n1 subplan is not re-executed by the join. Over the
     # cap (degenerate single-term "phrases" on enormous corpora) the
     # original AQE-broadcast join path still applies.
-    session = matched.sparkSession
     cand_pdf = and_docs.limit(MAX_CAND_COLLECT + 1).toPandas()
     cand_bc = None
     if len(cand_pdf) <= MAX_CAND_COLLECT:
