@@ -51,12 +51,16 @@ def _doc_grams(docs: DataFrame, n: int = 3) -> DataFrame:
     ).select("doc_id", shingles("toks", n).alias("grams"))
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = 8) -> DataFrame:
+def minhash_signatures(docs: DataFrame, n_hashes: int = 8,
+                       grams: DataFrame | None = None) -> DataFrame:
     """MinHash signature per doc: h_i = min over shingles of
     md5(i || '|' || shingle). Lexicographic min over a uniform hex hash
     is a valid permutation-min proxy, and md5 hex is identical across
-    engines (cross-checkable in SQL)."""
-    g = _doc_grams(docs).where(F.size("grams") > 0)
+    engines (cross-checkable in SQL). grams: optional precomputed
+    _doc_grams(docs) frame (pass a persisted one to share the
+    tokenize->shingle scan with other pipeline stages)."""
+    g = (grams if grams is not None else _doc_grams(docs)).where(
+        F.size("grams") > 0)
 
     # NB: the lambda must take exactly ONE argument — PySpark interprets
     # a two-parameter lambda in F.transform as (element, array_index),
@@ -73,12 +77,13 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 8) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, n_hashes: int = 8, bands: int = 4
+    docs: DataFrame, n_hashes: int = 8, bands: int = 4,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band bucket
     (shingle -> minhash -> band -> bucket-join). Returns distinct
     (doc1, doc2) candidate pairs, doc1 < doc2."""
-    sig = minhash_signatures(docs, n_hashes)
+    sig = minhash_signatures(docs, n_hashes, grams=grams)
     rows_per_band = n_hashes // bands
     # ALL band buckets in one select + explode — a per-band union would
     # re-execute the tokenize->shingle->minhash tree once per band
@@ -111,9 +116,15 @@ def minhash_dedup_verified(
     exact shingle Jaccard >= threshold. The candidate step makes the
     O(n^2) pair space O(candidates); verification removes LSH false
     positives — this is the standard production near-dup shape.
-    Returns (doc1, doc2, jac_r)."""
-    cand = minhash_lsh_pairs(docs, n_hashes, bands)
-    g = _doc_grams(docs)
+    Returns (doc1, doc2, jac_r).
+
+    The tokenize->shingle frame is computed ONCE and persisted: the
+    signature/banding stage and BOTH exact-verify join sides read the
+    cached grams, so the corpus text is scanned a single time instead
+    of three (at 100 TB each avoided full-corpus scan is the dominant
+    cost; plan-asserted in tests/test_dataops.py)."""
+    g = _doc_grams(docs).persist()
+    cand = minhash_lsh_pairs(docs, n_hashes, bands, grams=g)
     a = g.select(F.col("doc_id").alias("doc1"), F.col("grams").alias("g1"))
     b = g.select(F.col("doc_id").alias("doc2"), F.col("grams").alias("g2"))
     inter = F.size(F.array_intersect(F.col("g1"), F.col("g2")))

@@ -649,15 +649,23 @@ def merge_hot_partials(
 
     drop: optional SORTED int64 array of doc ids to physically remove
     while merging (compaction applying delete tombstones — the Lucene
-    merge-drops-deleted-docs analog). N/avgdl must then be the LIVE
-    stats so recomputed block maxima bound the post-delete scores. A
-    term whose docs are all dropped vanishes (no df=0 rows).
+    merge-drops-deleted-docs analog), either a plain ndarray or a
+    pyspark Broadcast of one (preferred beyond trivial sizes: one copy
+    per executor instead of a pickle per task closure). N/avgdl must
+    then be the LIVE stats so recomputed block maxima bound the
+    post-delete scores. A term whose docs are all dropped vanishes
+    (no df=0 rows).
     """
+    from pyspark.broadcast import Broadcast
+
     cfg = cfg or BuildConfig()
 
     with_pos = cfg.index_positions
 
     def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        nonlocal drop
+        if isinstance(drop, Broadcast):
+            drop = drop.value
         docs = np.concatenate([delta_decode(b) for b in pdf["doc_ids"]])
         tfs = np.concatenate(
             [decode_varints(b).astype(np.int64) for b in pdf["tfs"]]

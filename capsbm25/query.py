@@ -387,7 +387,10 @@ def _prep_doc_sets(spark, mode, doc_filter, doc_exclude,
         cols[i] = df.select("doc_id")
         if mode == "distributed":
             continue
-        head = cols[i].limit(max_kernel_filter + 1).toPandas()
+        # distinct BEFORE the limit: a join-derived set with duplicate
+        # doc_ids would otherwise count dup rows against the cap and be
+        # demoted (or raise) despite few distinct ids
+        head = cols[i].distinct().limit(max_kernel_filter + 1).toPandas()
         if len(head) > max_kernel_filter:
             if mode == "kernel":
                 raise ValueError(
@@ -875,12 +878,14 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
     # O(cand x tf) Arrow rows instead of O(cf x tf) — measured 86s ->
     # ~2s for the 1.05M-turn corpus whose phrases hit head terms; (b)
     # the collected set becomes the broadcast join side directly, so
-    # the narrow n1 subplan is not re-executed by the join. Over the
-    # cap (degenerate single-term "phrases" on enormous corpora) the
-    # original AQE-broadcast join path still applies.
+    # the narrow n1 subplan is not re-executed by the join. PERSIST
+    # first: the probe, the over-cap candidate-list build, and the final
+    # join would each re-execute the narrow n1 aggregate otherwise.
+    and_docs = and_docs.persist()
     cand_pdf = and_docs.limit(MAX_CAND_COLLECT + 1).toPandas()
     cand_bc = None
     if len(cand_pdf) <= MAX_CAND_COLLECT:
+        and_docs.unpersist()
         if cand_pdf.empty:
             return session.createDataFrame([], RESULT_SCHEMA)
         cand_map = {
@@ -889,26 +894,54 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
         }
         cand_bc = session.sparkContext.broadcast(cand_map)
         and_docs = F.broadcast(session.createDataFrame(cand_pdf))
+        pos_src = matched
+    else:
+        # Over the cap the candidate set stays DISTRIBUTED: per
+        # (query, term) the sorted candidate-doc array is aggregated
+        # from the persisted and_docs and shuffle-joined onto the
+        # matched posting rows, so the positions kernel still masks
+        # BEFORE materializing any positional row — shuffled positional
+        # bytes stay O(cand x tf) at ANY candidate cardinality (the
+        # pre-round-4 fallback shipped O(cf x tf) rows: every posting
+        # entry of every phrase term). The cand array rides one row per
+        # (query, term, part) — bounded duplication (salt parts), never
+        # per posting entry.
+        qterm = F.broadcast(session.createDataFrame(
+            qt[["query_id", "term"]].drop_duplicates()))
+        cand_lists = (
+            and_docs.select("query_id", "doc_id")
+            .join(qterm, "query_id")
+            .groupBy("term", "query_id")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("cand_docs"))
+        )
+        pos_src = matched.join(cand_lists, ["term", "query_id"])
 
     def pos_rows(it):
         # FLAT (query, term, doc, pos) long rows — one np.repeat per
-        # posting row, zero per-doc Python objects; with cand_bc the
-        # candidate mask applies before any row is built. The phrase
-        # string rides on the candidate side, not on these rows.
+        # posting row, zero per-doc Python objects; the candidate mask
+        # (broadcast map under the cap, joined cand_docs column over it)
+        # applies before any row is built. The phrase string rides on
+        # the candidate side, not on these rows.
         cand_map = cand_bc.value if cand_bc is not None else None
         for pdf in it:
+            has_col = "cand_docs" in pdf.columns
             for row in pdf.itertuples(index=False):
                 if len(row.pos) == 0:
                     raise ValueError(
                         "phrase_topk requires an index built with "
                         "index_positions=True (pos payload is empty)"
                     )
-                docs, tfs, _ = _decode_posting(row)
-                pos = decode_pair_positions(row.pos, tfs)
                 if cand_map is not None:
                     cand = cand_map.get(int(row.query_id))
                     if cand is None:
                         continue
+                elif has_col:
+                    cand = np.asarray(row.cand_docs, dtype=np.int64)
+                else:
+                    cand = None
+                docs, tfs, _ = _decode_posting(row)
+                pos = decode_pair_positions(row.pos, tfs)
+                if cand is not None:
                     keep = sorted_member_mask(cand, docs)
                     if not keep.all():
                         pos = pos[np.repeat(keep, tfs)]
@@ -924,7 +957,7 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
                     }
                 )
 
-    p = matched.mapInPandas(
+    p = pos_src.mapInPandas(
         pos_rows,
         schema="query_id int, term string, doc_id long, pos long",
     )
@@ -990,6 +1023,8 @@ def more_like_this(
     k: int = 10,
     max_terms: int = 10,
     mode: str = "auto",
+    doc_filter: DataFrame | None = None,
+    doc_exclude: DataFrame | None = None,
 ) -> DataFrame:
     """More-like-this (Lucene MLT): for each source doc, select its
     top max_terms terms by tf x idf (idf = the engine's BM25 idf over
@@ -1004,6 +1039,13 @@ def more_like_this(
     rows), term dfs with a pushdown-pruned postings aggregate over the
     sources' distinct terms only. Returns (src_doc_id, doc_id, score,
     rank).
+
+    doc_filter / doc_exclude forward to the inner bm25_topk with the
+    usual Lucene filter + liveDocs semantics — in particular
+    doc_exclude=load_tombstones(...) keeps deleted docs out of MLT
+    results on a streaming index with pending tombstones. (Sources are
+    resolved from doc_map as given; pre-filter doc_map/src_doc_ids if
+    deleted docs must not serve as sources either.)
 
     Terms absent from the index (df = 0 — corpus drift, an unmerged
     streaming segment) are SKIPPED, as in Lucene MLT: idf_fn would
@@ -1065,7 +1107,8 @@ def more_like_this(
     queries["query_id"] = queries["query_id"].astype(np.int32)
     queries["k"] = queries["k"].astype(np.int32)
 
-    got = bm25_topk(spark, postings, queries, N, avgdl, cfg, mode=mode)
+    got = bm25_topk(spark, postings, queries, N, avgdl, cfg, mode=mode,
+                    doc_filter=doc_filter, doc_exclude=doc_exclude)
     src_df = F.broadcast(spark.createDataFrame(
         pd.DataFrame({"query_id": pd.Series(list(src_of), dtype=np.int32),
                       "src_doc_id": pd.Series([src_of[q] for q in src_of],
@@ -1255,6 +1298,7 @@ def substring_topk(
     max_kernel_bytes: int = 32 << 20,
     doc_filter: DataFrame | None = None,
     doc_exclude: DataFrame | None = None,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Char-granular substring top-k — the direct graft of the
     reference's suffix-array search primitive (``upper_bound``,
@@ -1276,10 +1320,16 @@ def substring_topk(
 
     queries: pandas (query_id, text, k); text is the RAW pattern
     (matched case-insensitively against lower(text); may contain
-    spaces/punctuation — anything except patterns shorter than
-    chargram_n, which cannot be covered by grams and raise).
-    Returns (query_id, doc_id, score, rank) where score = the exact
-    (overlap-counting) number of match positions.
+    spaces/punctuation). Returns (query_id, doc_id, score, rank) where
+    score = the exact (overlap-counting) number of match positions.
+
+    Patterns SHORTER than chargram_n cannot be covered by grams — the
+    reference's ``upper_bound`` answers any pattern length uniformly,
+    so when ``corpus`` (the doc table with doc_id + text) is given,
+    sub-gram patterns auto-dispatch to the full-scan fallback
+    (dataops.substring_scan: codegen exprs, column-pruned scan) with
+    identical overlap-counting scores and tie-breaks; without a corpus
+    handle they raise.
     """
     if cfg.tokenizer != "chargram":
         raise ValueError(
@@ -1288,16 +1338,51 @@ def substring_topk(
             f"tokenizer={cfg.tokenizer!r}"
         )
     n = cfg.chargram_n
-    too_short = [t for t in queries["text"] if len((t or "").lower()) < n]
-    if too_short:
+    short_mask = queries["text"].map(
+        lambda t: len((t or "").lower()) < n
+    ).to_numpy(bool)
+    if short_mask.any() and corpus is None:
         raise ValueError(
             f"patterns shorter than chargram_n={n} cannot be answered "
-            f"from the gram index: {too_short!r} — scan the corpus "
-            "directly (e.g. F.instr) for sub-gram patterns"
+            f"from the gram index: "
+            f"{sorted(queries['text'][short_mask])!r} — pass corpus= "
+            "(the doc table) to auto-fall back to a full scan, or call "
+            "dataops.substring_scan directly"
         )
-    # N/avgdl are BM25 inputs only; count_scores never touches them
-    return phrase_topk(
-        spark, postings, queries, N=1, avgdl=1.0, cfg=cfg, mode=mode,
-        max_kernel_df=max_kernel_df, max_kernel_bytes=max_kernel_bytes,
-        count_scores=True, doc_filter=doc_filter, doc_exclude=doc_exclude,
-    )
+    parts: list[DataFrame] = []
+    long_q = queries[~short_mask]
+    if not long_q.empty:
+        # N/avgdl are BM25 inputs only; count_scores never touches them
+        parts.append(phrase_topk(
+            spark, postings, long_q, N=1, avgdl=1.0, cfg=cfg, mode=mode,
+            max_kernel_df=max_kernel_df, max_kernel_bytes=max_kernel_bytes,
+            count_scores=True, doc_filter=doc_filter,
+            doc_exclude=doc_exclude,
+        ))
+    if short_mask.any():
+        from capsbm25.dataops import substring_scan
+
+        # one column-pruned scan per sub-gram pattern (these are the
+        # exception path — a user query below the gram size), same
+        # count scoring and (score desc, doc_id asc) tie-break as the
+        # index path, filter/liveDocs masks applied pre-top-k
+        for q in queries[short_mask].itertuples(index=False):
+            scanned = substring_scan(corpus, q.text).select(
+                F.lit(int(q.query_id)).cast("int").alias("query_id"),
+                "doc_id",
+                F.col("n_occ").cast("double").alias("score"),
+                F.lit(int(q.k)).cast("int").alias("k"),
+            )
+            if doc_filter is not None:
+                scanned = scanned.join(
+                    doc_filter.select("doc_id"), "doc_id", "semi")
+            if doc_exclude is not None:
+                scanned = scanned.join(
+                    doc_exclude.select("doc_id"), "doc_id", "anti")
+            parts.append(_window_topk(scanned))
+    if not parts:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.orderBy("query_id", "rank")

@@ -111,9 +111,20 @@ def process_batch(
     docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(offset)).select(
         "doc_id", "conv_id", "turn_idx", "dl", "text"
     )
-    seg = os.path.join(out_dir, "segments", f"seg={batch_id}")
-    docs.write.mode("overwrite").parquet(os.path.join(seg, "docs"))
-    docs = spark.read.parquet(os.path.join(seg, "docs"))
+    # build the segment in a PRIVATE temp dir; the canonical seg=<id>
+    # path is claimed by an os.rename under the write lock AFTER the
+    # idempotency re-check — a replayed batch racing the original
+    # commit must never rewrite a LIVE segment's files (a concurrent
+    # reader holding the old file listing would fail mid-job)
+    import shutil
+    import uuid
+
+    tmp_seg = os.path.join(
+        out_dir, "segments",
+        f".ingesting-{os.getpid()}-{uuid.uuid4().hex[:8]}",
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(tmp_seg, "docs"))
+    docs = spark.read.parquet(os.path.join(tmp_seg, "docs"))
 
     sample = extract_pairs(
         docs.sample(fraction=min(1.0, 20000 / max(n_rows, 1)), seed=cfg.seed), cfg
@@ -127,7 +138,7 @@ def process_batch(
     postings = assemble_postings(
         extract_runs(docs, cfg, plan=plan), plan, n_rows, seg_avgdl, cfg
     )
-    postings.write.mode("overwrite").parquet(os.path.join(seg, "postings"))
+    postings.write.mode("overwrite").parquet(os.path.join(tmp_seg, "postings"))
 
     # COMMIT under the write lock: re-load stats so a compaction that
     # swapped the segment list mid-batch is merged with, not clobbered
@@ -140,14 +151,22 @@ def process_batch(
         ingested_now = {s["id"] for s in cur["segments"]}
         ingested_now.update(cur.get("compacted_from", []))
         if batch_id in ingested_now:
+            shutil.rmtree(tmp_seg, ignore_errors=True)
             return  # lost a replay race — already committed
         cur_next = cur.get("next_doc_id", cur["N"])
         if cur_next != offset:
+            shutil.rmtree(tmp_seg, ignore_errors=True)
             raise RuntimeError(
                 f"next_doc_id moved {offset} -> {cur_next} during batch "
                 f"{batch_id}: concurrent segment writers on one index "
                 "directory are not supported (doc-id ranges would overlap)"
             )
+        seg = os.path.join(out_dir, "segments", f"seg={batch_id}")
+        if os.path.exists(seg):
+            # leftover from a CRASHED uncommitted attempt (the live
+            # check above proved it's not in stats) — safe to drop
+            shutil.rmtree(seg)
+        os.rename(tmp_seg, seg)
         cur["N"] += n_rows
         cur["next_doc_id"] = offset + n_rows
         cur["total_dl"] += int(seg_dl)
@@ -287,6 +306,31 @@ def segment_docs(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
+# pending-tombstone doc_ids per index dir, keyed by the exact pending
+# file list — avoids re-reading EVERY pending file on each delete call
+# (O(total pending) per delete, growing until the next compaction);
+# invalidated automatically whenever the file list changes (new delete
+# from another process, compaction consolidating/applying files)
+_pending_seen_cache: dict[str, tuple[tuple[str, ...], set]] = {}
+
+
+def _pending_doc_ids(out_dir: str, files: list[str]) -> set:
+    """doc_ids across the given pending tombstone files, cached on the
+    file list. Caller must hold the write lock (the cache is only
+    trustworthy while the list cannot change under us)."""
+    key = tuple(files)
+    hit = _pending_seen_cache.get(out_dir)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    import pyarrow.parquet as pq
+
+    seen: set = set()
+    for f in files:
+        seen.update(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+    _pending_seen_cache[out_dir] = (key, seen)
+    return seen
+
+
 def delete_docs(spark: SparkSession, out_dir: str,
                 conv_ids: list[str]) -> dict:
     """Record delete tombstones for whole conversations (the GDPR-
@@ -327,22 +371,21 @@ def delete_docs(spark: SparkSession, out_dir: str,
                 return {"deleted": 0}
             files = _tombstone_files(out_dir, cur)
             if files:
-                import pyarrow.parquet as pq
-
-                seen = set()
-                for f in files:
-                    seen.update(
-                        pq.read_table(f, columns=["doc_id"])["doc_id"]
-                        .to_pylist()
-                    )
+                seen = _pending_doc_ids(out_dir, files)
                 resolved = resolved[~resolved["doc_id"].isin(seen)]
+            else:
+                seen = set()
             if resolved.empty:
                 return {"deleted": 0}
             os.makedirs(_tombstone_dir(out_dir), exist_ok=True)
-            resolved.to_parquet(
-                os.path.join(_tombstone_dir(out_dir),
-                             f"del-{uuid.uuid4().hex[:12]}.parquet"),
-                index=False,
+            new_file = os.path.join(_tombstone_dir(out_dir),
+                                    f"del-{uuid.uuid4().hex[:12]}.parquet")
+            resolved.to_parquet(new_file, index=False)
+            # extend the cache in place — the next delete sees exactly
+            # files + [new_file] and skips re-reading everything
+            _pending_seen_cache[out_dir] = (
+                tuple(sorted([*files, new_file])),
+                seen | set(resolved["doc_id"].tolist()),
             )
             cur["deleted_n"] = cur.get("deleted_n", 0) + len(resolved)
             cur["deleted_dl"] = (cur.get("deleted_dl", 0)
@@ -356,59 +399,107 @@ def delete_docs(spark: SparkSession, out_dir: str,
 
 
 def compact_segments(
-    spark: SparkSession, out_dir: str, cfg: BuildConfig | None = None
+    spark: SparkSession, out_dir: str, cfg: BuildConfig | None = None,
+    policy: str = "full", merge_factor: int = 10,
+    max_tombstone_collect: int = 1_000_000,
 ) -> dict:
-    """Merge all live segments into ONE (the Lucene forceMerge analog):
-    every term collapses back to a single posting row whose block_max is
-    computed with the GLOBAL N/avgdl, so the query kernel's single-row
-    fast path applies again and per-term fan-in stops growing with
-    ingest time. Doc ids are unchanged (segments own disjoint dense
-    ranges by construction), so compacted == incremental == batch,
-    rank-identically (tested).
+    """Segment compaction, two policies.
 
-    Delete tombstones (delete_docs) are APPLIED here, the Lucene-merge
-    analog: tombstoned docs are physically dropped from postings AND
-    doc metadata, block maxima are recomputed with the post-delete
-    LIVE N/avgdl, and stats shrink to exact live values — after
-    compaction, queries need no doc_exclude and the index is rank-
-    identical to a fresh batch build over the surviving corpus
-    (tested). The doc-id allocator (next_doc_id) stays monotone so
-    later batches never reuse a surviving doc's id.
+    policy="full" (the Lucene forceMerge(1) analog): merge ALL live
+    segments into one — every term collapses back to a single posting
+    row whose block_max is computed with the GLOBAL N/avgdl, so the
+    query kernel's single-row fast path applies again. Delete
+    tombstones (delete_docs) are APPLIED: tombstoned docs are
+    physically dropped from postings AND doc metadata, block maxima
+    are recomputed with the post-delete LIVE N/avgdl, and stats shrink
+    to exact live values — after compaction, queries need no
+    doc_exclude and the index is rank-identical to a fresh batch build
+    over the surviving corpus (tested). The doc-id allocator
+    (next_doc_id) stays monotone so later batches never reuse a
+    surviving doc's id. Cost: rewrites the ENTIRE index — O(total) per
+    call; on a long-lived ingest stream run policy="tiered" between
+    occasional full merges.
 
-    Idempotent and atomic: writes segments/seg=compacted-<gen>, then
-    swaps stats.json to reference only the new segment; old segment
-    dirs are left for external GC (object stores prefer async delete).
+    Tombstone application is scale-safe: up to max_tombstone_collect
+    pending delete ids, the drop set ships to the merge kernel as one
+    sorted array via a real Spark broadcast (one copy per executor).
+    Beyond the cap (a retention sweep at 10^12 docs — collecting it
+    would OOM the driver), compaction switches to a fully DISTRIBUTED
+    rebuild: live docs = segment docs ANTI-JOIN tombstones (a
+    DataFrame join, nothing driver-side), and postings are rebuilt
+    from the surviving text via the batch pipeline
+    (extract_runs -> assemble_postings) with live stats — exactly the
+    rank-identity contract, with no driver materialization (tested by
+    forcing the cap to 0).
+
+    policy="tiered" (the Lucene TieredMergePolicy / the reference's
+    bounded k-way merge tree, /root/reference/src/Suffix_Array.cpp:
+    371-428): merge only SAME-SIZE-TIER segments — each segment's tier
+    is floor(log_mf(rows)) and any tier holding >= merge_factor live
+    segments has its oldest merge_factor members merged into one.
+    Bytes rewritten per call is O(merged tiers), NOT O(index): under
+    continuous ingest each doc is rewritten O(log_mf(N)) times total
+    instead of O(ingest batches), and per-term query fan-in stays
+    O(merge_factor x log_mf(N)) instead of growing linearly with
+    batches. Pending tombstones that fall INSIDE a merged group are
+    applied with it (stats shrink by exactly those docs); the
+    remainder is consolidated into one pending file so later deletes
+    and compactions stop re-reading a growing file list. Returns the
+    per-merge row accounting so callers (and tests) can verify the
+    O(tier) rewrite bound.
+
+    Both policies are idempotent and atomic: new segments are written
+    to private temp dirs, the canonical seg=<name> paths are claimed
+    by os.rename under the write lock after a staleness re-check, and
+    old segment dirs are left for external GC (object stores prefer
+    async delete).
     """
-    from capsbm25.postings import merge_hot_partials
-
     stats = load_stream_stats(out_dir)
     # adopt the build-time config persisted with the stream (tokenizer,
     # block size, positions flag) — a mismatched caller cfg would build
     # wrong block_max / drop positions
     cfg = (cfg or BuildConfig()).adopt(stats.get("config", {}))
+    if policy == "tiered":
+        return _compact_tiered(spark, out_dir, cfg, stats, merge_factor,
+                               max_tombstone_collect)
+    if policy != "full":
+        raise ValueError(f"unknown compaction policy {policy!r}")
+    return _compact_full(spark, out_dir, cfg, stats, max_tombstone_collect)
+
+
+def _compact_full(spark, out_dir, cfg, stats, max_tombstone_collect) -> dict:
+    from capsbm25.postings import merge_hot_partials
+
     tomb_files_at_start = _tombstone_files(out_dir)
     if len(stats["segments"]) <= 1 and not tomb_files_at_start:
         return {"compacted": False, "segments": len(stats["segments"])}
-    drop = None
+    drop_bc = None
     n_del = dl_del = 0
+    rebuild = False
     if tomb_files_at_start:
         import numpy as np
 
-        tpdf = (
-            spark.read.parquet(*tomb_files_at_start)
-            .dropDuplicates(["doc_id"])
-            .toPandas()
-        )
-        n_del = len(tpdf)
-        dl_del = int(tpdf["dl"].sum())
-        drop = np.unique(tpdf["doc_id"].to_numpy(np.int64))
+        tomb_all = spark.read.parquet(*tomb_files_at_start).dropDuplicates(
+            ["doc_id"])
+        probe = tomb_all.limit(max_tombstone_collect + 1).toPandas()
+        if len(probe) > max_tombstone_collect:
+            rebuild = True  # mass delete: never collect to the driver
+            agg = tomb_all.agg(
+                F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
+            n_del, dl_del = int(agg["n"]), int(agg["s"] or 0)
+        else:
+            n_del = len(probe)
+            dl_del = int(probe["dl"].sum())
+            drop = np.unique(probe["doc_id"].to_numpy(np.int64))
+            # a REAL broadcast (one copy per executor), not a closure
+            # capture pickled per task
+            drop_bc = spark.sparkContext.broadcast(drop)
     N = stats["N"] - n_del
     avgdl = ((stats["total_dl"] - dl_del) / N) if N else 0.0
-    allp = load_segment_postings(spark, out_dir)
-    # merge_hot_partials merges ANY multi-row term (sort by doc, global
-    # block_max) — exactly the per-term stitch compaction needs; single-
-    # row terms pass through it too so every row gets global bounds
-    merged = merge_hot_partials(allp, N, avgdl, cfg, drop=drop)
+
+    import shutil
+    import uuid
+
     # write to a PRIVATE temp dir first: two concurrent compactors would
     # otherwise derive the same generation from their lock-free stats
     # snapshots and write the same canonical path — and the loser's
@@ -418,22 +509,32 @@ def compact_segments(
     # lock (monotone counter persisted in stats — counting compacted
     # segments in the live list would always yield 1 and the third
     # compaction would overwrite the path it reads from).
-    import shutil
-    import uuid
-
     tmp_seg_dir = os.path.join(
         out_dir, "segments", f".compacting-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     )
-    merged.write.mode("overwrite").parquet(os.path.join(tmp_seg_dir, "postings"))
-    # doc metadata survives compaction (minus deleted docs) — without
-    # it, later delete-by-conversation calls could not resolve ids and
-    # snippet fetches could not map keys (Lucene rewrites stored fields
-    # on merge for the same reason)
-    live_docs = segment_docs(spark, out_dir)
-    if drop is not None:
-        tomb = spark.read.parquet(*tomb_files_at_start).select("doc_id")
-        live_docs = live_docs.join(tomb, "doc_id", "anti")
-    live_docs.write.mode("overwrite").parquet(os.path.join(tmp_seg_dir, "docs"))
+    if not rebuild:
+        allp = load_segment_postings(spark, out_dir)
+        # merge_hot_partials merges ANY multi-row term (sort by doc,
+        # global block_max) — exactly the per-term stitch compaction
+        # needs; single-row terms pass through it too so every row gets
+        # global bounds
+        merged = merge_hot_partials(allp, N, avgdl, cfg, drop=drop_bc)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(tmp_seg_dir, "postings"))
+        # doc metadata survives compaction (minus deleted docs) —
+        # without it, later delete-by-conversation calls could not
+        # resolve ids and snippet fetches could not map keys (Lucene
+        # rewrites stored fields on merge for the same reason)
+        live_docs = segment_docs(spark, out_dir)
+        if drop_bc is not None:
+            tomb = spark.read.parquet(*tomb_files_at_start).select("doc_id")
+            live_docs = live_docs.join(tomb, "doc_id", "anti")
+        live_docs.write.mode("overwrite").parquet(
+            os.path.join(tmp_seg_dir, "docs"))
+    else:
+        _rebuild_from_live_docs(
+            spark, out_dir, cfg, tomb_files_at_start, tmp_seg_dir, N, avgdl)
+
     # staleness re-check + rename + swap ATOMICALLY under the write
     # lock: batch commits also serialize on it, so none can land between
     # the check and the os.replace (the round-2 check-then-swap race).
@@ -467,6 +568,7 @@ def compact_segments(
             "next_doc_id": now.get("next_doc_id", now["N"]),
             "config": now.get("config", cfg.persist_dict()),
             "compact_gen": gen,
+            "tier_gen": now.get("tier_gen", 0),
             "segments": [{"id": seg_id, "rows": n_live,
                           "dl": dl_live, "sec": 0.0}],
             # UNION with the previous compaction's ids — dropping them
@@ -484,7 +586,240 @@ def compact_segments(
         )
         _write_stats(out_dir, new_stats)
     return {"compacted": True, "segments_before": len(stats["segments"]),
-            "deleted_applied": n_del}
+            "deleted_applied": n_del,
+            "path": "rebuild" if rebuild else "merge"}
+
+
+def _rebuild_from_live_docs(spark, out_dir, cfg, tomb_files, tmp_seg_dir,
+                            N_live, avgdl_live) -> None:
+    """Mass-delete compaction path: rebuild postings from the surviving
+    corpus with the batch pipeline — tombstones stay a DataFrame
+    anti-join end to end, nothing is ever collected to the driver."""
+    from capsbm25.postings import (POSTINGS_SCHEMA, assemble_postings,
+                                   extract_pairs, extract_runs,
+                                   merge_hot_partials)
+
+    tomb = spark.read.parquet(*tomb_files).select("doc_id").distinct()
+    live = segment_docs(spark, out_dir).join(tomb, "doc_id", "anti")
+    live.write.mode("overwrite").parquet(os.path.join(tmp_seg_dir, "docs"))
+    live = spark.read.parquet(os.path.join(tmp_seg_dir, "docs"))
+    if N_live <= 0:
+        spark.createDataFrame([], POSTINGS_SCHEMA).write.mode(
+            "overwrite").parquet(os.path.join(tmp_seg_dir, "postings"))
+        return
+    sample = extract_pairs(
+        live.sample(fraction=min(1.0, 20000 / max(N_live, 1)),
+                    seed=cfg.seed), cfg)
+    plan = plan_from_sample(sample.select("term", "tf").toPandas(), cfg)
+    # the anti-join shuffle leaves doc_ids unordered within partitions;
+    # extract_runs flushes at every doc-order restart, so sort first or
+    # runs degenerate to one row per pair
+    src = live.select("doc_id", "text").sortWithinPartitions("doc_id")
+    raw_dir = os.path.join(tmp_seg_dir, ".postings_raw")
+    assemble_postings(extract_runs(src, cfg, plan=plan), plan, N_live,
+                      avgdl_live, cfg).write.mode("overwrite").parquet(raw_dir)
+    raw = spark.read.parquet(raw_dir)
+    # keep the single-row-per-term invariant of a full compaction:
+    # stitch the salted hot partials before publishing
+    dst = os.path.join(tmp_seg_dir, "postings")
+    raw.where(~F.col("partial")).write.mode("overwrite").parquet(dst)
+    partials = raw.where(F.col("partial"))
+    if not partials.isEmpty():
+        merge_hot_partials(partials, N_live, avgdl_live, cfg).write.mode(
+            "append").parquet(dst)
+    import shutil
+
+    shutil.rmtree(raw_dir, ignore_errors=True)
+
+
+def _tier_level(rows: int, merge_factor: int) -> int:
+    import math
+
+    return int(math.floor(math.log(max(rows, 1)) / math.log(merge_factor)))
+
+
+def _compact_tiered(spark, out_dir, cfg, stats, merge_factor,
+                    max_tombstone_collect) -> dict:
+    from capsbm25.postings import POSTINGS_SCHEMA, merge_hot_partials
+
+    if merge_factor < 2:
+        raise ValueError("merge_factor must be >= 2")
+    segments = stats["segments"]
+    tomb_files_at_start = _tombstone_files(out_dir)
+
+    # plan: group each tier's oldest members, merge_factor at a time
+    by_level: dict[int, list[dict]] = {}
+    for s in segments:
+        by_level.setdefault(_tier_level(s["rows"], merge_factor), []).append(s)
+    groups: list[list[dict]] = []
+    for lvl in sorted(by_level):
+        members = by_level[lvl]
+        for i in range(len(members) // merge_factor):
+            groups.append(members[i * merge_factor:(i + 1) * merge_factor])
+    if not groups:
+        return {"compacted": False, "policy": "tiered",
+                "segments": len(segments), "merges": []}
+
+    import shutil
+    import uuid
+
+    import numpy as np
+    import pandas as pd
+
+    tomb_all = None
+    if tomb_files_at_start:
+        tomb_all = spark.read.parquet(*tomb_files_at_start).dropDuplicates(
+            ["doc_id"])
+        if len(tomb_all.limit(max_tombstone_collect + 1).toPandas()) \
+                > max_tombstone_collect:
+            # a mass delete is pending: leave ALL tombstones to the
+            # full policy's distributed rebuild (applying per-tier
+            # subsets would still need a driver-sized remainder
+            # consolidation below)
+            tomb_all = None
+
+    merges = []  # one entry per group: temp dir + accounting
+    applied_frames: list[pd.DataFrame] = []
+    for g in groups:
+        seg_paths = [os.path.join(out_dir, "segments", f"seg={s['id']}")
+                     for s in g]
+        g_post = spark.read.parquet(*(os.path.join(p, "postings")
+                                      for p in seg_paths))
+        g_docs = spark.read.parquet(*(os.path.join(p, "docs")
+                                      for p in seg_paths))
+        drop_bc = None
+        g_del = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                              "dl": pd.Series(dtype=np.int64)})
+        if tomb_all is not None:
+            # tombstones FALLING IN this group ride the merge (the
+            # Lucene merge-applies-deletes analog, tier-scoped); the
+            # membership test is a distributed semi-join — only the
+            # in-group subset is collected, and an over-cap subset
+            # (mass delete) simply stays pending for the rebuild path
+            ing = tomb_all.join(g_docs.select("doc_id"), "doc_id", "semi")
+            probe = ing.limit(max_tombstone_collect + 1).toPandas()
+            if len(probe) <= max_tombstone_collect and len(probe):
+                g_del = probe
+                drop_bc = spark.sparkContext.broadcast(
+                    np.unique(g_del["doc_id"].to_numpy(np.int64)))
+        rows_in = sum(s["rows"] for s in g)
+        dl_in = sum(s["dl"] for s in g)
+        # block-max context: post-merge live global stats (the kernel
+        # recomputes exact uppers at query time anyway — tested)
+        n_ctx = max(stats["N"] - len(g_del), 1)
+        avg_ctx = (stats["total_dl"] - int(g_del["dl"].sum())) / n_ctx
+        merged = merge_hot_partials(g_post, n_ctx, avg_ctx, cfg,
+                                    drop=drop_bc)
+        tmp = os.path.join(
+            out_dir, "segments",
+            f".tiering-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+        merged.write.mode("overwrite").parquet(os.path.join(tmp, "postings"))
+        out_docs = g_docs
+        if drop_bc is not None:
+            ids = spark.createDataFrame(g_del[["doc_id"]])
+            out_docs = g_docs.join(ids, "doc_id", "anti")
+        out_docs.write.mode("overwrite").parquet(os.path.join(tmp, "docs"))
+        if len(g_del):
+            applied_frames.append(g_del)
+        merges.append({
+            "members": [s["id"] for s in g],
+            "tmp": tmp,
+            "rows_in": rows_in,
+            "rows_out": rows_in - len(g_del),
+            "dl_out": dl_in - int(g_del["dl"].sum()),
+            "deleted_applied": len(g_del),
+            "deleted_dl": int(g_del["dl"].sum()),
+        })
+
+    applied = (pd.concat(applied_frames, ignore_index=True)
+               if applied_frames else None)
+
+    def _abort(reason: str) -> dict:
+        for m in merges:
+            shutil.rmtree(m["tmp"], ignore_errors=True)
+        return {"compacted": False, "policy": "tiered", "aborted": reason}
+
+    with _stats_lock(out_dir):
+        now = load_stream_stats(out_dir)
+        live_ids = {s["id"] for s in now["segments"]}
+        if any(s["id"] not in live_ids for g in groups for s in g):
+            # a concurrent compaction consumed one of our inputs
+            return _abort("segments changed during tiered compaction — "
+                          "rerun")
+        if applied is not None and \
+                _tombstone_files(out_dir) != tomb_files_at_start:
+            # a delete landed mid-merge and we are about to consolidate
+            # the pending set — aborting keeps every tombstone pending
+            # instead of silently resurrecting the new ones. (With no
+            # tombstones applied we commit regardless: new pending
+            # files are untouched by a pure tier merge.)
+            return _abort("tombstones changed during tiered compaction "
+                          "— rerun")
+        gen = int(now.get("tier_gen", 0))
+        first_member = {}  # first member id -> its merge record
+        consumed: set = set()
+        for m in merges:
+            gen += 1
+            m["seg_id"] = f"tiered-{gen}"
+            os.rename(m["tmp"], os.path.join(out_dir, "segments",
+                                             f"seg={m['seg_id']}"))
+            first_member[m["members"][0]] = m
+            consumed.update(m["members"])
+        new_segments = []
+        for s in now["segments"]:
+            if s["id"] in first_member:
+                m = first_member[s["id"]]
+                new_segments.append({"id": m["seg_id"],
+                                     "rows": m["rows_out"],
+                                     "dl": m["dl_out"], "sec": 0.0})
+            elif s["id"] not in consumed:
+                new_segments.append(s)
+        n_applied = sum(m["deleted_applied"] for m in merges)
+        dl_applied = sum(m["deleted_dl"] for m in merges)
+        now["segments"] = new_segments
+        now["N"] -= n_applied
+        now["total_dl"] -= dl_applied
+        now["tier_gen"] = gen
+        now["compacted_from"] = sorted(
+            set(now.get("compacted_from", [])) | consumed, key=str)
+        if applied is not None:
+            # consolidate the pending tombstones: everything applied in
+            # a merged tier drops out; the remainder becomes ONE pending
+            # file (bounds the per-delete dedup read) and every start
+            # file is marked applied (files stay on disk for async GC)
+            rem = (
+                spark.read.parquet(*tomb_files_at_start)
+                .dropDuplicates(["doc_id"])
+                .join(spark.createDataFrame(applied[["doc_id"]]),
+                      "doc_id", "anti")
+                .toPandas()
+            )
+            td = _tombstone_dir(out_dir)
+            os.makedirs(td, exist_ok=True)
+            new_pending: list[str] = []
+            if len(rem):
+                fn = os.path.join(td,
+                                  f"pending-{uuid.uuid4().hex[:12]}.parquet")
+                rem.to_parquet(fn, index=False)
+                new_pending = [fn]
+            now["tombstones_applied"] = sorted(
+                set(now.get("tombstones_applied", []))
+                | {os.path.basename(f) for f in tomb_files_at_start}
+            )
+            now["deleted_n"] = len(rem)
+            now["deleted_dl"] = int(rem["dl"].sum()) if len(rem) else 0
+            _pending_seen_cache[out_dir] = (
+                tuple(sorted(new_pending)),
+                set(rem["doc_id"].tolist()) if len(rem) else set(),
+            )
+        _write_stats(out_dir, now)
+    for m in merges:
+        m.pop("tmp", None)
+    return {"compacted": True, "policy": "tiered",
+            "merges": merges,
+            "rows_rewritten": sum(m["rows_in"] for m in merges),
+            "segments_after": len(new_segments),
+            "deleted_applied": sum(m["deleted_applied"] for m in merges)}
 
 
 def stream_corpus_stats(out_dir: str) -> tuple[int, float]:
