@@ -275,6 +275,43 @@ def q_substring_scan(spark, sf_dir):
     return substring_scan(_documents(spark, sf_dir), SCAN_PATTERN)
 
 
+def q_substring_topk_short(spark, sf_dir):
+    """A SUB-GRAM pattern through substring_topk itself: the entry
+    exercises the auto-fallback dispatch (patterns shorter than
+    chargram_n route to the corpus scan when corpus= is given), so one
+    surface answers any pattern length — the reference upper_bound's
+    uniformity (/root/reference/src/Suffix_Array.cpp:252-297)."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.query import substring_topk
+
+    b = _char_index_for(spark, sf_dir)
+    m = _engine_docid_map(spark, b)
+    corpus = (
+        _documents(spark, sf_dir).alias("d")
+        .join(F.broadcast(m).alias("m"),
+              F.col("d.doc_id") == F.col("m.doc_id"))
+        .select(F.col("m.engine_doc_id").alias("doc_id"), F.col("d.text"))
+    )
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [SCAN_PATTERN],
+         "k": np.array([SUBSTRING_K], dtype=np.int32)}
+    )
+    got = substring_topk(
+        spark, load_postings(spark, b["out"]), queries, b["cfg"],
+        corpus=corpus,
+    )
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.col("g.score").cast("long").alias("n_occ"))
+    )
+
+
 def q_bm25_topk(spark, sf_dir):
     """Index-backed BM25 top-k through the block-max WAND kernel."""
     import numpy as np
@@ -820,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "phrase_topk": q_phrase_topk,
         "substring_topk": q_substring_topk,
+        "substring_topk_short": q_substring_topk_short,
         "substring_scan": q_substring_scan,
         "bm25_topk_and": q_bm25_topk_and,
         "bm25_topk_filtered": q_bm25_topk_filtered,
@@ -967,6 +1005,20 @@ ORDER BY n_occ DESC, source, doc_id LIMIT {SUBSTRING_K}
 """
 
 _SCAN_L = len(SCAN_PATTERN)
+# sub-gram pattern through the substring_topk fallback: same counting
+# oracle as _SUBSTRING_SQL, with the SHORT pattern — proves the auto-
+# dispatch returns index-path-identical shape and ranking
+_SUBSTRING_SHORT_SQL = f"""
+WITH hits AS (
+  SELECT doc_id, source,
+         len(list_filter(range(1, length(hay) - {_SCAN_L} + 2),
+             i -> hay[i:i+{_SCAN_L - 1}] = '{SCAN_PATTERN}')) AS n_occ
+  FROM (SELECT doc_id, source, lower(coalesce(text, '')) AS hay
+        FROM documents)
+)
+SELECT doc_id, n_occ FROM hits WHERE n_occ > 0
+ORDER BY n_occ DESC, source, doc_id LIMIT {SUBSTRING_K}
+"""
 _SUBSTRING_SCAN_SQL = f"""
 SELECT doc_id,
        len(list_filter(range(1, length(hay) - {_SCAN_L} + 2),
@@ -1114,9 +1166,9 @@ tk AS (
 pos AS (
   SELECT doc_id, tl,
          least(
-           coalesce(nullif(list_position(tl, '{BM25_QUERY_TERMS[0]}'), 0), {_P_MISS}),
-           coalesce(nullif(list_position(tl, '{BM25_QUERY_TERMS[1]}'), 0), {_P_MISS}),
-           coalesce(nullif(list_position(tl, '{BM25_QUERY_TERMS[2]}'), 0), {_P_MISS})
+           {", ".join(
+               f"coalesce(nullif(list_position(tl, '{t}'), 0), {_P_MISS})"
+               for t in BM25_QUERY_TERMS)}
          ) AS p
   FROM tk
 )
@@ -1192,6 +1244,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_SQL,
         "phrase_topk": _PHRASE_SQL,
         "substring_topk": _SUBSTRING_SQL,
+        "substring_topk_short": _SUBSTRING_SHORT_SQL,
         "substring_scan": _SUBSTRING_SCAN_SQL,
         "bm25_topk_and": _BM25_AND_SQL,
         "bm25_topk_filtered": _BM25_FILTERED_SQL,

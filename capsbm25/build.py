@@ -247,7 +247,15 @@ def build_index(
             )
             out = assemble_postings(wave_runs, plan, N, avgdl, cfg)
             dst = os.path.join(postings_path, f"wave={w}")
-            write_table(out, dst)
+            # partition the persisted postings BY part_id: a part_id is
+            # one contiguous term range of the samplesort plan (or one
+            # salted hot term), so every physical file covers exactly
+            # one term range and a query's In(term) predicate prunes to
+            # ~one file per wave via row-group/file stats — guaranteed
+            # pruning at any corpus scale instead of relying on how the
+            # hash exchange happened to group part_ids into tasks
+            # (layout-asserted in tests/test_plans.py)
+            write_table(out, dst, partition_by=["part_id"])
             h, n = _checksum(spark.read.parquet(dst))
             m = obs.get
             return {"rows": n, "checksum": h,
@@ -262,18 +270,32 @@ def build_index(
         from capsbm25.postings import POSTINGS_SCHEMA
 
         dst = os.path.join(postings_path, "wave=9999")
+
+        def write_hot(merged, empty: bool):
+            if empty:
+                # a 0-row frame yields no part_id dirs under partitionBy
+                # and load_postings on an all-empty corpus would find no
+                # schema-bearing file; write the empty file INSIDE a
+                # part_id=0 dir so the directory depth stays consistent
+                # with the partitioned waves
+                write_table(merged.drop("part_id"),
+                            os.path.join(dst, "part_id=0"))
+            else:
+                write_table(merged, dst, partition_by=["part_id"])
+
         if not os.path.isdir(postings_path):
-            merged = spark.createDataFrame([], POSTINGS_SCHEMA)
-            write_table(merged, dst)
+            write_hot(spark.createDataFrame([], POSTINGS_SCHEMA), True)
             h, n = _checksum(spark.read.parquet(dst))
             return {"rows": n, "checksum": h}
         allp = spark.read.parquet(postings_path)
         partials = allp.where(F.col("partial"))
         if partials.isEmpty():
-            merged = spark.createDataFrame([], POSTINGS_SCHEMA)
+            write_hot(spark.createDataFrame([], POSTINGS_SCHEMA), True)
         else:
-            merged = merge_hot_partials(partials.drop("wave"), N, avgdl, cfg)
-        write_table(merged, dst)
+            write_hot(
+                merge_hot_partials(partials.drop("wave"), N, avgdl, cfg),
+                False,
+            )
         h, n = _checksum(spark.read.parquet(dst))
         return {"rows": n, "checksum": h}
 

@@ -450,6 +450,11 @@ def _run_kernel(matched, N, avgdl, cfg, prune, conjunctive,
 
 _TOPK_SALT = 32
 
+# distributed-phrase verify: docs per (query, salt) batch group — the
+# per-doc rows of one bucket meet in one vectorized intersect instead of
+# one Python group call per candidate doc
+_VERIFY_SALT = 64
+
 
 def _window_topk(scored: DataFrame) -> DataFrame:
     """Two-phase top-k over (query_id, doc_id, score, k, ...) rows.
@@ -964,35 +969,56 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
     joined = p.join(and_docs, ["query_id", "doc_id"])
 
     def verify(key, pdf):
+        # BATCH verify: one vectorized composite-key intersect over ALL
+        # docs in the salt bucket at once — the flat-row analog of the
+        # kernel's _phrase_occurrences. A per-(query, doc) group shape
+        # measured 134s on 1.05M-turn stopword phrases purely from
+        # Python-call overhead (one applyInPandas group per candidate
+        # doc); this is the same math at ~SALT groups per query.
         empty = pd.DataFrame(
             {"query_id": pd.Series(dtype=np.int32),
              "doc_id": pd.Series(dtype=np.int64),
              "score": pd.Series(dtype=np.float64),
              "k": pd.Series(dtype=np.int32)}
         )
+        if not len(pdf):
+            return empty
         phrase = list(pdf["phrase"].iloc[0])
-        # a doc lives in one segment/salt bucket so (term, pos) rows are
-        # unique; np.unique both sorts and guards against duplicates if
-        # that ever changes (a plain sort would break intersect1d's
-        # assume_unique contract)
-        by_term: dict[str, np.ndarray] = {
-            term: np.unique(grp["pos"].to_numpy(dtype=np.int64))
-            for term, grp in pdf.groupby("term", sort=True)
+        doc_arr = pdf["doc_id"].to_numpy(np.int64)
+        pos_arr = pdf["pos"].to_numpy(np.int64)
+        term_arr = pdf["term"].to_numpy(dtype=object)
+        ranks, uniq_docs = pd.factorize(doc_arr, sort=True)
+        M = int(pos_arr.max()) + len(phrase) + 2
+        # np.unique sorts AND dedups — a duplicated (term, doc, pos) row
+        # (should not exist; segments keep a doc whole) would otherwise
+        # break intersect1d's assume_unique contract
+        streams = {
+            tok: np.unique(ranks[term_arr == tok] * M
+                           + pos_arr[term_arr == tok])
+            for tok in dict.fromkeys(phrase)
         }
-        s = by_term[phrase[0]]
+        s = streams[phrase[0]]
         for off, tok in enumerate(phrase[1:], start=1):
-            s = np.intersect1d(s, by_term[tok] - off, assume_unique=True)
+            s = np.intersect1d(s, streams[tok] - off, assume_unique=True)
             if s.size == 0:
                 return empty
-        score = float(s.size) if count_scores \
-            else float(pdf["score"].iloc[0])
+        hit_ranks, counts = np.unique(s // M, return_counts=True)
+        hit_docs = np.asarray(uniq_docs)[hit_ranks]
+        # BM25 score and k ride the and_docs side, one value per doc
+        per_doc = pdf.drop_duplicates("doc_id").set_index("doc_id")
+        ix = per_doc.index.get_indexer(hit_docs)
+        scores = (counts.astype(np.float64) if count_scores
+                  else per_doc["score"].to_numpy(np.float64)[ix])
         return pd.DataFrame(
-            {"query_id": [int(key[0])], "doc_id": [int(key[1])],
-             "score": [score],
-             "k": [int(pdf["k"].iloc[0])]}
+            {"query_id": np.full(hit_docs.size, int(key[0]), np.int32),
+             "doc_id": hit_docs,
+             "score": scores,
+             "k": per_doc["k"].to_numpy(np.int32)[ix]}
         )
 
-    verified = joined.groupBy("query_id", "doc_id").applyInPandas(
+    verified = joined.withColumn(
+        "vsalt", F.pmod(F.col("doc_id"), F.lit(_VERIFY_SALT))
+    ).groupBy("query_id", "vsalt").applyInPandas(
         verify, schema="query_id int, doc_id long, score double, k int"
     )
     return _window_topk(verified)

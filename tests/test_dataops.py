@@ -315,3 +315,22 @@ def test_sessionize_single_hot_user_correct(spark):
     assert got[("hot", 1)] == 100 and got[("hot", 2)] == 100 \
         and got[("hot", 3)] == 100
     assert got[("cold", 1)] == 2
+
+
+def test_minhash_dedup_verified_reuses_gram_scan(spark, tmp_path):
+    """minhash_dedup_verified must not recompute the tokenize->shingle
+    tree per consumer (candidate generation + both exact-verify join
+    sides = 3 full corpus scans at 100 TB): the gram frame is persisted
+    once and every consumer reads the cache."""
+    from capsbm25.dataops import minhash_dedup_verified
+
+    p = str(tmp_path / "docs.parquet")
+    _docs(spark, ["alpha beta gamma delta epsilon zeta"] * 4
+          + ["alpha beta gamma delta epsilon eta"] * 2).write.parquet(p)
+    d = spark.read.parquet(p)
+    out = minhash_dedup_verified(d, threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    # and the result itself stays correct (exact dups verified at 1.0)
+    pairs = {(r.doc1, r.doc2): r.jac_r for r in out.collect()}
+    assert all(v >= 0.5 for v in pairs.values()) and len(pairs) > 0

@@ -229,3 +229,33 @@ def test_substring_over_streamed_segments(spark, tmp_path):
     for qid, t in zip(queries["query_id"], texts):
         g = got[got.query_id == qid].sort_values("rank")
         assert list(zip(g.doc_id, g.score)) == _oracle_topk(hays, t, 8), t
+
+
+def test_substring_subgram_autofallback(char_index, spark):
+    """Patterns shorter than chargram_n auto-dispatch to the full-scan
+    fallback when a corpus handle is given — one call answers a MIXED
+    batch (index path for coverable patterns, scan for sub-gram ones)
+    with identical overlap-counting scores and tie-breaks, mirroring
+    the reference upper_bound's any-length uniformity."""
+    hays, cfg = char_index["hays"], char_index["cfg"]
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(len(hays), dtype=np.int64),
+        "text": hays,
+    }))
+    texts = ["w0", "000", "0", " w00"]  # 2 sub-gram, 2 index-covered
+    queries = _queries_pdf(texts, k=7)
+    got = substring_topk(
+        spark, char_index["postings"], queries, cfg, corpus=corpus
+    ).toPandas()
+    for qid, pat in enumerate(texts):
+        want = _oracle_topk(hays, pat, 7)
+        g = got[got.query_id == qid].sort_values("rank")
+        assert list(zip(g.doc_id, g.score)) == want, pat
+    # an all-short batch works too; without corpus= it still raises
+    short_only = _queries_pdf(["ab"], k=3)
+    got2 = substring_topk(
+        spark, char_index["postings"], short_only, cfg, corpus=corpus
+    ).toPandas()
+    assert list(zip(got2.doc_id, got2.score)) == _oracle_topk(hays, "ab", 3)
+    with pytest.raises(ValueError, match="shorter than chargram_n"):
+        substring_topk(spark, char_index["postings"], short_only, cfg)
