@@ -70,6 +70,12 @@ def run_bench(sf_dir: str, cpus: int, keep_session=None) -> dict:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.local.dir", (scratch or "/tmp") + "/spark-local")
+        # the part_id-partitioned postings layout creates hundreds of
+        # dirs; above 32 paths Spark launches a distributed listing JOB
+        # per read — pure task overhead on a local fs (keep the default
+        # on object-store clusters, where parallel listing wins)
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                "8192")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -55,7 +55,24 @@ def write_table(
         return
     w = df.write.mode(mode)
     if partition_by:
-        w = w.partitionBy(*partition_by)
+        # dynamic-partition writes default to maxConcurrentOutputFileWriters=0,
+        # which inserts a full per-task SORT on the partition columns so a
+        # single writer can stream dir-by-dir — a pipeline break that
+        # measured +~15% build wall at bench scale. A task holds at most
+        # a handful of part dirs (parts-per-wave / tasks), so concurrent
+        # writers are cheap; set transiently and restore.
+        spark = df.sparkSession
+        key = "spark.sql.maxConcurrentOutputFileWriters"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "64")
+        try:
+            df.write.mode(mode).partitionBy(*partition_by).parquet(dest)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+        return
     w.parquet(dest)
 
 

@@ -4,7 +4,8 @@ efficiency >= 0.8 between N and 4N executors).
 No real cluster exists in this sandbox; per the driver instruction the
 same job runs at two parallelism levels ("N and 4N cores") on identical
 deterministic input, in separate processes (fresh JVM each), best-of-R
-per level. Results -> BENCH/BASELINE.md.
+per level. Results -> BENCH/SCALING_LATEST.md (BASELINE.md is
+curated by hand — this script must NOT overwrite it).
 
 Core-count choice: this box's memory bandwidth saturates Python-string
 workloads around 8-16 cores (raw multiprocessing probe: the pairs
@@ -70,7 +71,7 @@ def main():
     eff = thr4N / (4 * thrN)
     qN, q4N = rN["queries"], r4N["queries"]
 
-    md = f"""# BENCH/BASELINE.md — measured numbers (single 32-core node)
+    md = f"""# BENCH/SCALING_LATEST.md — latest scaling run (single 32-core node)
 
 North rule: throughput scaling efficiency >= 0.8 between N and 4N
 executors. Sandbox evidence (per driver instruction: "run the same job
@@ -128,7 +129,7 @@ scaling of tokenize/sort/assemble kernels and partition balance (the
 samplesort splitters + adaptive hot-term salting) is fairly tested.
 Generation and python-worker warm-up are excluded from build time.
 """
-    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    out_path = os.path.join(REPO, "BENCH", "SCALING_LATEST.md")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
         f.write(md)

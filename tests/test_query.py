@@ -477,3 +477,69 @@ def test_date_histogram_by_composition(built_index, spark):
     got["hour"] = pd.to_datetime(got["hour"])
     want["hour"] = pd.to_datetime(want["hour"])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_more_like_this_respects_doc_exclude(built_index, spark):
+    """MLT forwards doc_filter/doc_exclude to the inner BM25 — on a
+    streaming index with pending tombstones, deleted docs must stop
+    appearing in MLT results (round-3 advice gap)."""
+    import pandas as pd
+
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import more_like_this
+
+    res, cfg = built_index["res"], built_index["cfg"]
+    corpus = spark.createDataFrame(built_index["pdf"])
+    stats_df = load_doc_stats(spark, res.out_dir)
+    srcs = [0, 17]
+    base = more_like_this(
+        spark, built_index["postings"], corpus, stats_df, srcs,
+        res.N, res.avgdl, cfg, k=8, max_terms=6,
+    ).toPandas()
+    # tombstone the top result of each source query
+    victims = sorted(set(
+        base[base["rank"] == 1]["doc_id"].astype(int).tolist()))
+    excl = spark.createDataFrame(pd.DataFrame({"doc_id": victims}))
+    got = more_like_this(
+        spark, built_index["postings"], corpus, stats_df, srcs,
+        res.N, res.avgdl, cfg, k=8, max_terms=6, doc_exclude=excl,
+    ).toPandas()
+    assert not set(got["doc_id"]) & set(victims)
+    # ranks stay dense from 1 and scores stay corpus-global: the
+    # surviving results are exactly base minus victims, shifted up
+    for src in srcs:
+        b = base[(base.src_doc_id == src)
+                 & ~base.doc_id.isin(victims)].sort_values("rank")
+        g = got[got.src_doc_id == src].sort_values("rank")
+        n = min(len(g), len(b))
+        assert list(g.doc_id)[:n] == list(b.doc_id)[:n]
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_doc_filter_duplicates_dont_trip_kernel_cap(built_index, spark):
+    """A join-derived doc_filter with duplicate doc_ids must count
+    DISTINCT ids against max_kernel_filter (round-3 advice: the limit
+    ran before dedup, demoting/raising on few distinct ids)."""
+    from pyspark.sql import functions as F
+
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import bm25_topk
+
+    res, cfg = built_index["res"], built_index["cfg"]
+    ids = load_doc_stats(spark, res.out_dir).limit(30).select("doc_id")
+    dup = ids.crossJoin(spark.range(5)).select("doc_id")  # 150 rows, 30 ids
+    queries = fx.queries_pdf(42)
+    want = bm25_topk(
+        spark, built_index["postings"], queries, res.N, res.avgdl, cfg,
+        mode="kernel", doc_filter=ids, max_kernel_filter=40,
+    ).toPandas()
+    # 150 dup rows > cap 40, but 30 distinct ids <= 40: kernel mode
+    # must neither raise nor demote, and results must be identical
+    got = bm25_topk(
+        spark, built_index["postings"], queries, res.N, res.avgdl, cfg,
+        mode="kernel", doc_filter=dup, max_kernel_filter=40,
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values(["query_id", "rank"], ignore_index=True),
+        want.sort_values(["query_id", "rank"], ignore_index=True),
+    )
