@@ -305,7 +305,7 @@ def q_substring_topk_short(spark, sf_dir):
     )
     return (
         got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+        .join(F.broadcast(m).alias("m"),
               F.col("g.doc_id") == F.col("m.engine_doc_id"))
         .select(F.col("m.doc_id").alias("doc_id"),
                 F.col("g.score").cast("long").alias("n_occ"))

@@ -53,14 +53,16 @@ def write_table(
         else:
             w.append()
         return
-    w = df.write.mode(mode)
     if partition_by:
         # dynamic-partition writes default to maxConcurrentOutputFileWriters=0,
         # which inserts a full per-task SORT on the partition columns so a
         # single writer can stream dir-by-dir — a pipeline break that
         # measured +~15% build wall at bench scale. A task holds at most
         # a handful of part dirs (parts-per-wave / tasks), so concurrent
-        # writers are cheap; set transiently and restore.
+        # writers are cheap; set transiently and restore. NB: session-
+        # global conf — build stages are single-writer by construction,
+        # but a concurrent partitioned write from another thread of the
+        # same session would race the restore (harmless value, noted).
         spark = df.sparkSession
         key = "spark.sql.maxConcurrentOutputFileWriters"
         prev = spark.conf.get(key, None)
@@ -73,7 +75,7 @@ def write_table(
             else:
                 spark.conf.set(key, prev)
         return
-    w.parquet(dest)
+    df.write.mode(mode).parquet(dest)
 
 
 def read_table(spark: SparkSession, src: str) -> DataFrame:

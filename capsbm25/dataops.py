@@ -122,8 +122,14 @@ def minhash_dedup_verified(
     signature/banding stage and BOTH exact-verify join sides read the
     cached grams, so the corpus text is scanned a single time instead
     of three (at 100 TB each avoided full-corpus scan is the dominant
-    cost; plan-asserted in tests/test_dataops.py)."""
-    g = _doc_grams(docs).persist()
+    cost; plan-asserted in tests/test_dataops.py). MEMORY_AND_DISK so
+    an over-memory gram frame spills instead of evicting + recomputing;
+    the cache is released by Spark's ContextCleaner when the returned
+    plan is garbage-collected (there is no earlier safe point — the
+    joins below execute lazily)."""
+    from pyspark import StorageLevel
+
+    g = _doc_grams(docs).persist(StorageLevel.MEMORY_AND_DISK)
     cand = minhash_lsh_pairs(docs, n_hashes, bands, grams=g)
     a = g.select(F.col("doc_id").alias("doc1"), F.col("grams").alias("g1"))
     b = g.select(F.col("doc_id").alias("doc2"), F.col("grams").alias("g2"))

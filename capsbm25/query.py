@@ -50,9 +50,19 @@ RESULT_SCHEMA = "query_id int, doc_id long, score double, rank int"
 
 # distributed-phrase positions pass: AND-candidate sets up to this many
 # rows are collected + broadcast so candidates mask map-side BEFORE any
-# positional row is materialized; larger sets fall back to the
-# AQE-broadcast join (module-level so tests can force the fallback)
+# positional row is materialized; larger sets stay distributed as
+# per-(query, term) sorted candidate arrays joined onto the posting
+# rows (module-level so tests can force the fallbacks)
 MAX_CAND_COLLECT = 200_000
+# ... and beyond THIS many candidate rows even the per-(query, term)
+# array form is unsafe (collect_list builds ONE row holding the whole
+# candidate set — a single-task O(cand) array that hits Spark's 2GB
+# row limit around ~2x10^8 int64s), so the positions pass degrades to
+# the plain join: every posting row's positions materialize (O(cf x
+# tf) shuffle) but no single task ever holds the candidate set. Three
+# tiers, each correct, each bounded by the thing the previous tier
+# could not bound.
+MAX_CAND_ARRAY = 20_000_000
 
 
 def _query_terms_pdf(queries: pd.DataFrame, cfg: BuildConfig) -> pd.DataFrame:
@@ -900,17 +910,21 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
         cand_bc = session.sparkContext.broadcast(cand_map)
         and_docs = F.broadcast(session.createDataFrame(cand_pdf))
         pos_src = matched
-    else:
-        # Over the cap the candidate set stays DISTRIBUTED: per
+    elif and_docs.count() <= MAX_CAND_ARRAY:
+        # Over the collect cap the candidate set stays DISTRIBUTED: per
         # (query, term) the sorted candidate-doc array is aggregated
         # from the persisted and_docs and shuffle-joined onto the
         # matched posting rows, so the positions kernel still masks
         # BEFORE materializing any positional row — shuffled positional
-        # bytes stay O(cand x tf) at ANY candidate cardinality (the
-        # pre-round-4 fallback shipped O(cf x tf) rows: every posting
-        # entry of every phrase term). The cand array rides one row per
-        # (query, term, part) — bounded duplication (salt parts), never
-        # per posting entry.
+        # bytes stay O(cand x tf) (the pre-round-4 fallback shipped
+        # O(cf x tf) rows: every posting entry of every phrase term).
+        # The cand array rides one row per (query, term, part) —
+        # bounded duplication (salt parts), never per posting entry.
+        # (The persisted and_docs outlives this call until the result
+        # DataFrame is released — Spark's ContextCleaner unpersists the
+        # cached blocks once the plan is garbage-collected; there is no
+        # earlier safe point because the final join below executes
+        # lazily.)
         qterm = F.broadcast(session.createDataFrame(
             qt[["query_id", "term"]].drop_duplicates()))
         cand_lists = (
@@ -920,6 +934,14 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
             .agg(F.sort_array(F.collect_list("doc_id")).alias("cand_docs"))
         )
         pos_src = matched.join(cand_lists, ["term", "query_id"])
+    else:
+        # Tier 3, the unbounded-candidate safety net: the per-(query,
+        # term) array row itself would exceed single-row limits, so no
+        # map-side mask at all — every matched posting row's positions
+        # materialize and the (persisted) and_docs prunes them in the
+        # join. O(cf x tf) positional shuffle, but no task and no row
+        # ever holds the candidate set.
+        pos_src = matched
 
     def pos_rows(it):
         # FLAT (query, term, doc, pos) long rows — one np.repeat per
@@ -1368,10 +1390,12 @@ def substring_topk(
         lambda t: len((t or "").lower()) < n
     ).to_numpy(bool)
     if short_mask.any() and corpus is None:
+        # no sorted(): a None pattern must raise THIS error, not a
+        # TypeError from None-vs-str comparison
         raise ValueError(
             f"patterns shorter than chargram_n={n} cannot be answered "
             f"from the gram index: "
-            f"{sorted(queries['text'][short_mask])!r} — pass corpus= "
+            f"{list(queries['text'][short_mask])!r} — pass corpus= "
             "(the doc table) to auto-fall back to a full scan, or call "
             "dataops.substring_scan directly"
         )

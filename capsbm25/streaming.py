@@ -633,9 +633,13 @@ def _rebuild_from_live_docs(spark, out_dir, cfg, tomb_files, tmp_seg_dir,
 
 
 def _tier_level(rows: int, merge_factor: int) -> int:
-    import math
-
-    return int(math.floor(math.log(max(rows, 1)) / math.log(merge_factor)))
+    """floor(log_mf(rows)) by exact integer division — float log puts
+    exact powers one tier low (log(1000)/log(10) = 2.999...)."""
+    level, n = 0, max(int(rows), 1)
+    while n >= merge_factor:
+        n //= merge_factor
+        level += 1
+    return level
 
 
 def _compact_tiered(spark, out_dir, cfg, stats, merge_factor,
@@ -733,6 +737,20 @@ def _compact_tiered(spark, out_dir, cfg, stats, merge_factor,
 
     applied = (pd.concat(applied_frames, ignore_index=True)
                if applied_frames else None)
+    # the consolidated pending REMAINDER is computed BEFORE the lock —
+    # it depends only on the start-snapshot tombstone files (validated
+    # unchanged under the lock) and the applied set, and running Spark
+    # jobs inside the critical section both stretches the lock hold and
+    # widens the crash window between the renames and the stats swap
+    rem = None
+    if applied is not None:
+        rem = (
+            spark.read.parquet(*tomb_files_at_start)
+            .dropDuplicates(["doc_id"])
+            .join(spark.createDataFrame(applied[["doc_id"]]),
+                  "doc_id", "anti")
+            .toPandas()
+        )
 
     def _abort(reason: str) -> dict:
         for m in merges:
@@ -761,8 +779,14 @@ def _compact_tiered(spark, out_dir, cfg, stats, merge_factor,
         for m in merges:
             gen += 1
             m["seg_id"] = f"tiered-{gen}"
-            os.rename(m["tmp"], os.path.join(out_dir, "segments",
-                                             f"seg={m['seg_id']}"))
+            seg = os.path.join(out_dir, "segments", f"seg={m['seg_id']}")
+            if os.path.exists(seg):
+                # leftover from a run that crashed between its renames
+                # and its stats swap (tier_gen was never bumped, so the
+                # name repeats and stats reference nothing under it) —
+                # drop it or every rerun wedges on ENOTEMPTY
+                shutil.rmtree(seg)
+            os.rename(m["tmp"], seg)
             first_member[m["members"][0]] = m
             consumed.update(m["members"])
         new_segments = []
@@ -784,16 +808,10 @@ def _compact_tiered(spark, out_dir, cfg, stats, merge_factor,
             set(now.get("compacted_from", [])) | consumed, key=str)
         if applied is not None:
             # consolidate the pending tombstones: everything applied in
-            # a merged tier drops out; the remainder becomes ONE pending
-            # file (bounds the per-delete dedup read) and every start
-            # file is marked applied (files stay on disk for async GC)
-            rem = (
-                spark.read.parquet(*tomb_files_at_start)
-                .dropDuplicates(["doc_id"])
-                .join(spark.createDataFrame(applied[["doc_id"]]),
-                      "doc_id", "anti")
-                .toPandas()
-            )
+            # a merged tier drops out; the remainder (rem, computed
+            # pre-lock) becomes ONE pending file (bounds the per-delete
+            # dedup read) and every start file is marked applied (files
+            # stay on disk for async GC)
             td = _tombstone_dir(out_dir)
             os.makedirs(td, exist_ok=True)
             new_pending: list[str] = []

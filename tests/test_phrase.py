@@ -241,3 +241,32 @@ def test_phrase_distributed_fallback_over_cand_cap(pos_index, spark,
         w = want[want.query_id == qid].sort_values("rank")
         assert list(g.doc_id) == list(w.doc_id), qid
         assert np.allclose(g.score, w.score, atol=1e-9), qid
+
+
+def test_phrase_distributed_tier3_raw_join(pos_index, spark, monkeypatch):
+    """Tier-3 safety net (candidate set too large even for the
+    per-(query,term) array form): plain positions join, no map-side
+    mask, no single row/task ever holding the candidate set — forced
+    by zeroing BOTH caps; must stay rank-identical."""
+    import capsbm25.query as qm
+
+    res, cfg, oracle = pos_index["res"], pos_index["cfg"], pos_index["oracle"]
+    monkeypatch.setattr(qm, "MAX_CAND_COLLECT", 0)
+    monkeypatch.setattr(qm, "MAX_CAND_ARRAY", 0)
+    texts = _phrases_from_corpus(oracle)
+    queries = pd.DataFrame(
+        {"query_id": np.arange(len(texts), dtype=np.int32),
+         "text": texts,
+         "k": np.full(len(texts), 10, dtype=np.int32)}
+    )
+    want = oracle.phrase_topk_pdf(queries)
+    got = phrase_topk(
+        spark, pos_index["postings"], queries, res.N, res.avgdl, cfg,
+        mode="distributed",
+    ).toPandas()
+    assert len(got) == len(want) > 0
+    for qid in queries["query_id"]:
+        g = got[got.query_id == qid].sort_values("rank")
+        w = want[want.query_id == qid].sort_values("rank")
+        assert list(g.doc_id) == list(w.doc_id), qid
+        assert np.allclose(g.score, w.score, atol=1e-9), qid

@@ -286,3 +286,56 @@ def test_tiered_positional_index(spark, tmp_path):
                  suffixes=("_g", "_w"))
     assert len(m) == len(want)
     assert np.allclose(m["score_g"], m["score_w"], atol=1e-9)
+
+
+def test_tier_level_exact_powers():
+    """Integer tier levels: exact powers of the merge factor must land
+    in their own tier (float log put 1000 at log10=2.999->2)."""
+    assert sm._tier_level(1000, 10) == 3
+    assert sm._tier_level(999, 10) == 2
+    assert sm._tier_level(1, 10) == 0
+    assert sm._tier_level(0, 10) == 0
+    assert sm._tier_level(9, 3) == 2
+    assert sm._tier_level(243, 3) == 5
+    assert sm._tier_level(242, 3) == 4
+
+
+def test_tiered_rerun_after_crash_between_rename_and_stats(spark, tmp_path,
+                                                           monkeypatch):
+    """A tiered compaction that dies AFTER renaming its merged segment
+    but BEFORE the stats swap must leave stats untouched, and a rerun
+    must succeed (the leftover seg=tiered-<gen> dir is unreferenced
+    garbage and gets replaced, not ENOTEMPTY-wedged)."""
+    out = str(tmp_path / "idx")
+    cfg = BuildConfig(num_part_ids=16, shuffle_partitions=4)
+    pdf = fx.gen_transcripts_pdf(60, 21)
+    chunks = _chunks(pdf, 3)
+    for i in range(3):
+        _ingest(spark, out, cfg, chunks[i], i)
+
+    real_write = sm._write_stats
+    state = {"boom": True}
+
+    def crashing_write(out_dir, stats_):
+        if state["boom"] and any(
+                str(s["id"]).startswith("tiered-")
+                for s in stats_.get("segments", [])):
+            state["boom"] = False
+            raise RuntimeError("crash between rename and stats swap")
+        return real_write(out_dir, stats_)
+
+    monkeypatch.setattr(sm, "_write_stats", crashing_write)
+    with pytest.raises(RuntimeError, match="crash between rename"):
+        sm.compact_segments(spark, out, cfg, policy="tiered",
+                            merge_factor=3)
+    stats = sm.load_stream_stats(out)
+    assert [s["id"] for s in stats["segments"]] == [0, 1, 2]  # untouched
+    assert os.path.isdir(os.path.join(out, "segments", "seg=tiered-1"))
+
+    r = sm.compact_segments(spark, out, cfg, policy="tiered",
+                            merge_factor=3)
+    assert r["compacted"], r
+    stats = sm.load_stream_stats(out)
+    assert [s["id"] for s in stats["segments"]] == ["tiered-1"]
+    assert stats["N"] == len(pdf)
+    _assert_rank_identical_by_key(spark, out, cfg, pdf)
