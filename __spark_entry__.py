@@ -337,6 +337,42 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+BOOL_MUST, BOOL_SHOULD, BOOL_NOT = (
+    BM25_QUERY_TERMS[0], BM25_QUERY_TERMS[1], BM25_QUERY_TERMS[2]
+)
+
+
+def q_boolean_topk(spark, sf_dir):
+    """Lucene BooleanQuery surface: MUST + SHOULD + per-query MUST_NOT
+    in one call (query.boolean_topk) — candidates contain the MUST
+    term, docs with the MUST_NOT term drop, score = BM25 over matched
+    MUST+SHOULD with corpus-global stats."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.query import boolean_topk
+
+    b = _index_for(spark, sf_dir)
+    res = b["res"]
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "must": [BOOL_MUST], "should": [BOOL_SHOULD],
+         "must_not": [BOOL_NOT],
+         "k": np.array([BM25_K], dtype=np.int32)}
+    )
+    got = boolean_topk(
+        spark, load_postings(spark, b["out"]), queries, res.N, res.avgdl,
+        CFG, mode="kernel",
+    )
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.round("g.score", 6).alias("score_r"))
+    )
+
+
 def q_bm25_topk_dataframe(spark, sf_dir):
     """Same BM25 computed with pure built-in DataFrame ops (no index) —
     the minimum end-to-end slice of SURVEY §7.3 step 2."""
@@ -855,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ids_dense": q_doc_ids_dense,
         "postings_df_cf": q_postings_df_cf,
         "bm25_topk": q_bm25_topk,
+        "boolean_topk": q_boolean_topk,
         "phrase_topk": q_phrase_topk,
         "substring_topk": q_substring_topk,
         "substring_topk_short": q_substring_topk_short,
@@ -1027,6 +1064,47 @@ FROM (SELECT doc_id, lower(coalesce(text, '')) AS hay FROM documents)
 WHERE length(hay) >= {_SCAN_L}
   AND len(list_filter(range(1, length(hay) - {_SCAN_L} + 2),
           i -> hay[i:i+{_SCAN_L - 1}] = '{SCAN_PATTERN}')) > 0
+"""
+
+# Lucene BooleanQuery: must=t0 AND NOT must_not=t2, scored over the
+# matched must+should terms; idf/df stay corpus-global (candidate
+# restriction never changes scoring stats). Ties at the LIMIT boundary
+# break by the engine's dense-id order = (source, doc_id).
+_BOOLEAN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN {(BOOL_MUST, BOOL_SHOULD, BOOL_NOT)!r}
+  GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+cand AS (
+  SELECT doc_id FROM tf WHERE term = '{BOOL_MUST}'
+  EXCEPT
+  SELECT doc_id FROM tf WHERE term = '{BOOL_NOT}'
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * ({_K1} + 1)
+           / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / c.avgdl))
+         ) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+       JOIN cand USING (doc_id) CROSS JOIN corpus c
+  WHERE tf.term IN ('{BOOL_MUST}', '{BOOL_SHOULD}')
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, round(s.score, 6) AS score_r
+FROM scores s JOIN documents d USING (doc_id)
+ORDER BY s.score DESC, d.source, d.doc_id LIMIT {BM25_K}
 """
 
 _BM25_SQL = f"""
@@ -1242,6 +1320,7 @@ def oracle_sql() -> dict[str, str]:
               ) GROUP BY term, conv_id, turn_idx
             ) GROUP BY term""",
         "bm25_topk": _BM25_SQL,
+        "boolean_topk": _BOOLEAN_SQL,
         "phrase_topk": _PHRASE_SQL,
         "substring_topk": _SUBSTRING_SQL,
         "substring_topk_short": _SUBSTRING_SHORT_SQL,

@@ -553,6 +553,250 @@ def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive,
     return _window_topk(scored)
 
 
+def boolean_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: pd.DataFrame,
+    N: int,
+    avgdl: float,
+    cfg: BuildConfig | None = None,
+    mode: str = "auto",
+    max_kernel_df: int = 20_000_000,
+    max_kernel_bytes: int = 32 << 20,
+    doc_filter: DataFrame | None = None,
+    doc_exclude: DataFrame | None = None,
+    max_kernel_filter: int = 4_000_000,
+) -> DataFrame:
+    """Lucene BooleanQuery: per-query MUST / SHOULD / MUST_NOT clauses.
+
+    queries: pandas (query_id, must, should, must_not, k) — each clause
+    a text field tokenized like any query (empty/None = no clause).
+    Semantics (Lucene's): candidates contain ALL MUST terms (with no
+    MUST clause, ANY SHOULD term); docs containing ANY MUST_NOT term
+    are excluded — per QUERY, unlike the batch-global doc_exclude;
+    score = BM25 over the matched MUST+SHOULD terms with corpus-global
+    stats. Clause overlap rules: a term in both MUST and MUST_NOT is a
+    contradiction (that query returns nothing); SHOULD∩MUST_NOT terms
+    drop from scoring (no surviving doc can contain them); SHOULD∩MUST
+    dedups into MUST. An out-of-vocabulary MUST term empties the query;
+    OOV SHOULD/MUST_NOT terms are ignored. A query with no positive
+    terms returns nothing.
+
+    Execution mirrors bm25_topk: the MUST_NOT terms' postings travel to
+    the same kernel group / narrow pass as the positive terms (one
+    pushdown-pruned scan + broadcast join for the whole batch), so the
+    per-query exclusion costs no extra scan; "auto" routes per query on
+    Σ df and Σ encoded bytes over ALL its terms (NOT terms occupy task
+    memory too). doc_filter / doc_exclude still apply batch-globally on
+    top (Lucene filter + liveDocs).
+
+    Returns (query_id, doc_id, score, rank) — rank ties by doc_id.
+    """
+    cfg = cfg or BuildConfig()
+    rows = []
+    for q in queries.itertuples(index=False):
+        must = sorted(set(tokenize_py(getattr(q, "must", "") or "", cfg)))
+        nots = set(tokenize_py(getattr(q, "must_not", "") or "", cfg))
+        if set(must) & nots:
+            continue  # required AND prohibited — provably empty
+        should = sorted(
+            set(tokenize_py(getattr(q, "should", "") or "", cfg))
+            - set(must) - nots
+        )
+        if not must and not should:
+            continue  # no positive clause
+        qid, k = int(q.query_id), int(q.k)
+        for t in must:
+            rows.append((qid, t, k, len(must), "must"))
+        for t in should:
+            rows.append((qid, t, k, len(must), "should"))
+        for t in sorted(nots):
+            rows.append((qid, t, k, len(must), "not"))
+    qt = pd.DataFrame(
+        rows, columns=["query_id", "term", "k", "n_must", "role"]
+    )
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
+    mode, doc_filter, doc_exclude, filt_bc, excl_bc, empty = \
+        _prep_doc_sets(spark, mode, doc_filter, doc_exclude,
+                       max_kernel_filter)
+    if empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qdf = spark.createDataFrame(qt)
+    terms = sorted(qt["term"].unique().tolist())
+    filtered = postings.where(F.col("term").isin(terms))
+    if "pos" in filtered.columns:
+        filtered = filtered.drop("pos")
+    matched = filtered.join(F.broadcast(qdf), "term")
+
+    if mode == "auto":
+        df_map, bytes_map = _term_stats_map(filtered)
+        stats = qt.assign(
+            d=qt["term"].map(df_map).fillna(0),
+            nb=qt["term"].map(bytes_map).fillna(0),
+        ).groupby("query_id")[["d", "nb"]].sum()
+        heavy = sorted(
+            int(q_) for q_, row in stats.iterrows()
+            if row["d"] > max_kernel_df or row["nb"] > max_kernel_bytes
+        )
+        if not heavy:
+            mode = "kernel"
+        elif len(heavy) == stats.shape[0]:
+            return _run_boolean_distributed(
+                matched, df_map, N, avgdl, cfg, doc_filter, doc_exclude,
+            ).orderBy("query_id", "rank")
+        else:
+            light = _run_boolean_kernel(
+                matched.where(~F.col("query_id").isin(heavy)),
+                N, avgdl, cfg, filt_bc, excl_bc,
+            )
+            dist = _run_boolean_distributed(
+                matched.where(F.col("query_id").isin(heavy)),
+                df_map, N, avgdl, cfg, doc_filter, doc_exclude,
+            )
+            return light.unionByName(dist).orderBy("query_id", "rank")
+    if mode == "kernel":
+        return _run_boolean_kernel(
+            matched, N, avgdl, cfg, filt_bc, excl_bc
+        ).orderBy("query_id", "rank")
+    if mode == "distributed":
+        return _run_boolean_distributed(
+            matched, _term_df_map(filtered), N, avgdl, cfg,
+            doc_filter, doc_exclude,
+        ).orderBy("query_id", "rank")
+    raise ValueError(mode)
+
+
+def _run_boolean_kernel(matched, N, avgdl, cfg,
+                        filt_bc=None, excl_bc=None) -> DataFrame:
+    def kernel(key, pdf):
+        k = int(pdf["k"].iloc[0])
+        qid = int(pdf["query_id"].iloc[0])
+        n_must = int(pdf["n_must"].iloc[0])
+        pdf = pdf.sort_values("term")
+        pos_terms = []   # scoring terms, sorted order (bit-stable sums)
+        must_docs = []
+        not_docs = []
+        for term, grp in pdf.groupby("term", sort=True):
+            role = grp["role"].iloc[0]
+            parts = [_decode_posting(r) for r in grp.itertuples(index=False)]
+            docs = np.concatenate([p[0] for p in parts])
+            if role == "not":
+                not_docs.append(docs)  # order irrelevant for a union
+                continue
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+            if len(parts) > 1:
+                order = np.argsort(docs, kind="stable")
+                docs, tfs, dls = docs[order], tfs[order], dls[order]
+            df_total = int(grp["df"].sum())
+            sc = term_scores(tfs, dls, float(idf_fn(N, df_total)),
+                             avgdl, cfg.k1, cfg.b)
+            pos_terms.append({"docs": docs, "scores": sc})
+            if role == "must":
+                must_docs.append(docs)
+        if len(must_docs) < n_must:
+            return _empty_result()  # an OOV MUST term empties the query
+        if n_must:
+            cand = must_docs[0]
+            for d in must_docs[1:]:
+                cand = np.intersect1d(cand, d, assume_unique=True)
+                if cand.size == 0:
+                    return _empty_result()
+        else:
+            if not pos_terms:
+                return _empty_result()
+            cand = np.unique(np.concatenate(
+                [t["docs"] for t in pos_terms]))
+        if not_docs:
+            cand = np.setdiff1d(
+                cand, np.unique(np.concatenate(not_docs)),
+                assume_unique=False)
+        if filt_bc is not None:
+            cand = np.intersect1d(cand, filt_bc.value, assume_unique=True)
+        if excl_bc is not None:
+            cand = np.setdiff1d(cand, excl_bc.value, assume_unique=True)
+        if cand.size == 0:
+            return _empty_result()
+        total = np.zeros(cand.size, dtype=np.float64)
+        for t in pos_terms:  # sorted-term order
+            if t["docs"].size == 0:
+                continue
+            ix = np.searchsorted(t["docs"], cand)
+            ix = np.minimum(ix, t["docs"].size - 1)
+            hit = t["docs"][ix] == cand
+            total[hit] += t["scores"][ix[hit]]
+        top_d, top_s = _topk(cand, total, k)
+        return _result_pdf(qid, top_d, top_s)
+
+    return matched.groupBy("query_id").applyInPandas(
+        kernel, schema=RESULT_SCHEMA
+    )
+
+
+def _run_boolean_distributed(matched, df_map, N, avgdl, cfg,
+                             doc_filter: DataFrame | None = None,
+                             doc_exclude: DataFrame | None = None
+                             ) -> DataFrame:
+    # same narrow shape as _run_distributed, plus the role column: the
+    # aggregate enforces all-MUST-matched, no-NOT-matched, and sums
+    # contributions of positive terms only — every clause evaluated by
+    # built-in hash aggregation, no task ever holding a whole posting
+    def contribs(it):
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                docs, tfs, dls = _decode_posting(row)
+                if row.role == "not":
+                    sc = np.zeros(docs.size, dtype=np.float64)
+                else:
+                    sc = term_scores(
+                        tfs, dls, float(idf_fn(N, df_map[row.term])),
+                        avgdl, cfg.k1, cfg.b,
+                    )
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(docs.size, row.query_id, np.int32),
+                        "term": np.full(docs.size, row.term, dtype=object),
+                        "role": np.full(docs.size, row.role, dtype=object),
+                        "doc_id": docs.astype(np.int64),
+                        "contrib": sc,
+                        "k": np.full(docs.size, row.k, np.int32),
+                        "n_must": np.full(docs.size, row.n_must, np.int32),
+                    }
+                )
+
+    c = matched.mapInPandas(
+        contribs,
+        schema="query_id int, term string, role string, doc_id long, "
+               "contrib double, k int, n_must int",
+    )
+    if doc_filter is not None:
+        c = c.join(doc_filter.select("doc_id"), "doc_id", "semi")
+    if doc_exclude is not None:
+        c = c.join(doc_exclude.select("doc_id"), "doc_id", "anti")
+    scored = (
+        c.groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.when(F.col("role") != "not", F.col("contrib"))
+                  .otherwise(F.lit(0.0))).alias("score"),
+            F.first("k").alias("k"),
+            F.count_distinct(
+                F.when(F.col("role") == "must", F.col("term"))
+            ).alias("nm"),
+            F.sum(F.when(F.col("role") == "not", F.lit(1))
+                  .otherwise(F.lit(0))).alias("nn"),
+            F.count_distinct(
+                F.when(F.col("role") != "not", F.col("term"))
+            ).alias("npos"),
+            F.first("n_must").alias("n_must"),
+        )
+        .where((F.col("nm") == F.col("n_must"))
+               & (F.col("nn") == 0) & (F.col("npos") > 0))
+    )
+    return _window_topk(scored)
+
+
 def _merge_term_rows(grp, with_pos: bool):
     """Decode and doc-merge one term's posting rows (index segments).
     Returns (docs, tfs, dls, pos_flat, pair_bounds); pos fields None

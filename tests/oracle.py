@@ -84,6 +84,41 @@ class OracleIndex:
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
+    def boolean_topk(self, must: str, should: str, must_not: str, k: int,
+                     doc_filter: set[int] | None = None,
+                     doc_exclude: set[int] | None = None,
+                     ) -> list[tuple[int, float]]:
+        """Lucene BooleanQuery semantics (mirrors query.boolean_topk):
+        candidates contain ALL must terms (or ANY should term when no
+        must clause); docs with ANY must_not term drop; score = BM25
+        over matched must+should terms, corpus-global stats."""
+        m = sorted(set(tokenize_py(must or "")))
+        x = set(tokenize_py(must_not or ""))
+        if set(m) & x:
+            return []
+        s = sorted(set(tokenize_py(should or "")) - set(m) - x)
+        if not m and not s:
+            return []
+        if m:
+            if any(t not in self.postings for t in m):
+                return []
+            cand = set(self.postings[m[0]].keys())
+            for t in m[1:]:
+                cand &= self.postings[t].keys()
+        else:
+            cand = set()
+            for t in s:
+                cand.update(self.postings.get(t, {}).keys())
+        for t in x:
+            cand -= self.postings.get(t, {}).keys()
+        if doc_filter is not None:
+            cand &= doc_filter
+        if doc_exclude is not None:
+            cand -= doc_exclude
+        scored = [(d, self.score_doc(m + s, d)) for d in cand]
+        scored.sort(key=lambda t_: (-t_[1], t_[0]))
+        return scored[:k]
+
     def phrase_topk(self, query_text: str, k: int,
                     doc_filter: set[int] | None = None,
                     ) -> list[tuple[int, float]]:
