@@ -337,6 +337,40 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+NEAR_TERMS = (BM25_QUERY_TERMS[0], BM25_QUERY_TERMS[2])  # "hash merge"
+NEAR_WINDOW = 6
+
+
+def q_near_topk(spark, sf_dir):
+    """Proximity search (Lucene SpanNearQuery / NEAR): docs with both
+    terms within a NEAR_WINDOW-token span, BM25-ranked over the terms
+    (query.near_topk over the positional index). Oracle: DuckDB list
+    lambdas testing every position pair."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.query import near_topk
+
+    b = _pos_index_for(spark, sf_dir)
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [" ".join(NEAR_TERMS)],
+         "k": np.array([BM25_K], dtype=np.int32)}
+    )
+    got = near_topk(
+        spark, load_postings(spark, b["out"]), queries,
+        b["res"].N, b["res"].avgdl, b["cfg"],
+        window=NEAR_WINDOW, ordered=False, mode="kernel",
+    )
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.round("g.score", 6).alias("score_r"))
+    )
+
+
 BOOL_MUST, BOOL_SHOULD, BOOL_NOT = (
     BM25_QUERY_TERMS[0], BM25_QUERY_TERMS[1], BM25_QUERY_TERMS[2]
 )
@@ -892,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_df_cf": q_postings_df_cf,
         "bm25_topk": q_bm25_topk,
         "boolean_topk": q_boolean_topk,
+        "near_topk": q_near_topk,
         "phrase_topk": q_phrase_topk,
         "substring_topk": q_substring_topk,
         "substring_topk_short": q_substring_topk_short,
@@ -1064,6 +1099,56 @@ FROM (SELECT doc_id, lower(coalesce(text, '')) AS hay FROM documents)
 WHERE length(hay) >= {_SCAN_L}
   AND len(list_filter(range(1, length(hay) - {_SCAN_L} + 2),
           i -> hay[i:i+{_SCAN_L - 1}] = '{SCAN_PATTERN}')) > 0
+"""
+
+# NEAR (proximity): both terms within NEAR_WINDOW tokens — every
+# position pair tested via nested list lambdas (1-based positions; the
+# engine's are 0-based, but only differences matter), then BM25 over
+# the two terms with corpus-global df, candidates = matched docs only
+_NEAR_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK} AS tl FROM documents
+),
+posl AS (
+  SELECT doc_id,
+         list_filter(range(1, len(tl) + 1),
+                     i -> tl[i] = '{NEAR_TERMS[0]}') AS p0,
+         list_filter(range(1, len(tl) + 1),
+                     i -> tl[i] = '{NEAR_TERMS[1]}') AS p1
+  FROM tk
+),
+cand AS (
+  SELECT doc_id FROM posl
+  WHERE len(list_filter(p0,
+        p -> len(list_filter(p1,
+             q -> abs(p - q) <= {NEAR_WINDOW - 1})) > 0)) > 0
+),
+toks AS (SELECT doc_id, unnest(tl) AS term FROM tk),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN {NEAR_TERMS!r}
+  GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * ({_K1} + 1)
+           / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / c.avgdl))
+         ) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+       JOIN cand USING (doc_id) CROSS JOIN corpus c
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, round(s.score, 6) AS score_r
+FROM scores s JOIN documents d USING (doc_id)
+ORDER BY s.score DESC, d.source, d.doc_id LIMIT {BM25_K}
 """
 
 # Lucene BooleanQuery: must=t0 AND NOT must_not=t2, scored over the
@@ -1321,6 +1406,7 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY term""",
         "bm25_topk": _BM25_SQL,
         "boolean_topk": _BOOLEAN_SQL,
+        "near_topk": _NEAR_SQL,
         "phrase_topk": _PHRASE_SQL,
         "substring_topk": _SUBSTRING_SQL,
         "substring_topk_short": _SUBSTRING_SHORT_SQL,

@@ -838,6 +838,7 @@ def phrase_topk(
     doc_filter: DataFrame | None = None,
     doc_exclude: DataFrame | None = None,
     max_kernel_filter: int = 4_000_000,
+    near: tuple | None = None,
 ) -> DataFrame:
     """Exact phrase top-k: docs containing the query tokens CONSECUTIVELY
     in order, ranked by BM25 over the phrase's distinct terms — the
@@ -903,29 +904,84 @@ def phrase_topk(
         elif len(heavy) == stats.shape[0]:
             return _run_phrase_distributed(
                 matched, df_map, N, avgdl, cfg, count_scores,
-                doc_filter, doc_exclude, qt,
+                doc_filter, doc_exclude, qt, near=near,
             ).orderBy("query_id", "rank")
         else:
             light = _run_phrase_kernel(
                 matched.where(~F.col("query_id").isin(heavy)), N, avgdl,
-                cfg, count_scores, filt_bc, excl_bc,
+                cfg, count_scores, filt_bc, excl_bc, near=near,
             )
             dist = _run_phrase_distributed(
                 matched.where(F.col("query_id").isin(heavy)),
                 df_map, N, avgdl, cfg, count_scores,
-                doc_filter, doc_exclude, qt,
+                doc_filter, doc_exclude, qt, near=near,
             )
             return light.unionByName(dist).orderBy("query_id", "rank")
     if mode == "kernel":
         return _run_phrase_kernel(
-            matched, N, avgdl, cfg, count_scores, filt_bc, excl_bc
+            matched, N, avgdl, cfg, count_scores, filt_bc, excl_bc,
+            near=near,
         ).orderBy("query_id", "rank")
     if mode == "distributed":
         return _run_phrase_distributed(
             matched, _term_df_map(filtered), N, avgdl, cfg, count_scores,
-            doc_filter, doc_exclude, qt,
+            doc_filter, doc_exclude, qt, near=near,
         ).orderBy("query_id", "rank")
     raise ValueError(mode)
+
+
+def near_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: pd.DataFrame,
+    N: int,
+    avgdl: float,
+    cfg: BuildConfig | None = None,
+    window: int = 8,
+    ordered: bool = False,
+    mode: str = "auto",
+    max_kernel_df: int = 20_000_000,
+    max_kernel_bytes: int = 32 << 20,
+    doc_filter: DataFrame | None = None,
+    doc_exclude: DataFrame | None = None,
+    max_kernel_filter: int = 4_000_000,
+) -> DataFrame:
+    """Proximity top-k (Lucene SpanNearQuery / the NEAR operator): docs
+    where ALL the query's distinct terms occur within a span of
+    `window` tokens, ranked by BM25 over those terms with corpus-global
+    stats (exactly phrase_topk's scoring — NEAR is phrase with the
+    consecutive-and-ordered constraint relaxed to a window).
+
+    ordered=True additionally requires the matched positions to follow
+    the query's term order (SpanNearQuery inOrder; requires distinct
+    query terms) — this variant is fully vectorized (greedy-minimal
+    successor chains over composite keys); unordered runs a two-pointer
+    minimal-window pass per candidate doc inside the batch kernels.
+
+    Same positional-index requirement, execution modes, routing and
+    doc_filter/doc_exclude semantics as phrase_topk; phrase_topk(text)
+    == near_topk(text, window=len(tokens), ordered=True) on
+    duplicate-free phrases (tested).
+    """
+    cfg = cfg or BuildConfig()
+    window = int(window)
+    if window < 1:
+        raise ValueError("window must be >= 1 token")
+    if ordered:
+        for t in queries.itertuples(index=False):
+            toks = tokenize_py(t.text, cfg)
+            if len(toks) != len(set(toks)):
+                raise ValueError(
+                    "ordered NEAR requires distinct query terms; "
+                    f"duplicates in {t.text!r}"
+                )
+    return phrase_topk(
+        spark, postings, queries, N, avgdl, cfg, mode=mode,
+        max_kernel_df=max_kernel_df, max_kernel_bytes=max_kernel_bytes,
+        doc_filter=doc_filter, doc_exclude=doc_exclude,
+        max_kernel_filter=max_kernel_filter,
+        near=(window, bool(ordered)),
+    )
 
 
 def _gather_ranges(values: np.ndarray, starts: np.ndarray,
@@ -940,6 +996,82 @@ def _gather_ranges(values: np.ndarray, starts: np.ndarray,
     idx = np.arange(total, dtype=np.int64) \
         - np.repeat(offsets, lens) + np.repeat(starts, lens)
     return values[idx], lens
+
+
+def _near_hit_ranks(
+    tokens: list[str], streams: dict, M: int, window: int, ordered: bool
+) -> np.ndarray:
+    """Doc ranks (composite key // M) where ALL distinct tokens occur
+    within a `window`-token span — the NEAR verifier shared by the
+    kernel and the distributed batch verify.
+
+    streams: distinct token -> SORTED array of composite keys
+    (doc_rank * M + pos); requires window < M (callers size M past the
+    max position) so a window can never straddle two docs' key ranges.
+
+    ordered=True (SpanNearQuery inOrder): positions must follow token
+    order — fully vectorized greedy chain: for every first-token
+    occurrence take the SMALLEST later occurrence of each next token
+    (greedy-minimal successors minimize the final span, so existence is
+    exact), then keep chains spanning <= window-1.
+
+    ordered=False: classic minimal-window cover, a two-pointer pass per
+    doc over the merged stream (inherently sequential; the loop is per
+    CANDIDATE doc inside one numpy kernel call — microseconds per doc,
+    not an applyInPandas group per doc)."""
+    toks = list(dict.fromkeys(tokens))
+    if ordered:
+        start = streams[toks[0]]
+        cur = start
+        for t in toks[1:]:
+            arr = streams[t]
+            ix = np.searchsorted(arr, cur, side="right")
+            ok = ix < arr.size
+            start, cur = start[ok], arr[ix[ok]]
+            same = (cur // M) == (start // M)
+            start, cur = start[same], cur[same]
+            if start.size == 0:
+                return np.zeros(0, dtype=np.int64)
+        hit = start[(cur - start) <= (window - 1)]
+        return np.unique(hit // M)
+    k = len(toks)
+    all_keys = np.concatenate([streams[t] for t in toks])
+    tids = np.concatenate([
+        np.full(streams[t].size, i, dtype=np.int64)
+        for i, t in enumerate(toks)
+    ])
+    order = np.argsort(all_keys, kind="stable")
+    keys, tids = all_keys[order], tids[order]
+    ranks = keys // M
+    bounds = np.concatenate((
+        [0], np.flatnonzero(ranks[1:] != ranks[:-1]) + 1, [ranks.size]))
+    hits = []
+    keys_l, tids_l = keys.tolist(), tids.tolist()
+    for bi in range(len(bounds) - 1):
+        lo, hi = int(bounds[bi]), int(bounds[bi + 1])
+        cnt = [0] * k
+        have = 0
+        left = lo
+        found = False
+        for right in range(lo, hi):
+            c = tids_l[right]
+            cnt[c] += 1
+            if cnt[c] == 1:
+                have += 1
+            while have == k:
+                if keys_l[right] - keys_l[left] <= window - 1:
+                    found = True
+                    break
+                cl = tids_l[left]
+                cnt[cl] -= 1
+                if cnt[cl] == 0:
+                    have -= 1
+                left += 1
+            if found:
+                break
+        if found:
+            hits.append(int(ranks[lo]))
+    return np.asarray(hits, dtype=np.int64)
 
 
 def _phrase_occurrences(
@@ -990,7 +1122,9 @@ def _phrase_occurrences(
 
 def _run_phrase_kernel(matched, N, avgdl, cfg,
                        count_scores: bool = False,
-                       filt_bc=None, excl_bc=None) -> DataFrame:
+                       filt_bc=None, excl_bc=None,
+                       near: tuple | None = None) -> DataFrame:
+    assert not (count_scores and near), "count scoring is phrase-only"
     def kernel(key, pdf):
         k = int(pdf["k"].iloc[0])
         qid = int(pdf["query_id"].iloc[0])
@@ -1021,7 +1155,28 @@ def _run_phrase_kernel(matched, N, avgdl, cfg,
         if cand.size == 0:
             return _empty_result()
 
-        hit_arr, n_occ = _phrase_occurrences(phrase, term_data, cand)
+        if near is None:
+            hit_arr, n_occ = _phrase_occurrences(phrase, term_data, cand)
+        else:
+            window, ordered = near
+            streams = {}
+            max_pos = 0
+            for tok in dict.fromkeys(phrase):
+                docs, _, _, pos, bounds = term_data[tok]
+                ix = np.searchsorted(docs, cand)
+                vals, lens = _gather_ranges(pos, bounds[ix], bounds[ix + 1])
+                streams[tok] = (vals, lens)
+                if vals.size:
+                    max_pos = max(max_pos, int(vals.max()))
+            M = max_pos + max(len(phrase), int(window)) + 2
+            streams = {
+                tok: np.repeat(
+                    np.arange(cand.size, dtype=np.int64), lens
+                ) * M + vals
+                for tok, (vals, lens) in streams.items()
+            }
+            hit_ranks = _near_hit_ranks(phrase, streams, M, window, ordered)
+            hit_arr, n_occ = cand[hit_ranks], None
         if hit_arr.size == 0:
             return _empty_result()
         if count_scores:
@@ -1049,7 +1204,9 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
                             count_scores: bool = False,
                             doc_filter: DataFrame | None = None,
                             doc_exclude: DataFrame | None = None,
-                            qt: pd.DataFrame | None = None) -> DataFrame:
+                            qt: pd.DataFrame | None = None,
+                            near: tuple | None = None) -> DataFrame:
+    assert not (count_scores and near), "count scoring is phrase-only"
     """Scale path, two passes so positions only ship for AND candidates:
 
     1. NARROW pass — one row per (query, term, doc) with the BM25
@@ -1254,7 +1411,8 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
         pos_arr = pdf["pos"].to_numpy(np.int64)
         term_arr = pdf["term"].to_numpy(dtype=object)
         ranks, uniq_docs = pd.factorize(doc_arr, sort=True)
-        M = int(pos_arr.max()) + len(phrase) + 2
+        M = int(pos_arr.max()) + max(
+            len(phrase), int(near[0]) if near else 0) + 2
         # np.unique sorts AND dedups — a duplicated (term, doc, pos) row
         # (should not exist; segments keep a doc whole) would otherwise
         # break intersect1d's assume_unique contract
@@ -1263,12 +1421,19 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
                            + pos_arr[term_arr == tok])
             for tok in dict.fromkeys(phrase)
         }
-        s = streams[phrase[0]]
-        for off, tok in enumerate(phrase[1:], start=1):
-            s = np.intersect1d(s, streams[tok] - off, assume_unique=True)
-            if s.size == 0:
+        if near is not None:
+            hit_ranks = _near_hit_ranks(phrase, streams, M, *near)
+            if hit_ranks.size == 0:
                 return empty
-        hit_ranks, counts = np.unique(s // M, return_counts=True)
+            counts = None
+        else:
+            s = streams[phrase[0]]
+            for off, tok in enumerate(phrase[1:], start=1):
+                s = np.intersect1d(s, streams[tok] - off,
+                                   assume_unique=True)
+                if s.size == 0:
+                    return empty
+            hit_ranks, counts = np.unique(s // M, return_counts=True)
         hit_docs = np.asarray(uniq_docs)[hit_ranks]
         # BM25 score and k ride the and_docs side, one value per doc
         per_doc = pdf.drop_duplicates("doc_id").set_index("doc_id")

@@ -139,6 +139,42 @@ class OracleIndex:
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
+    def near_topk(self, query_text: str, window: int, k: int,
+                  ordered: bool = False,
+                  doc_filter: set[int] | None = None,
+                  ) -> list[tuple[int, float]]:
+        """Proximity oracle, brute force: all distinct query terms
+        within a `window`-token span (ordered: positions in term
+        order), scored like phrase_topk (BM25 over distinct terms)."""
+        import itertools
+
+        distinct = list(dict.fromkeys(tokenize_py(query_text)))
+        if not distinct:
+            return []
+        hits = []
+        for doc_id, toks in enumerate(self.docs):
+            if doc_filter is not None and doc_id not in doc_filter:
+                continue
+            pos = {
+                t: [i for i, x in enumerate(toks) if x == t]
+                for t in distinct
+            }
+            if any(not p for p in pos.values()):
+                continue
+            for combo in itertools.product(*(pos[t] for t in distinct)):
+                if max(combo) - min(combo) > window - 1:
+                    continue
+                if ordered and any(
+                    combo[i] >= combo[i + 1]
+                    for i in range(len(combo) - 1)
+                ):
+                    continue
+                hits.append(doc_id)
+                break
+        scored = [(d, self.score_doc(distinct, d)) for d in hits]
+        scored.sort(key=lambda t_: (-t_[1], t_[0]))
+        return scored[:k]
+
     def phrase_topk_pdf(self, queries: pd.DataFrame,
                         doc_filter: set[int] | None = None) -> pd.DataFrame:
         rows = []
