@@ -337,6 +337,64 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+FUZZY_TERM = BM25_QUERY_TERMS[2]       # "merge" -> merged/merges/...
+FUZZY_EDITS = 1
+WILDCARD_PATTERN = BM25_QUERY_TERMS[0][:3] + "*"   # "has*"
+EXPANSION_K = 15
+
+
+def q_fuzzy_topk(spark, sf_dir):
+    """Fuzzy term query (Lucene FuzzyQuery): dictionary terms within
+    FUZZY_EDITS Levenshtein edits of the query term, docs ranked by
+    summed tf of the matches — Spark's built-in levenshtein expression
+    vs DuckDB's levenshtein() in the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.query import fuzzy_topk
+
+    b = _index_for(spark, sf_dir)
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [FUZZY_TERM],
+         "k": np.array([EXPANSION_K], dtype=np.int32)}
+    )
+    got = fuzzy_topk(spark, load_postings(spark, b["out"]), queries, CFG,
+                     max_edits=FUZZY_EDITS)
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.col("g.score").cast("long").alias("sum_tf"))
+    )
+
+
+def q_wildcard_topk(spark, sf_dir):
+    """Wildcard term query (Lucene WildcardQuery): dictionary terms
+    matching the * / ? pattern, docs ranked by summed tf — SQL LIKE in
+    both engines, with the leading literal pushed as StartsWith."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.query import wildcard_topk
+
+    b = _index_for(spark, sf_dir)
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [WILDCARD_PATTERN],
+         "k": np.array([EXPANSION_K], dtype=np.int32)}
+    )
+    got = wildcard_topk(spark, load_postings(spark, b["out"]), queries, CFG)
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.col("g.score").cast("long").alias("sum_tf"))
+    )
+
+
 NEAR_TERMS = (BM25_QUERY_TERMS[0], BM25_QUERY_TERMS[2])  # "hash merge"
 NEAR_WINDOW = 6
 
@@ -927,6 +985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "boolean_topk": q_boolean_topk,
         "near_topk": q_near_topk,
+        "fuzzy_topk": q_fuzzy_topk,
+        "wildcard_topk": q_wildcard_topk,
         "phrase_topk": q_phrase_topk,
         "substring_topk": q_substring_topk,
         "substring_topk_short": q_substring_topk_short,
@@ -1099,6 +1159,35 @@ FROM (SELECT doc_id, lower(coalesce(text, '')) AS hay FROM documents)
 WHERE length(hay) >= {_SCAN_L}
   AND len(list_filter(range(1, length(hay) - {_SCAN_L} + 2),
           i -> hay[i:i+{_SCAN_L - 1}] = '{SCAN_PATTERN}')) > 0
+"""
+
+# expansion family: docs ranked by summed tf of the dictionary terms
+# accepted by the expansion predicate; sum(tf) == count of matching
+# token occurrences, ties by the engine's dense order (source, doc_id)
+_FUZZY_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+hits AS (
+  SELECT doc_id, count(*) AS n
+  FROM toks
+  WHERE levenshtein(term, '{FUZZY_TERM}') <= {FUZZY_EDITS}
+  GROUP BY doc_id
+)
+SELECT h.doc_id, h.n::BIGINT AS sum_tf
+FROM hits h JOIN documents d USING (doc_id)
+ORDER BY h.n DESC, d.source, d.doc_id LIMIT {EXPANSION_K}
+"""
+
+_WILDCARD_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+hits AS (
+  SELECT doc_id, count(*) AS n
+  FROM toks
+  WHERE term LIKE '{WILDCARD_PATTERN.replace("*", "%").replace("?", "_")}'
+  GROUP BY doc_id
+)
+SELECT h.doc_id, h.n::BIGINT AS sum_tf
+FROM hits h JOIN documents d USING (doc_id)
+ORDER BY h.n DESC, d.source, d.doc_id LIMIT {EXPANSION_K}
 """
 
 # NEAR (proximity): both terms within NEAR_WINDOW tokens — every
@@ -1407,6 +1496,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_SQL,
         "boolean_topk": _BOOLEAN_SQL,
         "near_topk": _NEAR_SQL,
+        "fuzzy_topk": _FUZZY_SQL,
+        "wildcard_topk": _WILDCARD_SQL,
         "phrase_topk": _PHRASE_SQL,
         "substring_topk": _SUBSTRING_SQL,
         "substring_topk_short": _SUBSTRING_SHORT_SQL,

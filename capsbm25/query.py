@@ -1654,6 +1654,16 @@ def prefix_topk(
         F.broadcast(qdf), F.col("term").startswith(F.col("prefix"))
     )
 
+    return _term_expansion_topk(matched, doc_filter, doc_exclude)
+
+
+def _term_expansion_topk(matched, doc_filter, doc_exclude) -> DataFrame:
+    """Shared tail of the term-EXPANSION query family (prefix, fuzzy,
+    wildcard): matched = posting rows joined to (query_id, k), docs
+    ranked by the summed tf of their matching terms (deterministic,
+    idf-free — an expansion set makes per-term idf unstable), ties by
+    doc_id. Narrow decode -> filter joins -> built-in agg -> two-phase
+    salted top-k; no task ever holds more than one posting row."""
     def doc_rows(it):
         for row, docs, tfs in _iter_decoded_postings(it, with_tf=True):
             yield pd.DataFrame(
@@ -1675,6 +1685,146 @@ def prefix_topk(
         F.first("k").alias("k"),
     )
     return _window_topk(scored).orderBy("query_id", "rank")
+
+
+def fuzzy_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: pd.DataFrame,
+    cfg: BuildConfig | None = None,
+    max_edits: int = 2,
+    prefix_len: int = 0,
+    doc_filter: DataFrame | None = None,
+    doc_exclude: DataFrame | None = None,
+) -> DataFrame:
+    """Fuzzy term query (Lucene FuzzyQuery): docs containing ANY
+    dictionary term within `max_edits` Levenshtein edits of the query
+    term, ranked by summed tf of the matching terms (the expansion
+    family's deterministic scoring), ties by doc_id.
+
+    queries: pandas (query_id, text, k) — text must tokenize to ONE
+    term (FuzzyQuery is single-term, like Lucene). max_edits is capped
+    at 2 (Lucene's bound — beyond it the expansion loses meaning and
+    the automaton cost explodes; here it would match most of the
+    dictionary). prefix_len > 0 additionally requires an exact shared
+    prefix (Lucene's prefixLength) — that prefix becomes a pushed
+    StringStartsWith predicate, so the scan prunes to the prefix's row
+    groups instead of reading the dictionary.
+
+    Scale shape: the edit-distance test is Spark's BUILT-IN levenshtein
+    expression in a broadcast theta join — JVM codegen over posting
+    ROWS (dictionary-sized: one row per term x partition, never per
+    posting entry), no UDF, no driver-side dictionary materialization.
+    """
+    cfg = cfg or BuildConfig()
+    if cfg.tokenizer == "chargram":
+        raise ValueError(
+            "fuzzy_topk requires a word-tokenizer index; edit distance "
+            "over chargrams is not meaningful — use substring_topk"
+        )
+    if not 0 <= int(max_edits) <= 2:
+        raise ValueError("max_edits must be 0..2 (the Lucene bound)")
+    rows = []
+    for q in queries.itertuples(index=False):
+        toks = tokenize_py(q.text or "", cfg)
+        if len(toks) != 1:
+            raise ValueError(
+                f"fuzzy_topk is single-term (Lucene FuzzyQuery); "
+                f"{q.text!r} tokenizes to {len(toks)} terms"
+            )
+        rows.append((int(q.query_id), toks[0], int(q.k)))
+    qpdf = pd.DataFrame(rows, columns=["query_id", "qterm", "k"])
+    if qpdf.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    _, doc_filter, doc_exclude, _, _, empty = _prep_doc_sets(
+        spark, "distributed", doc_filter, doc_exclude, 0
+    )
+    if empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    filtered = postings
+    if prefix_len > 0:
+        prefixes = sorted({t[:prefix_len] for t in qpdf["qterm"]})
+        cond = F.col("term").startswith(prefixes[0])
+        for p_ in prefixes[1:]:
+            cond = cond | F.col("term").startswith(p_)
+        filtered = filtered.where(cond)
+    if "pos" in filtered.columns:
+        filtered = filtered.drop("pos")
+    join_cond = F.levenshtein(F.col("term"), F.col("qterm")) <= int(max_edits)
+    if prefix_len > 0:
+        join_cond = join_cond & (
+            F.substring(F.col("term"), 1, prefix_len)
+            == F.substring(F.col("qterm"), 1, prefix_len)
+        )
+    matched = filtered.join(
+        F.broadcast(spark.createDataFrame(qpdf)), join_cond
+    )
+    return _term_expansion_topk(matched, doc_filter, doc_exclude)
+
+
+def wildcard_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: pd.DataFrame,
+    cfg: BuildConfig | None = None,
+    doc_filter: DataFrame | None = None,
+    doc_exclude: DataFrame | None = None,
+) -> DataFrame:
+    """Wildcard term query (Lucene WildcardQuery): `*` matches any run
+    of characters, `?` exactly one; docs containing ANY matching
+    dictionary term, ranked by summed tf, ties by doc_id.
+
+    queries: pandas (query_id, text, k) — text is the raw pattern,
+    lowercased against the normalized dictionary; characters outside
+    [a-z0-9*?] raise (they cannot appear in word-tokenized terms).
+    The match runs as SQL LIKE (`*`->`%`, `?`->`_`) — a built-in
+    codegen expression with IDENTICAL semantics in the DuckDB oracle.
+    A LEADING literal run prunes the scan via StringStartsWith (like
+    Lucene, `te*` is cheap); a leading-wildcard pattern scans the
+    dictionary rows — use substring_topk for infix search at scale.
+    """
+    import re
+
+    cfg = cfg or BuildConfig()
+    if cfg.tokenizer == "chargram":
+        raise ValueError(
+            "wildcard_topk requires a word-tokenizer index; use "
+            "substring_topk on a chargram index"
+        )
+    rows = []
+    for q in queries.itertuples(index=False):
+        pat = str(q.text or "").lower()
+        if not pat or not re.fullmatch(r"[a-z0-9*?]+", pat):
+            raise ValueError(
+                f"wildcard pattern must be non-empty [a-z0-9*?]+: "
+                f"{q.text!r}"
+            )
+        rows.append((int(q.query_id), pat,
+                     pat.replace("*", "%").replace("?", "_"), int(q.k)))
+    qpdf = pd.DataFrame(rows, columns=["query_id", "pat", "like_pat", "k"])
+    if qpdf.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    _, doc_filter, doc_exclude, _, _, empty = _prep_doc_sets(
+        spark, "distributed", doc_filter, doc_exclude, 0
+    )
+    if empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    lead = sorted({re.split(r"[*?]", p)[0] for p in qpdf["pat"]})
+    filtered = postings
+    if all(lead):  # every pattern has a literal prefix -> pushdown
+        cond = F.col("term").startswith(lead[0])
+        for p_ in lead[1:]:
+            cond = cond | F.col("term").startswith(p_)
+        filtered = filtered.where(cond)
+    if "pos" in filtered.columns:
+        filtered = filtered.drop("pos")
+    # Column.like only takes a literal; the per-row pattern goes
+    # through the SQL expression form (same LIKE semantics)
+    matched = filtered.join(
+        F.broadcast(spark.createDataFrame(qpdf.drop(columns=["pat"]))),
+        F.expr("term LIKE like_pat"),
+    )
+    return _term_expansion_topk(matched, doc_filter, doc_exclude)
 
 
 def facet_counts(
