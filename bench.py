@@ -174,6 +174,39 @@ def run_bench(sf_dir: str, cpus: int, keep_session=None) -> dict:
         timings["query_filtered"] = round(time.time() - t0, 3)
         extras["query_result_rows"]["filtered"] = nf
 
+        # round-4 query surfaces on the warm synthetic index (reported,
+        # excluded from the headline for round comparability)
+        import pandas as pd
+
+        from capsbm25.query import boolean_topk, fuzzy_topk, wildcard_topk
+
+        qb = pd.DataFrame(
+            [(int(q.query_id), q.text.split()[0],
+              " ".join(q.text.split()[1:]), fx.HOT_TERM, int(q.k))
+             for q in queries.itertuples(index=False)],
+            columns=["query_id", "must", "should", "must_not", "k"],
+        )
+        t0 = time.time()
+        extras["query_result_rows"]["boolean"] = boolean_topk(
+            spark, postings, qb, res.N, res.avgdl, cfg
+        ).count()
+        timings["query_boolean"] = round(time.time() - t0, 3)
+
+        first_terms = sorted({q.text.split()[0]
+                              for q in queries.itertuples(index=False)})[:8]
+        qf = pd.DataFrame({
+            "query_id": range(len(first_terms)),
+            "text": first_terms,
+            "k": [10] * len(first_terms),
+        })
+        t0 = time.time()
+        fuzzy_topk(spark, postings, qf, cfg, max_edits=1).count()
+        timings["query_fuzzy"] = round(time.time() - t0, 3)
+        qw = qf.assign(text=[t[:3] + "*" for t in first_terms])
+        t0 = time.time()
+        wildcard_topk(spark, postings, qw, cfg).count()
+        timings["query_wildcard"] = round(time.time() - t0, 3)
+
         # --- documents-table queries (driver tables) ---
         if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
             import __spark_entry__ as E
@@ -203,22 +236,24 @@ def run_bench(sf_dir: str, cpus: int, keep_session=None) -> dict:
             t0 = time.time()
             E.q_substring_topk(spark, sf_dir).collect()
             timings["substring_documents_query"] = round(time.time() - t0, 3)
+
+            # NEAR rides the positional documents index phrase_documents
+            # already built — this is the warm per-query cost
+            t0 = time.time()
+            E.q_near_topk(spark, sf_dir).collect()
+            timings["near_documents_query"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         if keep_session is None:
             spark.stop()
 
-    # phrase_documents / substring_documents each include THEIR OWN
-    # index build (positional / chargram-positional artifacts); report
-    # them but keep the headline total comparable to earlier rounds
-    # (same exclusion as corpus gen and worker warm-up)
+    # the headline stays an EXPLICIT include list (build + the two core
+    # query modes) so it remains comparable round-over-round no matter
+    # how many new surface timings are reported alongside — identical
+    # to the r2/r3 subtraction form for those rounds' keys
     total = round(
-        sum(timings.values()) - timings["gen"] - timings["warmup"]
-        - timings.get("phrase_documents", 0.0)
-        - timings.get("phrase_documents_query", 0.0)
-        - timings.get("substring_documents", 0.0)
-        - timings.get("substring_documents_query", 0.0)
-        - timings.get("query_filtered", 0.0), 3
+        timings["build"] + timings.get("query_kernel_wand", 0.0)
+        + timings.get("query_distributed", 0.0), 3
     )
     return {
         "metric": "index build + BM25 query wall-clock (synthetic transcript "
