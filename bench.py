@@ -247,13 +247,17 @@ def run_bench(sf_dir: str, cpus: int, keep_session=None) -> dict:
         if keep_session is None:
             spark.stop()
 
-    # the headline stays an EXPLICIT include list (build + the two core
-    # query modes) so it remains comparable round-over-round no matter
-    # how many new surface timings are reported alongside — identical
-    # to the r2/r3 subtraction form for those rounds' keys
+    # the headline stays an EXPLICIT include list so it remains
+    # comparable round-over-round no matter how many new surface
+    # timings are reported alongside — these five keys reproduce the
+    # r2/r3 totals exactly (verified against the checked-in r2/r3
+    # logs: e.g. BENCH_r03 17.346 = 10.183 + 1.341 + 1.971 + 3.107
+    # + 0.744)
     total = round(
         timings["build"] + timings.get("query_kernel_wand", 0.0)
-        + timings.get("query_distributed", 0.0), 3
+        + timings.get("query_distributed", 0.0)
+        + timings.get("bm25_documents_dataframe", 0.0)
+        + timings.get("term_df_cf_documents", 0.0), 3
     )
     return {
         "metric": "index build + BM25 query wall-clock (synthetic transcript "

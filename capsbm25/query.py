@@ -321,15 +321,37 @@ def bm25_topk(
         filtered = filtered.drop("pos")
     matched = filtered.join(F.broadcast(qdf), "term")
 
+    return _dispatch_modes(
+        mode, matched, qt, filtered, max_kernel_df, max_kernel_bytes,
+        run_kernel=lambda m: _run_kernel(
+            m, N, avgdl, cfg, prune, conjunctive, filt_bc, excl_bc),
+        run_distributed=lambda m, dfm: _run_distributed(
+            m, dfm, N, avgdl, cfg, conjunctive, doc_filter, doc_exclude),
+    )
+
+
+
+def _dispatch_modes(mode, matched, qt, filtered, max_kernel_df,
+                    max_kernel_bytes, run_kernel, run_distributed):
+    """Shared mode dispatch for every routed query surface (bm25,
+    phrase/near/substring, boolean) — ONE implementation of the auto
+    heuristic so the thresholds can never silently diverge.
+
+    Kernel mode concentrates one query's matched postings into a
+    single task — a stopword-grade term (df ~ N) would OOM it at
+    10^12 docs. Σ df over a query's terms bounds the rows that task
+    must hold and Σ encoded payload bytes bounds its memory (positions
+    skew bytes/df ~10x), so auto routes heavy queries to the
+    distributed (shuffle-aggregated) path per query. ONE narrow
+    per-TERM aggregate (rows = #query terms, pushdown-pruned scan)
+    serves both the routing sums (computed driver-side from qt) and
+    the distributed path's global df — no per-query scan, no second
+    df scan.
+
+    run_kernel(matched_subset) and run_distributed(matched_subset,
+    df_map) close over each surface's own runner arguments.
+    """
     if mode == "auto":
-        # Kernel mode concentrates one query's matched postings into a
-        # single task — a stopword-grade term (df ~ N) would OOM it at
-        # 10^12 docs. Σ df over a query's terms bounds the rows that
-        # task must hold, so route heavy queries to the distributed
-        # (shuffle-aggregated) path. ONE narrow per-TERM aggregate (rows
-        # = #query terms, pushdown-pruned scan) serves both the routing
-        # sums (computed driver-side from qt) and the distributed
-        # path's global df — no per-query scan, no second df scan.
         df_map, bytes_map = _term_stats_map(filtered)
         stats = qt.assign(
             d=qt["term"].map(df_map).fillna(0),
@@ -343,33 +365,19 @@ def bm25_topk(
             mode = "kernel"
         elif len(heavy) == stats.shape[0]:
             # every query is heavy — don't schedule an empty kernel side
-            return _run_distributed(
-                matched, df_map, N, avgdl, cfg, conjunctive, doc_filter,
-                doc_exclude,
-            ).orderBy("query_id", "rank")
+            return run_distributed(matched, df_map).orderBy(
+                "query_id", "rank")
         else:
-            light = _run_kernel(
-                matched.where(~F.col("query_id").isin(heavy)),
-                N, avgdl, cfg, prune, conjunctive, filt_bc, excl_bc,
-            )
-            dist = _run_distributed(
-                matched.where(F.col("query_id").isin(heavy)),
-                df_map, N, avgdl, cfg, conjunctive, doc_filter,
-                doc_exclude,
-            )
+            light = run_kernel(
+                matched.where(~F.col("query_id").isin(heavy)))
+            dist = run_distributed(
+                matched.where(F.col("query_id").isin(heavy)), df_map)
             return light.unionByName(dist).orderBy("query_id", "rank")
-
     if mode == "kernel":
-        return _run_kernel(
-            matched, N, avgdl, cfg, prune, conjunctive, filt_bc, excl_bc
-        ).orderBy("query_id", "rank")
-
+        return run_kernel(matched).orderBy("query_id", "rank")
     if mode == "distributed":
-        return _run_distributed(
-            matched, _term_df_map(filtered), N, avgdl, cfg, conjunctive,
-            doc_filter, doc_exclude,
-        ).orderBy("query_id", "rank")
-
+        return run_distributed(
+            matched, _term_df_map(filtered)).orderBy("query_id", "rank")
     raise ValueError(mode)
 
 
@@ -593,15 +601,22 @@ def boolean_topk(
     Returns (query_id, doc_id, score, rank) — rank ties by doc_id.
     """
     cfg = cfg or BuildConfig()
+    missing = {"must", "should", "must_not", "k"} - set(queries.columns)
+    if missing:
+        # explicit: a typo'd clause column (mustnot, shoulds) must not
+        # silently evaluate as an empty clause
+        raise ValueError(
+            f"boolean_topk queries missing columns {sorted(missing)}; "
+            "pass empty strings for unused clauses"
+        )
     rows = []
     for q in queries.itertuples(index=False):
-        must = sorted(set(tokenize_py(getattr(q, "must", "") or "", cfg)))
-        nots = set(tokenize_py(getattr(q, "must_not", "") or "", cfg))
+        must = sorted(set(tokenize_py(q.must or "", cfg)))
+        nots = set(tokenize_py(q.must_not or "", cfg))
         if set(must) & nots:
             continue  # required AND prohibited — provably empty
         should = sorted(
-            set(tokenize_py(getattr(q, "should", "") or "", cfg))
-            - set(must) - nots
+            set(tokenize_py(q.should or "", cfg)) - set(must) - nots
         )
         if not must and not should:
             continue  # no positive clause
@@ -630,42 +645,13 @@ def boolean_topk(
         filtered = filtered.drop("pos")
     matched = filtered.join(F.broadcast(qdf), "term")
 
-    if mode == "auto":
-        df_map, bytes_map = _term_stats_map(filtered)
-        stats = qt.assign(
-            d=qt["term"].map(df_map).fillna(0),
-            nb=qt["term"].map(bytes_map).fillna(0),
-        ).groupby("query_id")[["d", "nb"]].sum()
-        heavy = sorted(
-            int(q_) for q_, row in stats.iterrows()
-            if row["d"] > max_kernel_df or row["nb"] > max_kernel_bytes
-        )
-        if not heavy:
-            mode = "kernel"
-        elif len(heavy) == stats.shape[0]:
-            return _run_boolean_distributed(
-                matched, df_map, N, avgdl, cfg, doc_filter, doc_exclude,
-            ).orderBy("query_id", "rank")
-        else:
-            light = _run_boolean_kernel(
-                matched.where(~F.col("query_id").isin(heavy)),
-                N, avgdl, cfg, filt_bc, excl_bc,
-            )
-            dist = _run_boolean_distributed(
-                matched.where(F.col("query_id").isin(heavy)),
-                df_map, N, avgdl, cfg, doc_filter, doc_exclude,
-            )
-            return light.unionByName(dist).orderBy("query_id", "rank")
-    if mode == "kernel":
-        return _run_boolean_kernel(
-            matched, N, avgdl, cfg, filt_bc, excl_bc
-        ).orderBy("query_id", "rank")
-    if mode == "distributed":
-        return _run_boolean_distributed(
-            matched, _term_df_map(filtered), N, avgdl, cfg,
-            doc_filter, doc_exclude,
-        ).orderBy("query_id", "rank")
-    raise ValueError(mode)
+    return _dispatch_modes(
+        mode, matched, qt, filtered, max_kernel_df, max_kernel_bytes,
+        run_kernel=lambda m: _run_boolean_kernel(
+            m, N, avgdl, cfg, filt_bc, excl_bc),
+        run_distributed=lambda m, dfm: _run_boolean_distributed(
+            m, dfm, N, avgdl, cfg, doc_filter, doc_exclude),
+    )
 
 
 def _run_boolean_kernel(matched, N, avgdl, cfg,
@@ -786,13 +772,11 @@ def _run_boolean_distributed(matched, df_map, N, avgdl, cfg,
             ).alias("nm"),
             F.sum(F.when(F.col("role") == "not", F.lit(1))
                   .otherwise(F.lit(0))).alias("nn"),
-            F.count_distinct(
-                F.when(F.col("role") != "not", F.col("term"))
-            ).alias("npos"),
             F.first("n_must").alias("n_must"),
         )
-        .where((F.col("nm") == F.col("n_must"))
-               & (F.col("nn") == 0) & (F.col("npos") > 0))
+        # a (query, doc) group only exists if >= 1 term matched, so
+        # nn == 0 already implies a positive match — no npos count
+        .where((F.col("nm") == F.col("n_must")) & (F.col("nn") == 0))
     )
     return _window_topk(scored)
 
@@ -889,45 +873,14 @@ def phrase_topk(
     if empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
-    if mode == "auto":
-        df_map, bytes_map = _term_stats_map(filtered)
-        stats = qt.assign(
-            d=qt["term"].map(df_map).fillna(0),
-            nb=qt["term"].map(bytes_map).fillna(0),
-        ).groupby("query_id")[["d", "nb"]].sum()
-        heavy = sorted(
-            int(q_) for q_, row in stats.iterrows()
-            if row["d"] > max_kernel_df or row["nb"] > max_kernel_bytes
-        )
-        if not heavy:
-            mode = "kernel"
-        elif len(heavy) == stats.shape[0]:
-            return _run_phrase_distributed(
-                matched, df_map, N, avgdl, cfg, count_scores,
-                doc_filter, doc_exclude, qt, near=near,
-            ).orderBy("query_id", "rank")
-        else:
-            light = _run_phrase_kernel(
-                matched.where(~F.col("query_id").isin(heavy)), N, avgdl,
-                cfg, count_scores, filt_bc, excl_bc, near=near,
-            )
-            dist = _run_phrase_distributed(
-                matched.where(F.col("query_id").isin(heavy)),
-                df_map, N, avgdl, cfg, count_scores,
-                doc_filter, doc_exclude, qt, near=near,
-            )
-            return light.unionByName(dist).orderBy("query_id", "rank")
-    if mode == "kernel":
-        return _run_phrase_kernel(
-            matched, N, avgdl, cfg, count_scores, filt_bc, excl_bc,
-            near=near,
-        ).orderBy("query_id", "rank")
-    if mode == "distributed":
-        return _run_phrase_distributed(
-            matched, _term_df_map(filtered), N, avgdl, cfg, count_scores,
-            doc_filter, doc_exclude, qt, near=near,
-        ).orderBy("query_id", "rank")
-    raise ValueError(mode)
+    return _dispatch_modes(
+        mode, matched, qt, filtered, max_kernel_df, max_kernel_bytes,
+        run_kernel=lambda m: _run_phrase_kernel(
+            m, N, avgdl, cfg, count_scores, filt_bc, excl_bc, near=near),
+        run_distributed=lambda m, dfm: _run_phrase_distributed(
+            m, dfm, N, avgdl, cfg, count_scores, doc_filter, doc_exclude,
+            qt, near=near),
+    )
 
 
 def near_topk(
@@ -1015,10 +968,14 @@ def _near_hit_ranks(
     (greedy-minimal successors minimize the final span, so existence is
     exact), then keep chains spanning <= window-1.
 
-    ordered=False: classic minimal-window cover, a two-pointer pass per
-    doc over the merged stream (inherently sequential; the loop is per
-    CANDIDATE doc inside one numpy kernel call — microseconds per doc,
-    not an applyInPandas group per doc)."""
+    ordered=False: ALSO fully vectorized via the anchor reformulation:
+    a position set has span <= window-1 iff, taking its MINIMUM p as
+    the anchor, every token has an occurrence in [p, p+window-1]; the
+    anchor of any witness is some token's position, so testing every
+    position of every token as an anchor (one searchsorted per token
+    over all anchors at once) is exact — no per-position Python, the
+    same no-row-at-a-time contract as the rest of the engine. A window
+    never straddles docs because window < M."""
     toks = list(dict.fromkeys(tokens))
     if ordered:
         start = streams[toks[0]]
@@ -1034,44 +991,17 @@ def _near_hit_ranks(
                 return np.zeros(0, dtype=np.int64)
         hit = start[(cur - start) <= (window - 1)]
         return np.unique(hit // M)
-    k = len(toks)
-    all_keys = np.concatenate([streams[t] for t in toks])
-    tids = np.concatenate([
-        np.full(streams[t].size, i, dtype=np.int64)
-        for i, t in enumerate(toks)
-    ])
-    order = np.argsort(all_keys, kind="stable")
-    keys, tids = all_keys[order], tids[order]
-    ranks = keys // M
-    bounds = np.concatenate((
-        [0], np.flatnonzero(ranks[1:] != ranks[:-1]) + 1, [ranks.size]))
-    hits = []
-    keys_l, tids_l = keys.tolist(), tids.tolist()
-    for bi in range(len(bounds) - 1):
-        lo, hi = int(bounds[bi]), int(bounds[bi + 1])
-        cnt = [0] * k
-        have = 0
-        left = lo
-        found = False
-        for right in range(lo, hi):
-            c = tids_l[right]
-            cnt[c] += 1
-            if cnt[c] == 1:
-                have += 1
-            while have == k:
-                if keys_l[right] - keys_l[left] <= window - 1:
-                    found = True
-                    break
-                cl = tids_l[left]
-                cnt[cl] -= 1
-                if cnt[cl] == 0:
-                    have -= 1
-                left += 1
-            if found:
-                break
-        if found:
-            hits.append(int(ranks[lo]))
-    return np.asarray(hits, dtype=np.int64)
+    anchors = np.concatenate([streams[t] for t in toks])
+    ok = np.ones(anchors.size, dtype=bool)
+    for t in toks:
+        arr = streams[t]
+        lo = np.searchsorted(arr, anchors, side="left")
+        has = lo < arr.size
+        has[has] = arr[lo[has]] <= anchors[has] + (window - 1)
+        ok &= has
+        if not ok.any():
+            return np.zeros(0, dtype=np.int64)
+    return np.unique(anchors[ok] // M)
 
 
 def _phrase_occurrences(
@@ -1124,7 +1054,9 @@ def _run_phrase_kernel(matched, N, avgdl, cfg,
                        count_scores: bool = False,
                        filt_bc=None, excl_bc=None,
                        near: tuple | None = None) -> DataFrame:
-    assert not (count_scores and near), "count scoring is phrase-only"
+    if count_scores and near:
+        raise ValueError("count scoring is phrase/substring-only")
+
     def kernel(key, pdf):
         k = int(pdf["k"].iloc[0])
         qid = int(pdf["query_id"].iloc[0])
@@ -1206,7 +1138,6 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
                             doc_exclude: DataFrame | None = None,
                             qt: pd.DataFrame | None = None,
                             near: tuple | None = None) -> DataFrame:
-    assert not (count_scores and near), "count scoring is phrase-only"
     """Scale path, two passes so positions only ship for AND candidates:
 
     1. NARROW pass — one row per (query, term, doc) with the BM25
@@ -1224,6 +1155,8 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
     phrase term costs one narrow shuffle, not a positional one (at the
     price of decoding the matched postings twice, which is cheap next
     to shuffled bytes at cluster scale)."""
+    if count_scores and near:
+        raise ValueError("count scoring is phrase/substring-only")
     from capsbm25.codec import decode_pair_positions
 
     session = matched.sparkSession
@@ -1732,8 +1665,12 @@ def fuzzy_topk(
                 f"fuzzy_topk is single-term (Lucene FuzzyQuery); "
                 f"{q.text!r} tokenizes to {len(toks)} terms"
             )
-        rows.append((int(q.query_id), toks[0], int(q.k)))
-    qpdf = pd.DataFrame(rows, columns=["query_id", "qterm", "k"])
+        # prefix clamps to the term length (Lucene realPrefixLength):
+        # prefix_len > len(qterm) must not silently empty the query
+        rows.append((int(q.query_id), toks[0],
+                     toks[0][:prefix_len] if prefix_len > 0 else "",
+                     int(q.k)))
+    qpdf = pd.DataFrame(rows, columns=["query_id", "qterm", "pfx", "k"])
     if qpdf.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
     _, doc_filter, doc_exclude, _, _, empty = _prep_doc_sets(
@@ -1743,7 +1680,7 @@ def fuzzy_topk(
         return spark.createDataFrame([], RESULT_SCHEMA)
     filtered = postings
     if prefix_len > 0:
-        prefixes = sorted({t[:prefix_len] for t in qpdf["qterm"]})
+        prefixes = sorted(set(qpdf["pfx"]))
         cond = F.col("term").startswith(prefixes[0])
         for p_ in prefixes[1:]:
             cond = cond | F.col("term").startswith(p_)
@@ -1752,12 +1689,11 @@ def fuzzy_topk(
         filtered = filtered.drop("pos")
     join_cond = F.levenshtein(F.col("term"), F.col("qterm")) <= int(max_edits)
     if prefix_len > 0:
-        join_cond = join_cond & (
-            F.substring(F.col("term"), 1, prefix_len)
-            == F.substring(F.col("qterm"), 1, prefix_len)
-        )
+        join_cond = join_cond & F.col("term").startswith(F.col("pfx"))
     matched = filtered.join(
-        F.broadcast(spark.createDataFrame(qpdf)), join_cond
+        F.broadcast(spark.createDataFrame(qpdf.drop(columns=["pfx"])
+                                          if prefix_len <= 0 else qpdf)),
+        join_cond,
     )
     return _term_expansion_topk(matched, doc_filter, doc_exclude)
 
