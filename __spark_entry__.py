@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from capsbm25.build import build_index, load_postings  # noqa: E402
+from capsbm25.build import build_index, load_dictionary, load_postings  # noqa: E402
 from capsbm25.config import BuildConfig  # noqa: E402
 from capsbm25.postings import extract_pairs  # noqa: E402
 from capsbm25.query import bm25_topk  # noqa: E402
@@ -360,7 +360,8 @@ def q_fuzzy_topk(spark, sf_dir):
          "k": np.array([EXPANSION_K], dtype=np.int32)}
     )
     got = fuzzy_topk(spark, load_postings(spark, b["out"]), queries, CFG,
-                     max_edits=FUZZY_EDITS)
+                     max_edits=FUZZY_EDITS,
+                     dictionary=load_dictionary(spark, b["out"]))
     return (
         got.alias("g")
         .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
@@ -385,7 +386,8 @@ def q_wildcard_topk(spark, sf_dir):
          "text": [WILDCARD_PATTERN],
          "k": np.array([EXPANSION_K], dtype=np.int32)}
     )
-    got = wildcard_topk(spark, load_postings(spark, b["out"]), queries, CFG)
+    got = wildcard_topk(spark, load_postings(spark, b["out"]), queries, CFG,
+                        dictionary=load_dictionary(spark, b["out"]))
     return (
         got.alias("g")
         .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
@@ -785,7 +787,8 @@ def q_prefix_topk(spark, sf_dir):
          "k": np.array([PREFIX_K], dtype=np.int32)}
     )
     got = prefix_topk(
-        spark, load_postings(spark, b["out"]), queries, CFG
+        spark, load_postings(spark, b["out"]), queries, CFG,
+        dictionary=load_dictionary(spark, b["out"]),
     )
     return (
         got.alias("g")

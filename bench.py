@@ -70,18 +70,18 @@ def run_bench(sf_dir: str, cpus: int, keep_session=None) -> dict:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.local.dir", (scratch or "/tmp") + "/spark-local")
-        # the part_id-partitioned postings layout creates hundreds of
-        # dirs; above 32 paths Spark launches a distributed listing JOB
-        # per read — pure task overhead on a local fs (keep the default
-        # on object-store clusters, where parallel listing wins)
-        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
-                "8192")
+        # NB: the partition-discovery listing threshold + concurrent
+        # writer confs are now applied by the ENGINE itself
+        # (capsbm25/session.py, called from build_index/load_postings) —
+        # the bench deliberately relies on that path
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     cfg = BuildConfig(
-        num_part_ids=512,
+        # num_part_ids left adaptive (None): resolves to
+        # max(shuffle*waves=128, N/2048) so file count tracks task count
+        # at small corpora and grows with the corpus (config.py)
         shuffle_partitions=64,
         num_waves=2,
     )
@@ -178,7 +178,10 @@ def run_bench(sf_dir: str, cpus: int, keep_session=None) -> dict:
         # excluded from the headline for round comparability)
         import pandas as pd
 
+        from capsbm25.build import load_dictionary
         from capsbm25.query import boolean_topk, fuzzy_topk, wildcard_topk
+
+        dictionary = load_dictionary(spark, res.out_dir)
 
         qb = pd.DataFrame(
             [(int(q.query_id), q.text.split()[0],
@@ -200,11 +203,13 @@ def run_bench(sf_dir: str, cpus: int, keep_session=None) -> dict:
             "k": [10] * len(first_terms),
         })
         t0 = time.time()
-        fuzzy_topk(spark, postings, qf, cfg, max_edits=1).count()
+        fuzzy_topk(spark, postings, qf, cfg, max_edits=1,
+                   dictionary=dictionary).count()
         timings["query_fuzzy"] = round(time.time() - t0, 3)
         qw = qf.assign(text=[t[:3] + "*" for t in first_terms])
         t0 = time.time()
-        wildcard_topk(spark, postings, qw, cfg).count()
+        wildcard_topk(spark, postings, qw, cfg,
+                      dictionary=dictionary).count()
         timings["query_wildcard"] = round(time.time() - t0, 3)
 
         # --- documents-table queries (driver tables) ---

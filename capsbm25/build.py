@@ -118,6 +118,12 @@ def build_index(
     """Build the full index under out_dir. stop_after_wave is a fault-
     injection hook for the kill-and-resume test."""
     cfg = cfg or BuildConfig()
+    from capsbm25.session import configure_session
+
+    # engine-owned session tunings (listing threshold, concurrent
+    # writers) — previously bench-only, so user sessions paid a
+    # distributed-listing job per partitioned read (see session.py)
+    configure_session(spark, out_dir)
     if not resume and os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
@@ -182,6 +188,10 @@ def build_index(
     with open(os.path.join(out_dir, "corpus_stats.json")) as f:
         corpus = json.load(f)
     N, avgdl = corpus["N"], corpus["avgdl"]
+    # adaptive partitioning resolves HERE, the first point N is known
+    # (resume-safe: N is read back from the persisted corpus_stats, so
+    # a resumed build resolves to the identical part count)
+    cfg = cfg.resolve_parts(N)
 
     # --- stage: plan (samplesort splitters + hot terms; lineage) ---
     def stage_plan():
@@ -300,14 +310,55 @@ def build_index(
         return {"rows": n, "checksum": h}
 
     timed("hot_merge", stage_hot)
+
+    # --- stage: term dictionary (expansion-family side index) ---
+    # One narrow row per (term, part_id) with df/cf — the analog of the
+    # reference's sorted term order enabling upper_bound range scans
+    # (/root/reference/src/Suffix_Array.cpp:252-297) and of Lucene's
+    # term-dictionary FST. fuzzy/wildcard/prefix predicates evaluate
+    # against THESE rows (no payload columns in the file at all), then
+    # prune the postings scan by the matched In(term)/In(part_id)
+    # (query.py _expansion_matched). Written sorted by term so
+    # row-group min/max stats prune prefix scans. Cost: one
+    # column-pruned agg-free scan of the final postings + a tiny write.
+    def stage_dict():
+        d = (
+            load_postings(spark, out_dir)
+            .select("term", "part_id", "df", "cf")
+            .sortWithinPartitions("term")
+        )
+        write_table(d, os.path.join(out_dir, "dictionary"))
+        return {}
+
+    timed("dictionary", stage_dict)
     return BuildResult(out_dir, N, avgdl, plan, metrics)
 
 
 def load_postings(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Final postings: all waves, salted partials replaced by merged."""
+    """Final postings: all waves, salted partials replaced by merged.
+
+    This is the query-side index-open surface, so it also applies the
+    engine's session confs (listing threshold for the hundreds of
+    part_id dirs — see session.py) for sessions that never ran a build.
+    """
+    from capsbm25.session import configure_session
+
+    configure_session(spark, out_dir)
     return spark.read.parquet(os.path.join(out_dir, "postings")).where(
         ~F.col("partial")
     )
+
+
+def load_dictionary(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Term dictionary side index (term, part_id, df, cf) persisted by
+    the build's dictionary stage; None for indexes that predate it or
+    streaming segment dirs (expansion queries then fall back to a
+    pruned 2-column projection of the postings — see
+    query._expansion_matched)."""
+    path = os.path.join(out_dir, "dictionary")
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path)
 
 
 def load_doc_stats(spark: SparkSession, out_dir: str) -> DataFrame:

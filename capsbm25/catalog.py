@@ -18,7 +18,11 @@ catalog namespace and the same build writes Iceberg tables.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
+
+_WRITER_CONF_LOCK = threading.Lock()
 
 
 def iceberg_catalogs(spark: SparkSession) -> list[str]:
@@ -59,21 +63,30 @@ def write_table(
         # single writer can stream dir-by-dir — a pipeline break that
         # measured +~15% build wall at bench scale. A task holds at most
         # a handful of part dirs (parts-per-wave / tasks), so concurrent
-        # writers are cheap; set transiently and restore. NB: session-
-        # global conf — build stages are single-writer by construction,
-        # but a concurrent partitioned write from another thread of the
-        # same session would race the restore (harmless value, noted).
+        # writers are cheap. Sessions that went through
+        # session.configure_session already carry >=64 and skip the
+        # transient set/restore entirely; otherwise the set/write/restore
+        # is serialized under a module lock so two threads of one session
+        # can't interleave set/restore and strand the wrong value.
         spark = df.sparkSession
         key = "spark.sql.maxConcurrentOutputFileWriters"
-        prev = spark.conf.get(key, None)
-        spark.conf.set(key, "64")
         try:
+            cur = int(spark.conf.get(key, "0"))
+        except (TypeError, ValueError):
+            cur = 0
+        if cur >= 64:
             df.write.mode(mode).partitionBy(*partition_by).parquet(dest)
-        finally:
-            if prev is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, prev)
+            return
+        with _WRITER_CONF_LOCK:
+            prev = spark.conf.get(key, None)
+            spark.conf.set(key, "64")
+            try:
+                df.write.mode(mode).partitionBy(*partition_by).parquet(dest)
+            finally:
+                if prev is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, prev)
         return
     df.write.mode(mode).parquet(dest)
 

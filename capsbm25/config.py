@@ -18,7 +18,14 @@ from dataclasses import dataclass, field
 @dataclass
 class BuildConfig:
     # --- partitioning (the samplesort graft) ---
-    num_part_ids: int = 512          # logical range partitions (oversubscribed)
+    # None = ADAPTIVE: resolved from the corpus size at build time
+    # (resolve_parts). The round-4 fixed 512 made parts-per-wave >> task
+    # count at small corpora, and the partitionBy(part_id) layout then
+    # paid ~3ms/file writer init + listing cost for hundreds of files a
+    # 32-task wave would have written as 32 — measured ~3-4s of the
+    # sf0.1 bench wall. Adaptive keeps file count ~= task count until
+    # the corpus genuinely needs more range granularity.
+    num_part_ids: int | None = None  # logical range partitions (oversubscribed)
     shuffle_partitions: int = 32     # physical Spark shuffle partitions
     samples_per_part: int = 32       # splitter oversampling per logical part
     sample_fraction: float | None = None  # None = derived from corpus estimate
@@ -64,8 +71,33 @@ class BuildConfig:
     # --- misc ---
     extra: dict = field(default_factory=dict)
 
+    # adaptive-partitioning shape: ~2048 docs of posting mass per
+    # logical part (matches the hand-tuned 512 parts at 1.05M turns,
+    # the scale where the partitioned layout starts paying for itself)
+    DOCS_PER_PART = 2048
+
+    def resolve_parts(self, n_docs: int) -> "BuildConfig":
+        """Resolve num_part_ids from the corpus size (no-op when the
+        caller pinned it). Floor: shuffle_partitions * num_waves, so
+        each wave writes ~one part dir per task — the file count of an
+        unpartitioned layout. Cap: grows with configured parallelism
+        (16 parts/task of oversubscription headroom) up to the
+        reference's 8192 subproblem cap (Suffix_Array.hpp:42)."""
+        if self.num_part_ids is not None:
+            return self
+        import dataclasses
+
+        floor_parts = max(1, self.shuffle_partitions * self.num_waves)
+        cap = min(8192, max(512, 16 * self.shuffle_partitions))
+        eff = max(floor_parts, min(cap, n_docs // self.DOCS_PER_PART))
+        return dataclasses.replace(self, num_part_ids=int(eff))
+
     @property
     def parts_per_wave(self) -> int:
+        if self.num_part_ids is None:
+            raise ValueError(
+                "num_part_ids is adaptive (None) — call resolve_parts(N) first"
+            )
         return max(1, -(-self.num_part_ids // self.num_waves))
 
     # Fields that MUST match between build and query time: they shape the

@@ -145,7 +145,12 @@ def compute_id_plan(df: DataFrame, cfg: BuildConfig) -> IdPlan:
     """
     from pyspark.sql import Observation
 
-    n_parts = cfg.num_part_ids
+    # the DOC-id split count only balances the id-assignment shuffle —
+    # doc_ids themselves are dense ranks of (conv_id, turn_idx) and are
+    # invariant to it — so adaptive cfgs (num_part_ids=None, resolved
+    # later from N, which is unknown here) use a parallelism-derived
+    # default rather than waiting for resolution
+    n_parts = cfg.num_part_ids or max(64, cfg.shuffle_partitions * 4)
     target = n_parts * cfg.samples_per_part
     obs = Observation()
     pri = F.xxhash64("conv_id", "turn_idx", F.lit(cfg.seed))

@@ -662,7 +662,7 @@ def merge_hot_partials(
 
     with_pos = cfg.index_positions
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         nonlocal drop
         if isinstance(drop, Broadcast):
             drop = drop.value

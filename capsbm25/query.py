@@ -35,6 +35,8 @@ never enter the top-k (ties break by doc_id among survivors only).
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -48,21 +50,25 @@ from capsbm25.tokenize import tokenize_py
 
 RESULT_SCHEMA = "query_id int, doc_id long, score double, rank int"
 
+_logger = logging.getLogger("capsbm25.query")
+
 # distributed-phrase positions pass: AND-candidate sets up to this many
 # rows are collected + broadcast so candidates mask map-side BEFORE any
 # positional row is materialized; larger sets stay distributed as
 # per-(query, term) sorted candidate arrays joined onto the posting
 # rows (module-level so tests can force the fallbacks)
 MAX_CAND_COLLECT = 200_000
-# ... and beyond THIS many candidate rows even the per-(query, term)
-# array form is unsafe (collect_list builds ONE row holding the whole
-# candidate set — a single-task O(cand) array that hits Spark's 2GB
-# row limit around ~2x10^8 int64s), so the positions pass degrades to
-# the plain join: every posting row's positions materialize (O(cf x
-# tf) shuffle) but no single task ever holds the candidate set. Three
-# tiers, each correct, each bounded by the thing the previous tier
-# could not bound.
-MAX_CAND_ARRAY = 20_000_000
+# ... and beyond the collect cap the candidate set stays distributed,
+# CHUNKED by doc-id range: chunk = doc_id // CAND_CHUNK_SPAN, so every
+# per-(query, chunk) collect_list row holds at most CAND_CHUNK_SPAN
+# int64s (~32 MB) no matter how many candidates exist — the map-side
+# mask stays O(cand x tf) at ANY candidate cardinality and no row can
+# approach Spark's 2GB limit (the pre-round-5 design degraded to an
+# unmasked O(cf x tf) join past 2x10^7 candidates). Range chunking
+# needs no count, no window, no global sort: it is one floor-divide,
+# chunks are disjoint doc ranges, and the bound is structural
+# (<= span distinct doc_ids fit a span-sized range).
+CAND_CHUNK_SPAN = 4_000_000
 
 
 def _query_terms_pdf(queries: pd.DataFrame, cfg: BuildConfig) -> pd.DataFrame:
@@ -455,7 +461,7 @@ def _run_kernel(matched, N, avgdl, cfg, prune, conjunctive,
                 filt_bc=None, excl_bc=None) -> DataFrame:
     # filt_bc/excl_bc: optional pyspark Broadcasts of sorted int64
     # doc-id arrays (one copy per executor, not per task — can be MBs)
-    def kernel(key, pdf):
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         filt = filt_bc.value if filt_bc is not None else None
         excl = excl_bc.value if excl_bc is not None else None
         return _score_query_kernel(pdf, N, avgdl, cfg, prune, conjunctive,
@@ -656,7 +662,7 @@ def boolean_topk(
 
 def _run_boolean_kernel(matched, N, avgdl, cfg,
                         filt_bc=None, excl_bc=None) -> DataFrame:
-    def kernel(key, pdf):
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         k = int(pdf["k"].iloc[0])
         qid = int(pdf["query_id"].iloc[0])
         n_must = int(pdf["n_must"].iloc[0])
@@ -1057,7 +1063,7 @@ def _run_phrase_kernel(matched, N, avgdl, cfg,
     if count_scores and near:
         raise ValueError("count scoring is phrase/substring-only")
 
-    def kernel(key, pdf):
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         k = int(pdf["k"].iloc[0])
         qid = int(pdf["query_id"].iloc[0])
         phrase = list(pdf["phrase"].iloc[0])
@@ -1244,38 +1250,49 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
         cand_bc = session.sparkContext.broadcast(cand_map)
         and_docs = F.broadcast(session.createDataFrame(cand_pdf))
         pos_src = matched
-    elif and_docs.count() <= MAX_CAND_ARRAY:
-        # Over the collect cap the candidate set stays DISTRIBUTED: per
-        # (query, term) the sorted candidate-doc array is aggregated
-        # from the persisted and_docs and shuffle-joined onto the
-        # matched posting rows, so the positions kernel still masks
-        # BEFORE materializing any positional row — shuffled positional
-        # bytes stay O(cand x tf) (the pre-round-4 fallback shipped
-        # O(cf x tf) rows: every posting entry of every phrase term).
-        # The cand array rides one row per (query, term, part) —
-        # bounded duplication (salt parts), never per posting entry.
+    else:
+        # Over the collect cap the candidate set stays DISTRIBUTED and
+        # CHUNKED: candidates bucket by doc-id range (chunk = doc_id //
+        # CAND_CHUNK_SPAN — structurally <= span entries per chunk, no
+        # count/window/global sort needed), one sorted array row per
+        # (query, chunk), fanned out per term and joined onto the
+        # matched posting rows. The positions kernel masks BEFORE
+        # materializing any positional row, each joined row's chunk
+        # covers a disjoint doc range (so emitted rows union without
+        # duplicates), and shuffled positional bytes stay O(cand x tf)
+        # at ANY candidate cardinality — there is no unmasked fallback
+        # tier any more. Duplication accounting: the cand arrays ride
+        # one row per (query, term, part, chunk) — parts per hot term
+        # (<= salt buckets) x non-empty chunks, never per posting
+        # entry; conversely a posting row's payload replicates once
+        # per non-empty chunk of its query (> 1 only beyond ~4M
+        # candidates in one doc-range span). Logged below because a
+        # workload living in this tier is worth diagnosing.
         # (The persisted and_docs outlives this call until the result
         # DataFrame is released — Spark's ContextCleaner unpersists the
         # cached blocks once the plan is garbage-collected; there is no
         # earlier safe point because the final join below executes
         # lazily.)
+        n_cand = and_docs.count()
+        _logger.info(
+            "positions pass: distributed chunked candidate mask engaged "
+            "(%d candidate rows > MAX_CAND_COLLECT=%d, chunk span %d)",
+            n_cand, MAX_CAND_COLLECT, CAND_CHUNK_SPAN,
+        )
         qterm = F.broadcast(session.createDataFrame(
             qt[["query_id", "term"]].drop_duplicates()))
         cand_lists = (
             and_docs.select("query_id", "doc_id")
-            .join(qterm, "query_id")
-            .groupBy("term", "query_id")
+            .withColumn(
+                "cand_chunk",
+                F.floor(F.col("doc_id") / F.lit(int(CAND_CHUNK_SPAN))),
+            )
+            .groupBy("query_id", "cand_chunk")
             .agg(F.sort_array(F.collect_list("doc_id")).alias("cand_docs"))
+            .join(qterm, "query_id")
+            .select("term", "query_id", "cand_docs")
         )
         pos_src = matched.join(cand_lists, ["term", "query_id"])
-    else:
-        # Tier 3, the unbounded-candidate safety net: the per-(query,
-        # term) array row itself would exceed single-row limits, so no
-        # map-side mask at all — every matched posting row's positions
-        # materialize and the (persisted) and_docs prunes them in the
-        # join. O(cf x tf) positional shuffle, but no task and no row
-        # ever holds the candidate set.
-        pos_src = matched
 
     def pos_rows(it):
         # FLAT (query, term, doc, pos) long rows — one np.repeat per
@@ -1324,7 +1341,7 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
     )
     joined = p.join(and_docs, ["query_id", "doc_id"])
 
-    def verify(key, pdf):
+    def verify(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         # BATCH verify: one vectorized composite-key intersect over ALL
         # docs in the salt bucket at once — the flat-row analog of the
         # kernel's _phrase_occurrences. A per-(query, doc) group shape
@@ -1538,6 +1555,7 @@ def prefix_topk(
     cfg: BuildConfig | None = None,
     doc_filter: DataFrame | None = None,
     doc_exclude: DataFrame | None = None,
+    dictionary: DataFrame | None = None,
 ) -> DataFrame:
     """Prefix query (Lucene PrefixQuery / the reference suffix array's
     term-range scan): docs containing ANY term starting with the
@@ -1551,12 +1569,13 @@ def prefix_topk(
     with the term dictionary); on a chargram index a "prefix of a
     gram" is not a meaningful query — use substring_topk.
 
-    Scale shape: the StringStartsWith predicates push into the parquet
-    scan (row groups without matching terms are skipped), the tiny
-    query table broadcast-theta-joins the surviving rows, and scoring
-    is the narrow decode + aggregate + two-phase top-k — no kernel mode
-    because a prefix can expand to unboundedly many terms; no task
-    ever holds more than one posting row."""
+    Scale shape (round 5): the StringStartsWith predicates push into
+    the DICTIONARY scan (the persisted side index, or a 2-column
+    postings projection), the matched terms prune the postings scan
+    via pushed In(term)/In(part_id), and scoring is the narrow decode
+    + aggregate + two-phase top-k — no kernel mode because a prefix
+    can expand to unboundedly many terms; no task ever holds more
+    than one posting row."""
     cfg = cfg or BuildConfig()
     if cfg.tokenizer == "chargram":
         raise ValueError(
@@ -1579,15 +1598,89 @@ def prefix_topk(
     cond = F.col("term").startswith(prefixes[0])
     for p in prefixes[1:]:
         cond = cond | F.col("term").startswith(p)
-    filtered = postings.where(cond)
-    if "pos" in filtered.columns:
-        filtered = filtered.drop("pos")
-    qdf = spark.createDataFrame(qpdf)
-    matched = filtered.join(
-        F.broadcast(qdf), F.col("term").startswith(F.col("prefix"))
+    matched = _expansion_matched(
+        spark, postings, dictionary, spark.createDataFrame(qpdf),
+        F.col("term").startswith(F.col("prefix")), scan_cond=cond,
     )
-
+    if matched is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
     return _term_expansion_topk(matched, doc_filter, doc_exclude)
+
+
+# term-expansion queries collect the matched dictionary pairs to the
+# driver up to this many rows so the postings scan gets pushed-down
+# In(term)/In(part_id) predicates (file + row-group pruning); beyond
+# it the match stays a distributed equi-join on term. The cap is the
+# analog of Lucene's bounded MultiTermQuery rewrites.
+MAX_EXPANSION_COLLECT = 50_000
+
+
+def _expansion_matched(
+    spark: SparkSession,
+    postings: DataFrame,
+    dictionary: DataFrame | None,
+    qdf: DataFrame,
+    join_cond,
+    scan_cond=None,
+):
+    """Shared head of the term-EXPANSION query family: evaluate the
+    term predicate against the DICTIONARY, not the posting payloads.
+
+    The reference's sorted suffix array makes term-range expansion a
+    binary search over the term dictionary
+    (/root/reference/src/Suffix_Array.cpp:252-297), and Lucene walks a
+    term-dictionary FST; the pre-round-5 shape here instead evaluated
+    levenshtein/LIKE against every posting ROW — whose scan must read
+    the payload binaries (doc_ids/tfs/dls) for every row because the
+    theta-join filters only after the scan. This helper restores the
+    dictionary shape:
+
+    1. predicate runs over `dictionary` (term, part_id — narrow rows,
+       one per term x part; the persisted build artifact when
+       available, else a 2-column pruned projection of the postings);
+    2. matched (term, part_id, query_id, k) pairs collect to the
+       driver (capped at MAX_EXPANSION_COLLECT);
+    3. the postings scan is pruned by In(part_id) (FILE pruning on the
+       partitioned layout) + In(term) (row-group pruning) BEFORE its
+       payload columns are read, then equi-joined to the broadcast
+       pairs.
+
+    Over the cap the match degrades to a distributed equi-join on term
+    (still dictionary-driven — never a theta join over payload rows).
+    Returns the matched posting-row frame carrying query_id and k.
+    """
+    dic = dictionary if dictionary is not None else postings
+    cols = ["term"] + (["part_id"] if "part_id" in dic.columns else [])
+    dic = dic.select(*cols)
+    if scan_cond is not None:
+        dic = dic.where(scan_cond)
+    dm = dic.join(F.broadcast(qdf), join_cond)
+    posts = postings.drop("pos") if "pos" in postings.columns else postings
+    sel_cols = ["term", "query_id", "k"] + (
+        ["part_id"] if "part_id" in cols else [])
+    pairs_pdf = dm.select(*sel_cols).limit(
+        MAX_EXPANSION_COLLECT + 1).toPandas()
+    if len(pairs_pdf) <= MAX_EXPANSION_COLLECT:
+        if pairs_pdf.empty:
+            return None
+        pruned = posts.where(
+            F.col("term").isin(sorted(set(pairs_pdf["term"]))))
+        if "part_id" in pairs_pdf.columns:
+            pruned = pruned.where(F.col("part_id").isin(
+                sorted(int(p) for p in set(pairs_pdf["part_id"]))))
+        pairs = spark.createDataFrame(
+            pairs_pdf[["term", "query_id", "k"]].drop_duplicates())
+        return pruned.join(F.broadcast(pairs), "term")
+    _logger.info(
+        "term expansion over %d matched pairs exceeds "
+        "MAX_EXPANSION_COLLECT=%d — distributed term equi-join engaged",
+        len(pairs_pdf), MAX_EXPANSION_COLLECT,
+    )
+    return posts.join(
+        dm.select("term", "query_id", "k").dropDuplicates(
+            ["term", "query_id"]),
+        "term",
+    )
 
 
 def _term_expansion_topk(matched, doc_filter, doc_exclude) -> DataFrame:
@@ -1629,6 +1722,7 @@ def fuzzy_topk(
     prefix_len: int = 0,
     doc_filter: DataFrame | None = None,
     doc_exclude: DataFrame | None = None,
+    dictionary: DataFrame | None = None,
 ) -> DataFrame:
     """Fuzzy term query (Lucene FuzzyQuery): docs containing ANY
     dictionary term within `max_edits` Levenshtein edits of the query
@@ -1639,15 +1733,28 @@ def fuzzy_topk(
     term (FuzzyQuery is single-term, like Lucene). max_edits is capped
     at 2 (Lucene's bound — beyond it the expansion loses meaning and
     the automaton cost explodes; here it would match most of the
-    dictionary). prefix_len > 0 additionally requires an exact shared
+    dictionary).
+
+    SEMANTICS DEVIATION from Lucene: distances here are CLASSIC
+    Levenshtein (insert/delete/substitute), matching Spark's and
+    DuckDB's built-in `levenshtein`. Lucene FuzzyQuery defaults to
+    Damerau-Levenshtein (`transpositions=true`), where a swapped
+    adjacent pair ("hte" -> "the") costs 1 edit; here it costs 2, so
+    max_edits=1 misses pure-transposition typos that Lucene would
+    match. Engine and oracle agree with each other; users migrating
+    Lucene workloads should pass max_edits=2 where transposition typos
+    matter. prefix_len > 0 additionally requires an exact shared
     prefix (Lucene's prefixLength) — that prefix becomes a pushed
     StringStartsWith predicate, so the scan prunes to the prefix's row
     groups instead of reading the dictionary.
 
-    Scale shape: the edit-distance test is Spark's BUILT-IN levenshtein
-    expression in a broadcast theta join — JVM codegen over posting
-    ROWS (dictionary-sized: one row per term x partition, never per
-    posting entry), no UDF, no driver-side dictionary materialization.
+    Scale shape (round 5): the edit-distance test is Spark's BUILT-IN
+    levenshtein expression evaluated against the TERM DICTIONARY
+    (`dictionary=` — the build's persisted side index, or a 2-column
+    pruned projection of the postings when absent), never against
+    payload-bearing posting rows; the matched terms then prune the
+    postings scan via pushed In(term)/In(part_id) predicates
+    (_expansion_matched). No UDF anywhere.
     """
     cfg = cfg or BuildConfig()
     if cfg.tokenizer == "chargram":
@@ -1678,23 +1785,23 @@ def fuzzy_topk(
     )
     if empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    filtered = postings
+    scan_cond = None
     if prefix_len > 0:
         prefixes = sorted(set(qpdf["pfx"]))
-        cond = F.col("term").startswith(prefixes[0])
+        scan_cond = F.col("term").startswith(prefixes[0])
         for p_ in prefixes[1:]:
-            cond = cond | F.col("term").startswith(p_)
-        filtered = filtered.where(cond)
-    if "pos" in filtered.columns:
-        filtered = filtered.drop("pos")
+            scan_cond = scan_cond | F.col("term").startswith(p_)
     join_cond = F.levenshtein(F.col("term"), F.col("qterm")) <= int(max_edits)
     if prefix_len > 0:
         join_cond = join_cond & F.col("term").startswith(F.col("pfx"))
-    matched = filtered.join(
-        F.broadcast(spark.createDataFrame(qpdf.drop(columns=["pfx"])
-                                          if prefix_len <= 0 else qpdf)),
-        join_cond,
+    matched = _expansion_matched(
+        spark, postings, dictionary,
+        spark.createDataFrame(qpdf.drop(columns=["pfx"])
+                              if prefix_len <= 0 else qpdf),
+        join_cond, scan_cond=scan_cond,
     )
+    if matched is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
     return _term_expansion_topk(matched, doc_filter, doc_exclude)
 
 
@@ -1705,6 +1812,7 @@ def wildcard_topk(
     cfg: BuildConfig | None = None,
     doc_filter: DataFrame | None = None,
     doc_exclude: DataFrame | None = None,
+    dictionary: DataFrame | None = None,
 ) -> DataFrame:
     """Wildcard term query (Lucene WildcardQuery): `*` matches any run
     of characters, `?` exactly one; docs containing ANY matching
@@ -1718,6 +1826,12 @@ def wildcard_topk(
     A LEADING literal run prunes the scan via StringStartsWith (like
     Lucene, `te*` is cheap); a leading-wildcard pattern scans the
     dictionary rows — use substring_topk for infix search at scale.
+
+    Scale shape (round 5): LIKE evaluates against the TERM DICTIONARY
+    (persisted side index via `dictionary=`, else a pruned 2-column
+    postings projection); matched terms prune the postings scan with
+    pushed In(term)/In(part_id) (_expansion_matched) — payload columns
+    are only read for row groups containing matches.
     """
     import re
 
@@ -1746,20 +1860,20 @@ def wildcard_topk(
     if empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
     lead = sorted({re.split(r"[*?]", p)[0] for p in qpdf["pat"]})
-    filtered = postings
+    scan_cond = None
     if all(lead):  # every pattern has a literal prefix -> pushdown
-        cond = F.col("term").startswith(lead[0])
+        scan_cond = F.col("term").startswith(lead[0])
         for p_ in lead[1:]:
-            cond = cond | F.col("term").startswith(p_)
-        filtered = filtered.where(cond)
-    if "pos" in filtered.columns:
-        filtered = filtered.drop("pos")
+            scan_cond = scan_cond | F.col("term").startswith(p_)
     # Column.like only takes a literal; the per-row pattern goes
     # through the SQL expression form (same LIKE semantics)
-    matched = filtered.join(
-        F.broadcast(spark.createDataFrame(qpdf.drop(columns=["pat"]))),
-        F.expr("term LIKE like_pat"),
+    matched = _expansion_matched(
+        spark, postings, dictionary,
+        spark.createDataFrame(qpdf.drop(columns=["pat"])),
+        F.expr("term LIKE like_pat"), scan_cond=scan_cond,
     )
+    if matched is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
     return _term_expansion_topk(matched, doc_filter, doc_exclude)
 
 

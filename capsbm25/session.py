@@ -1,0 +1,67 @@
+"""Engine-facing SparkSession tuning.
+
+The engine persists postings partitioned by ``part_id`` (hundreds of
+directories per index at scale — the guaranteed-pruning layout,
+postings.py / build.py). Two Spark defaults interact badly with that
+layout and are corrected here, ONCE, on the session that runs the
+engine — previously these lived only in bench.py, so a user's own
+session silently paid a distributed-listing job per read:
+
+* ``spark.sql.sources.parallelPartitionDiscovery.threshold`` (default
+  32): reading a path with more than 32 partition dirs launches a
+  distributed LISTING JOB. On a local / POSIX filesystem that is pure
+  task-scheduling overhead (~1s per read at 512 dirs); driver-side
+  listing is effectively free. On object stores (S3/GCS) the parallel
+  listing genuinely wins, so the raise is gated on the index living on
+  a local filesystem.
+* ``spark.sql.maxConcurrentOutputFileWriters`` (default 0): a dynamic
+  ``partitionBy`` write with 0 concurrent writers inserts a full
+  per-task SORT on the partition columns so one writer can stream
+  dir-by-dir — a pipeline break measured at +~15% build wall. A build
+  task holds at most parts-per-wave/tasks dirs, so 64 concurrent
+  writers are cheap. Setting it here (session-scoped, once) also
+  removes the transient set/restore in catalog.write_table from the
+  hot path (the restore raced concurrent writers; see catalog.py).
+
+Both are runtime SQL confs — safe to set on an existing session.
+``build_index`` and the streaming ingest entry points call this
+automatically for filesystem destinations; cluster deployments writing
+to object stores should rely on the defaults (see README deployment
+notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+_LOCAL_SCHEMES = ("", "file")
+
+
+def _is_local_path(dest: str) -> bool:
+    """True when dest is a local-filesystem path (no scheme / file://)."""
+    if "://" in dest:
+        return dest.split("://", 1)[0] in _LOCAL_SCHEMES
+    return "/" in dest or dest.startswith(".")
+
+
+def configure_session(spark: SparkSession, dest: str | None = None) -> None:
+    """Apply the engine's session confs. ``dest`` (an index path) gates
+    the local-filesystem-only tunings; pass None to apply them
+    unconditionally (tests, local tools)."""
+    if dest is not None and not _is_local_path(dest):
+        return
+    conf = spark.conf
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    try:
+        cur = int(conf.get(key, "32"))
+    except (TypeError, ValueError):
+        cur = 32
+    if cur < 8192:
+        conf.set(key, "8192")
+    wkey = "spark.sql.maxConcurrentOutputFileWriters"
+    try:
+        wcur = int(conf.get(wkey, "0"))
+    except (TypeError, ValueError):
+        wcur = 0
+    if wcur < 64:
+        conf.set(wkey, "64")

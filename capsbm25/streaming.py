@@ -85,9 +85,22 @@ def process_batch(
     batch_id: int,
     out_dir: str,
     cfg: BuildConfig,
+    auto_compact: bool = True,
+    merge_factor: int = 10,
 ) -> None:
     """foreachBatch body: build one immutable segment. Idempotent on
-    batch_id (Structured Streaming may re-run a batch after failure)."""
+    batch_id (Structured Streaming may re-run a batch after failure).
+
+    auto_compact (default ON) is the Lucene merge-on-commit analog —
+    and the reference's construct() runs its merge stages inside the
+    one build pipeline, not as a separately invoked tool
+    (/root/reference/src/Suffix_Array.cpp:466-494): after the segment
+    commits, any tier holding >= merge_factor segments is merged via
+    the tiered policy, cascading promotions included, so a long-lived
+    ingest keeps live-segment count <= ~merge_factor x tiers with no
+    operator intervention. Merges run synchronously in the ingest
+    thread (foreachBatch already serializes batches; a failed/aborted
+    merge never fails the commit — the segment is durable first)."""
     stats = load_stream_stats(out_dir)
     # adopt the stream's persisted build config: a restart with a
     # different caller cfg (other token_pattern / index_positions) would
@@ -101,6 +114,12 @@ def process_batch(
     n_rows = batch_df.count()
     if n_rows == 0:
         return
+    from capsbm25.session import configure_session
+
+    configure_session(spark, out_dir)
+    # adaptive partitioning resolves against the BATCH size: a segment's
+    # plan only spans its own docs
+    cfg = cfg.resolve_parts(n_rows)
     t0 = time.time()
     # doc-id ranges allocate from a MONOTONE counter, not the live doc
     # count: deletes + compaction shrink N, and allocating from N would
@@ -176,6 +195,30 @@ def process_batch(
              "sec": round(time.time() - t0, 3)}
         )
         _write_stats(out_dir, cur)
+    if auto_compact:
+        _auto_compact(spark, out_dir, cfg, merge_factor)
+
+
+def _auto_compact(spark, out_dir, cfg, merge_factor: int) -> None:
+    """Merge-scheduling policy for ingest (Lucene merge-on-commit): as
+    long as some tier holds >= merge_factor live segments, run one
+    tiered compaction pass. The loop handles cascades (mf tier-0
+    merges promote a tier-1 segment that may complete ITS tier) and is
+    bounded: each pass strictly reduces segment count or aborts (a
+    concurrent commit/delete changed the segment list — the NEXT
+    batch's auto_compact retries), so it terminates."""
+    for _ in range(64):  # safety bound over any realistic tier depth
+        stats = load_stream_stats(out_dir)
+        tiers: dict[int, int] = {}
+        for s in stats["segments"]:
+            lvl = _tier_level(int(s["rows"]), merge_factor)
+            tiers[lvl] = tiers.get(lvl, 0) + 1
+        if not tiers or max(tiers.values()) < merge_factor:
+            return
+        r = compact_segments(spark, out_dir, cfg, policy="tiered",
+                             merge_factor=merge_factor)
+        if not r.get("compacted"):
+            return
 
 
 def start_incremental_build(
@@ -185,8 +228,12 @@ def start_incremental_build(
     cfg: BuildConfig | None = None,
     max_files_per_trigger: int = 1,
     available_now: bool = True,
+    auto_compact: bool = True,
+    merge_factor: int = 10,
 ):
-    """Start the streaming build; returns the StreamingQuery."""
+    """Start the streaming build; returns the StreamingQuery.
+    auto_compact keeps segment count bounded across a long-lived
+    ingest via merge-on-commit tiered compaction (see process_batch)."""
     from capsbm25.fixtures import TRANSCRIPT_SCHEMA
 
     cfg = cfg or BuildConfig()
@@ -197,7 +244,9 @@ def start_incremental_build(
         .parquet(input_path)
     )
     writer = stream.writeStream.foreachBatch(
-        lambda bdf, bid: process_batch(spark, bdf, bid, out_dir, cfg)
+        lambda bdf, bid: process_batch(spark, bdf, bid, out_dir, cfg,
+                                       auto_compact=auto_compact,
+                                       merge_factor=merge_factor)
     ).option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
     if available_now:
         writer = writer.trigger(availableNow=True)
@@ -459,6 +508,11 @@ def compact_segments(
     # block size, positions flag) — a mismatched caller cfg would build
     # wrong block_max / drop positions
     cfg = (cfg or BuildConfig()).adopt(stats.get("config", {}))
+    from capsbm25.session import configure_session
+
+    configure_session(spark, out_dir)
+    # merged/rebuilt segments re-plan over the live corpus
+    cfg = cfg.resolve_parts(int(stats.get("N", 0)))
     if policy == "tiered":
         return _compact_tiered(spark, out_dir, cfg, stats, merge_factor,
                                max_tombstone_collect)
@@ -557,8 +611,16 @@ def _compact_full(spark, out_dir, cfg, stats, max_tombstone_collect) -> dict:
                     "during compaction — rerun"}
         gen = int(now.get("compact_gen", 0)) + 1
         seg_id = f"compacted-{gen}"
-        os.rename(tmp_seg_dir,
-                  os.path.join(out_dir, "segments", f"seg={seg_id}"))
+        target = os.path.join(out_dir, "segments", f"seg={seg_id}")
+        # a PRIOR run that crashed between this rename and _write_stats
+        # left seg=compacted-<gen> on disk with compact_gen unbumped —
+        # the rerun derives the same gen and os.rename would fail
+        # ENOTEMPTY forever. gen > now's compact_gen proves stats never
+        # referenced the leftover, so it is safe to clear (mirrors the
+        # process_batch / _compact_tiered crash guards).
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.rename(tmp_seg_dir, target)
         n_live = now["N"] - n_del
         dl_live = now["total_dl"] - dl_del
         new_stats = {
@@ -682,9 +744,7 @@ def _compact_tiered(spark, out_dir, cfg, stats, merge_factor,
             # consolidation below)
             tomb_all = None
 
-    merges = []  # one entry per group: temp dir + accounting
-    applied_frames: list[pd.DataFrame] = []
-    for g in groups:
+    def _merge_group(g):
         seg_paths = [os.path.join(out_dir, "segments", f"seg={s['id']}")
                      for s in g]
         g_post = spark.read.parquet(*(os.path.join(p, "postings")
@@ -723,9 +783,7 @@ def _compact_tiered(spark, out_dir, cfg, stats, merge_factor,
             ids = spark.createDataFrame(g_del[["doc_id"]])
             out_docs = g_docs.join(ids, "doc_id", "anti")
         out_docs.write.mode("overwrite").parquet(os.path.join(tmp, "docs"))
-        if len(g_del):
-            applied_frames.append(g_del)
-        merges.append({
+        return ({
             "members": [s["id"] for s in g],
             "tmp": tmp,
             "rows_in": rows_in,
@@ -733,8 +791,38 @@ def _compact_tiered(spark, out_dir, cfg, stats, merge_factor,
             "dl_out": dl_in - int(g_del["dl"].sum()),
             "deleted_applied": len(g_del),
             "deleted_dl": int(g_del["dl"].sum()),
-        })
+        }, g_del if len(g_del) else None)
 
+    # merge groups are INDEPENDENT (disjoint member segments, private
+    # temp dirs) — submit them concurrently and let the Spark scheduler
+    # interleave their jobs, so a long ingest history with several
+    # eligible tiers pays ~max(group) wall instead of sum(groups).
+    # Results keep the deterministic `groups` order regardless of
+    # completion order (stats accounting below folds them in order).
+    if len(groups) == 1:
+        results = [_merge_group(groups[0])]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(len(groups), 8),
+            thread_name_prefix="capsbm25-tiered-merge",
+        ) as pool:
+            futs = [pool.submit(_merge_group, g) for g in groups]
+            results, err = [], None
+            for f in futs:
+                try:
+                    results.append(f.result())
+                except BaseException as e:  # noqa: BLE001 — cleanup+reraise
+                    err = err or e
+            if err is not None:
+                # drop the temp dirs of the groups that DID finish —
+                # a failed tiered pass must leave no stray segments
+                for m, _ in results:
+                    shutil.rmtree(m["tmp"], ignore_errors=True)
+                raise err
+    merges = [r[0] for r in results]
+    applied_frames = [r[1] for r in results if r[1] is not None]
     applied = (pd.concat(applied_frames, ignore_index=True)
                if applied_frames else None)
     # the consolidated pending REMAINDER is computed BEFORE the lock —

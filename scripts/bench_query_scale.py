@@ -44,16 +44,27 @@ spark = (
 spark.sparkContext.setLogLevel("ERROR")
 
 cfg = BuildConfig(num_part_ids=256, shuffle_partitions=CPUS, num_waves=2,
-                  hot_share_threshold=0.004, max_salt_buckets=16)
+                  hot_share_threshold=0.004, max_salt_buckets=16,
+                  # round 5: the ladder index carries positions so the
+                  # NEAR surface rides the same index as the others
+                  # (bm25 modes never read the pos column — pruned)
+                  index_positions=True)
 queries = fx.queries_pdf(42)
 
 for n_convs in SIZES:
+    import pandas as pd
+
+    from capsbm25.build import load_dictionary
+    from capsbm25.query import (boolean_topk, fuzzy_topk, near_topk,
+                                wildcard_topk)
+
     pdf = fx.gen_transcripts_pdf(n_convs, 42)
     out = os.path.join(tempfile.mkdtemp(prefix="qscale_"), "idx")
     t0 = time.time()
     res = build_index(spark, spark.createDataFrame(pdf), out, cfg)
     build_s = time.time() - t0
     postings = load_postings(spark, out)
+    dictionary = load_dictionary(spark, out)
     timings = {}
     n_rows = {}
     for mode in ("kernel", "distributed"):
@@ -64,10 +75,48 @@ for n_convs in SIZES:
             ).count()
             dt = round(time.time() - t0, 3)
             timings[mode] = min(timings.get(mode, dt), dt)
+
+    # round-4 query surfaces at scale (mirrors bench.py's query mix)
+    qb = pd.DataFrame(
+        [(int(q.query_id), q.text.split()[0],
+          " ".join(q.text.split()[1:]), fx.HOT_TERM, int(q.k))
+         for q in queries.itertuples(index=False)],
+        columns=["query_id", "must", "should", "must_not", "k"],
+    )
+    qn = pd.DataFrame(
+        [(int(q.query_id), " ".join(q.text.split()[:2]), int(q.k))
+         for q in queries.itertuples(index=False)
+         if len(q.text.split()) >= 2],
+        columns=["query_id", "text", "k"],
+    )
+    first_terms = sorted({q.text.split()[0]
+                          for q in queries.itertuples(index=False)})[:8]
+    qf = pd.DataFrame({"query_id": range(len(first_terms)),
+                       "text": first_terms,
+                       "k": [10] * len(first_terms)})
+    qw = qf.assign(text=[t[:3] + "*" for t in first_terms])
+    surfaces = {
+        "boolean": lambda: boolean_topk(
+            spark, postings, qb, res.N, res.avgdl, cfg).count(),
+        "near": lambda: near_topk(
+            spark, postings, qn, res.N, res.avgdl, cfg, window=8).count(),
+        "fuzzy": lambda: fuzzy_topk(
+            spark, postings, qf, cfg, max_edits=1,
+            dictionary=dictionary).count(),
+        "wildcard": lambda: wildcard_topk(
+            spark, postings, qw, cfg, dictionary=dictionary).count(),
+    }
+    for name, fn in surfaces.items():
+        for _ in range(REPS):
+            t0 = time.time()
+            n_rows[name] = fn()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
     print(json.dumps({
         "turns": res.N, "convs": n_convs, "cpus": CPUS,
         "build_s": round(build_s, 2),
         "query_kernel_s": timings["kernel"],
         "query_distributed_s": timings["distributed"],
+        **{f"query_{k}_s": timings[k] for k in surfaces},
         "rows": n_rows,
     }), flush=True)

@@ -81,7 +81,9 @@ def test_fuzzy_prefix_len(built_index, spark):
     out = fuzzy_topk(spark, built_index["postings"], queries, cfg,
                      max_edits=2, prefix_len=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "StartsWith" in plan.replace("\n", " "), plan[:1500]
+    # round 5: the predicate runs on the term DICTIONARY; the postings
+    # scan is pruned by the pushed In(term) of the matched expansion
+    assert "In(term" in plan.replace("\n", " "), plan[:1500]
     got = out.toPandas()
     want = _expansion_want(
         oracle,
@@ -138,7 +140,9 @@ def test_wildcard_prefix_pattern_prunes_scan(built_index, spark):
                       "k": np.array([5], dtype=np.int32)})
     out = wildcard_topk(spark, built_index["postings"], q, cfg)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "StartsWith" in plan.replace("\n", " "), plan[:1500]
+    # round 5: the predicate runs on the term DICTIONARY; the postings
+    # scan is pruned by the pushed In(term) of the matched expansion
+    assert "In(term" in plan.replace("\n", " "), plan[:1500]
 
 
 def test_wildcard_rejects_bad_pattern(built_index, spark):

@@ -146,7 +146,8 @@ def test_phrase_equals_ordered_near_at_len_window(near_index, spark):
 
 def test_near_overcap_fallback(near_index, spark, monkeypatch):
     """NEAR through the distributed over-cap positions path stays
-    oracle-identical (both collect caps zeroed -> tier-3 raw join)."""
+    oracle-identical (collect cap zeroed -> chunked candidate mask;
+    then span=4 forces the many-tiny-chunks worst case)."""
     import capsbm25.query as qm
 
     res, cfg, oracle = (near_index["res"], near_index["cfg"],
@@ -164,12 +165,12 @@ def test_near_overcap_fallback(near_index, spark, monkeypatch):
         window=8, mode="distributed",
     ).toPandas()
     _check(got, want, queries, "overcap-array")
-    monkeypatch.setattr(qm, "MAX_CAND_ARRAY", 0)
+    monkeypatch.setattr(qm, "CAND_CHUNK_SPAN", 4)
     got2 = near_topk(
         spark, near_index["postings"], queries, res.N, res.avgdl, cfg,
         window=8, mode="distributed",
     ).toPandas()
-    _check(got2, want, queries, "overcap-raw")
+    _check(got2, want, queries, "overcap-chunked")
 
 
 def test_near_rejects_bad_args(near_index, spark):

@@ -243,16 +243,18 @@ def test_phrase_distributed_fallback_over_cand_cap(pos_index, spark,
         assert np.allclose(g.score, w.score, atol=1e-9), qid
 
 
-def test_phrase_distributed_tier3_raw_join(pos_index, spark, monkeypatch):
-    """Tier-3 safety net (candidate set too large even for the
-    per-(query,term) array form): plain positions join, no map-side
-    mask, no single row/task ever holding the candidate set — forced
-    by zeroing BOTH caps; must stay rank-identical."""
+def test_phrase_distributed_chunked_cand_mask(pos_index, spark, monkeypatch):
+    """Unbounded-cardinality path: the distributed candidate mask is
+    CHUNKED by doc-id range (chunk = doc_id // CAND_CHUNK_SPAN), so no
+    row ever holds the whole candidate set. Forced worst case: span=4
+    makes nearly every candidate its own chunk row — every posting row
+    joins MANY disjoint chunk arrays and the emitted rows must union
+    back without loss or duplication; must stay rank-identical."""
     import capsbm25.query as qm
 
     res, cfg, oracle = pos_index["res"], pos_index["cfg"], pos_index["oracle"]
     monkeypatch.setattr(qm, "MAX_CAND_COLLECT", 0)
-    monkeypatch.setattr(qm, "MAX_CAND_ARRAY", 0)
+    monkeypatch.setattr(qm, "CAND_CHUNK_SPAN", 4)
     texts = _phrases_from_corpus(oracle)
     queries = pd.DataFrame(
         {"query_id": np.arange(len(texts), dtype=np.int32),

@@ -313,7 +313,8 @@ def test_prefix_topk_matches_oracle(built_index, spark):
     plan = prefix_topk(
         spark, built_index["postings"], queries, cfg
     )._jdf.queryExecution().executedPlan().toString()
-    assert "StartsWith" in plan, plan[:1500]
+    # round 5: dictionary-first expansion -> pushed In(term) pruning
+    assert "In(term" in plan, plan[:1500]
 
 
 def test_bm25_must_not_composition(built_index, spark):

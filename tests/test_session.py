@@ -1,0 +1,46 @@
+"""Engine-owned session tunings (round 5): the partitioned postings
+layout needs the listing threshold + concurrent-writer confs on the
+USER's session, applied by the engine itself (session.py) — not by the
+bench harness."""
+
+from capsbm25.session import _is_local_path, configure_session
+
+LIST_KEY = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+WRITE_KEY = "spark.sql.maxConcurrentOutputFileWriters"
+
+
+def test_local_path_detection():
+    assert _is_local_path("/data/idx")
+    assert _is_local_path("file:///data/idx")
+    assert _is_local_path("./rel/idx")
+    assert not _is_local_path("s3a://bucket/idx")
+    assert not _is_local_path("gs://bucket/idx")
+    assert not _is_local_path("hdfs://nn/idx")
+
+
+def test_configure_session_sets_and_respects(spark):
+    prev_list = spark.conf.get(LIST_KEY, None)
+    prev_write = spark.conf.get(WRITE_KEY, None)
+    try:
+        spark.conf.set(LIST_KEY, "32")
+        spark.conf.set(WRITE_KEY, "0")
+        # object-store destination: defaults left alone
+        configure_session(spark, "s3a://bucket/idx")
+        assert spark.conf.get(LIST_KEY) == "32"
+        assert spark.conf.get(WRITE_KEY) == "0"
+        # local destination: both raised
+        configure_session(spark, "/tmp/some/idx")
+        assert spark.conf.get(LIST_KEY) == "8192"
+        assert spark.conf.get(WRITE_KEY) == "64"
+        # an operator's HIGHER setting is never lowered
+        spark.conf.set(LIST_KEY, "100000")
+        spark.conf.set(WRITE_KEY, "128")
+        configure_session(spark, "/tmp/some/idx")
+        assert spark.conf.get(LIST_KEY) == "100000"
+        assert spark.conf.get(WRITE_KEY) == "128"
+    finally:
+        for k, v in ((LIST_KEY, prev_list), (WRITE_KEY, prev_write)):
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

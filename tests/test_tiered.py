@@ -30,7 +30,10 @@ def _chunks(pdf: pd.DataFrame, n: int) -> list[pd.DataFrame]:
 
 
 def _ingest(spark, out, cfg, chunk: pd.DataFrame, batch_id: int):
-    sm.process_batch(spark, spark.createDataFrame(chunk), batch_id, out, cfg)
+    # auto_compact off: these tests exercise MANUAL tiered compaction
+    # and assert exact segment layouts between calls
+    sm.process_batch(spark, spark.createDataFrame(chunk), batch_id, out, cfg,
+                     auto_compact=False)
 
 
 def _assert_rank_identical_by_key(spark, out, cfg, surviving: pd.DataFrame,
@@ -337,5 +340,94 @@ def test_tiered_rerun_after_crash_between_rename_and_stats(spark, tmp_path,
     assert r["compacted"], r
     stats = sm.load_stream_stats(out)
     assert [s["id"] for s in stats["segments"]] == ["tiered-1"]
+    assert stats["N"] == len(pdf)
+    _assert_rank_identical_by_key(spark, out, cfg, pdf)
+
+
+def test_auto_compact_long_ingest_bounds_segments(spark, tmp_path,
+                                                  monkeypatch):
+    """Merge-on-commit (round 5): a 30-batch ingest with interleaved
+    deletes and NO manual compaction call keeps every size tier under
+    merge_factor via process_batch's auto_compact hook, each automatic
+    merge stays O(tier) (never rewrites the whole index), and the end
+    state is rank-identical to a batch build over the surviving
+    corpus."""
+    out = str(tmp_path / "idx")
+    cfg = BuildConfig(num_part_ids=16, shuffle_partitions=4)
+    MF = 3
+    pdf = fx.gen_transcripts_pdf(90, 33)
+    chunks = _chunks(pdf, 30)
+
+    # spy on the auto-invoked compactions to assert O(tier) accounting
+    calls: list[dict] = []
+    orig = sm.compact_segments
+
+    def spy(spark_, out_, cfg_=None, **kw):
+        n_before = sm.load_stream_stats(out_)["N"]
+        r = orig(spark_, out_, cfg_, **kw)
+        calls.append({**r, "n_at_call": n_before})
+        return r
+
+    monkeypatch.setattr(sm, "compact_segments", spy)
+
+    victims: list[str] = []
+    for i, chunk in enumerate(chunks):
+        sm.process_batch(spark, spark.createDataFrame(chunk), i, out, cfg,
+                         auto_compact=True, merge_factor=MF)
+        # the bound the policy promises: after every commit's auto
+        # pass, no tier holds merge_factor segments
+        stats = sm.load_stream_stats(out)
+        per_tier: dict[int, int] = {}
+        for s in stats["segments"]:
+            lvl = sm._tier_level(int(s["rows"]), MF)
+            per_tier[lvl] = per_tier.get(lvl, 0) + 1
+        assert all(c < MF for c in per_tier.values()), (i, per_tier)
+        assert len(stats["segments"]) <= MF * (max(per_tier) + 1)
+        # interleaved GDPR-style deletes mid-stream
+        if i in (11, 21):
+            vs = sorted(chunk["conv_id"].unique())[:1]
+            victims += vs
+            sm.delete_docs(spark, out, vs)
+
+    merged_calls = [c for c in calls if c.get("compacted")]
+    assert merged_calls, "auto compaction never fired in 30 batches"
+    # O(tier) accounting, amortized: a single cascade step may span the
+    # whole (young) index, but across the run tiered merging rewrites
+    # ~log_mf(batches) x corpus, where per-batch FULL compaction would
+    # rewrite ~batches/2 x corpus (= 15x here). Assert the amortized
+    # bound with slack — it separates the two policies by ~3x.
+    for c in merged_calls:
+        assert c["rows_rewritten"] <= c["n_at_call"], c
+    n_final = len(pdf)
+    total_rewritten = sum(c["rows_rewritten"] for c in merged_calls)
+    assert total_rewritten <= 6 * n_final, (total_rewritten, n_final)
+
+    # end-state correctness: apply remaining tombstones via one full
+    # compaction (operator action, AFTER the bound was proven
+    # auto-only) and compare against the batch oracle
+    surviving = pdf[~pdf["conv_id"].isin(set(victims))].reset_index(
+        drop=True)
+    r = orig(spark, out, cfg, policy="full")
+    assert r["compacted"]
+    _assert_rank_identical_by_key(spark, out, cfg, surviving)
+
+
+def test_tiered_multi_group_single_call(spark, tmp_path):
+    """Six same-tier segments -> ONE tiered call plans TWO independent
+    merge groups (executed concurrently via the round-5 thread pool)
+    and the result is rank-identical to the batch oracle."""
+    out = str(tmp_path / "idx")
+    cfg = BuildConfig(num_part_ids=16, shuffle_partitions=4)
+    pdf = fx.gen_transcripts_pdf(120, 77)
+    chunks = _chunks(pdf, 6)
+    for i in range(6):
+        _ingest(spark, out, cfg, chunks[i], i)
+    r = sm.compact_segments(spark, out, cfg, policy="tiered",
+                            merge_factor=3)
+    assert r["compacted"] and len(r["merges"]) == 2
+    members = sorted(m for g in r["merges"] for m in g["members"])
+    assert members == [0, 1, 2, 3, 4, 5]
+    stats = sm.load_stream_stats(out)
+    assert len(stats["segments"]) == 2
     assert stats["N"] == len(pdf)
     _assert_rank_identical_by_key(spark, out, cfg, pdf)
