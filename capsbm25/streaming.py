@@ -117,8 +117,11 @@ def process_batch(
     from capsbm25.session import configure_session
 
     configure_session(spark, out_dir)
-    # adaptive partitioning resolves against the BATCH size: a segment's
-    # plan only spans its own docs
+    # adaptive partitioning resolves against the BATCH size (a
+    # segment's plan only spans its own docs) — but keep the caller's
+    # UNRESOLVED cfg for auto-compaction below, whose merged segments
+    # span many batches and must re-resolve against the LIVE corpus
+    cfg_unresolved = cfg
     cfg = cfg.resolve_parts(n_rows)
     t0 = time.time()
     # doc-id ranges allocate from a MONOTONE counter, not the live doc
@@ -196,7 +199,7 @@ def process_batch(
         )
         _write_stats(out_dir, cur)
     if auto_compact:
-        _auto_compact(spark, out_dir, cfg, merge_factor)
+        _auto_compact(spark, out_dir, cfg_unresolved, merge_factor)
 
 
 def _auto_compact(spark, out_dir, cfg, merge_factor: int) -> None:

@@ -75,13 +75,23 @@ n2 = phrase_topk(spark, postings, queries, res.N, res.avgdl, cfg,
                  mode="distributed").count()
 results["distributed_undercap_s"] = round(time.time() - t0, 2)
 
-# force the over-cap fallback
+# force the over-cap fallback (round 5: the distributed CHUNKED
+# candidate mask — there is no unmasked tier any more)
 qm.MAX_CAND_COLLECT = 0
 t0 = time.time()
 n3 = phrase_topk(spark, postings, queries, res.N, res.avgdl, cfg,
                  mode="distributed").count()
 results["distributed_overcap_s"] = round(time.time() - t0, 2)
-assert n == n2 == n3, (n, n2, n3)
+
+# worst case: tiny chunk span -> every posting row joins MANY chunk
+# rows; positional bytes must stay ~O(cand x tf) (time tracks the
+# under-cap run, not the old O(cf x tf) blowup)
+qm.CAND_CHUNK_SPAN = 50_000
+t0 = time.time()
+n4 = phrase_topk(spark, postings, queries, res.N, res.avgdl, cfg,
+                 mode="distributed").count()
+results["distributed_chunked_span50k_s"] = round(time.time() - t0, 2)
+assert n == n2 == n3 == n4, (n, n2, n3, n4)
 results["rows"] = n
 import json
 

@@ -95,9 +95,18 @@ def test_iceberg_real_roundtrip_when_jar_available(spark, tmp_path):
     is covered by the spy tests above, but the JVM write path can only
     run where the DSv2 catalog class exists."""
     if not _iceberg_jar_present(spark):
-        pytest.skip("no Iceberg runtime jar on the classpath (sandbox): "
-                    "writeTo/read.table JVM path untestable here; spy "
-                    "tests cover the seam dispatch")
+        pytest.skip(
+            "no Iceberg runtime jar on the classpath and no network to "
+            "fetch one (verified round 5: pyspark/jars has no iceberg-*, "
+            "repo1.maven.org does not resolve) — the JVM writeTo path "
+            "can only execute on a cluster. Recipe to run THIS test "
+            "there: spark-submit (or pytest with PYSPARK_SUBMIT_ARGS) "
+            "--packages org.apache.iceberg:iceberg-spark-runtime-4.0_"
+            "2.13:1.10.0 — the test then configures a hadoop-type "
+            "catalog over a temp warehouse and exercises "
+            "write_table/read_table end-to-end, including append mode. "
+            "The seam dispatch itself is covered by the spy tests above."
+        )
     spark.conf.set("spark.sql.catalog.it", "org.apache.iceberg.spark.SparkCatalog")
     spark.conf.set("spark.sql.catalog.it.type", "hadoop")
     spark.conf.set("spark.sql.catalog.it.warehouse", str(tmp_path / "wh"))
