@@ -397,6 +397,141 @@ def q_wildcard_topk(spark, sf_dir):
     )
 
 
+# round 6: the Lucene top-N rewrite bound, exercised where it BINDS —
+# "s*" matches 6 dictionary terms at sf0.01; only the top
+# WILDCARD_BOUND by (df DESC, term ASC) are scored
+WILDCARD_BOUNDED_PATTERN = "s*"
+WILDCARD_BOUND = 3
+# round 6: true Damerau-Levenshtein fuzzy (transpositions=True) — the
+# probe is "sort" with its last two chars swapped, so classic
+# levenshtein(1) matches NOTHING while damerau(1) matches exactly
+# "sort" (engine UDF parity-tested against DuckDB's
+# damerau_levenshtein, which the oracle uses directly)
+DAMERAU_TERM = "osrt"
+DAMERAU_EDITS = 1
+
+
+def q_wildcard_topk_bounded(spark, sf_dir):
+    """Bounded MultiTermQuery rewrite (Lucene TopTermsRewrite): the
+    wildcard expansion keeps only the top max_expansions matched terms
+    by (df DESC, term ASC) before scoring — expansion cost independent
+    of how many terms the pattern happens to match."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.query import wildcard_topk
+
+    b = _index_for(spark, sf_dir)
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [WILDCARD_BOUNDED_PATTERN],
+         "k": np.array([EXPANSION_K], dtype=np.int32)}
+    )
+    got = wildcard_topk(spark, load_postings(spark, b["out"]), queries, CFG,
+                        dictionary=load_dictionary(spark, b["out"]),
+                        max_expansions=WILDCARD_BOUND)
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.col("g.score").cast("long").alias("sum_tf"))
+    )
+
+
+def q_fuzzy_topk_damerau(spark, sf_dir):
+    """Fuzzy with transpositions=True: TRUE Damerau-Levenshtein
+    (Lowrance-Wagner) distances, matching DuckDB's
+    damerau_levenshtein exactly; an adjacent swap costs 1 edit."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.query import fuzzy_topk
+
+    b = _index_for(spark, sf_dir)
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [DAMERAU_TERM],
+         "k": np.array([EXPANSION_K], dtype=np.int32)}
+    )
+    got = fuzzy_topk(spark, load_postings(spark, b["out"]), queries, CFG,
+                     max_edits=DAMERAU_EDITS, transpositions=True,
+                     dictionary=load_dictionary(spark, b["out"]))
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.col("g.score").cast("long").alias("sum_tf"))
+    )
+
+
+# round 6: anchored regex over the dictionary — matches exactly
+# {"sort", "stream"} at sf0.01 (full-term match in both engines:
+# Spark RLIKE '^(?:p)$' == DuckDB regexp_full_match)
+REGEXP_PATTERN = "s.*(m|t)"
+# round 6: term-range scan (Lucene TermRangeQuery / the reference's
+# sorted-range binary search) — ["order","row"] inclusive spans
+# {"order", "part", "query", "row"} at sf0.01
+RANGE_LO, RANGE_HI = "order", "row"
+
+
+def q_regexp_topk(spark, sf_dir):
+    """Regexp term query (Lucene RegexpQuery): docs containing ANY
+    dictionary term the anchored pattern fully matches, ranked by
+    summed tf; the leading literal pushes as StartsWith and matched
+    terms prune the postings scan (In(term)/In(part_id))."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.query import regexp_topk
+
+    b = _index_for(spark, sf_dir)
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [REGEXP_PATTERN],
+         "k": np.array([EXPANSION_K], dtype=np.int32)}
+    )
+    got = regexp_topk(spark, load_postings(spark, b["out"]), queries, CFG,
+                      dictionary=load_dictionary(spark, b["out"]))
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.col("g.score").cast("long").alias("sum_tf"))
+    )
+
+
+def q_term_range_topk(spark, sf_dir):
+    """Term-range query (Lucene TermRangeQuery; the reference's sorted
+    suffix-array range scan is this shape): docs containing ANY
+    dictionary term in [lo, hi], ranked by summed tf. The range
+    envelope reaches the term-sorted dictionary parquet as pushed
+    >=/<= predicates — the Spark analog of two binary searches."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.query import term_range_topk
+
+    b = _index_for(spark, sf_dir)
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "lo": [RANGE_LO], "hi": [RANGE_HI],
+         "k": np.array([EXPANSION_K], dtype=np.int32)}
+    )
+    got = term_range_topk(
+        spark, load_postings(spark, b["out"]), queries, CFG,
+        dictionary=load_dictionary(spark, b["out"]))
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.col("g.score").cast("long").alias("sum_tf"))
+    )
+
+
 NEAR_TERMS = (BM25_QUERY_TERMS[0], BM25_QUERY_TERMS[2])  # "hash merge"
 NEAR_WINDOW = 6
 
@@ -990,6 +1125,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_topk": q_near_topk,
         "fuzzy_topk": q_fuzzy_topk,
         "wildcard_topk": q_wildcard_topk,
+        "wildcard_topk_bounded": q_wildcard_topk_bounded,
+        "fuzzy_topk_damerau": q_fuzzy_topk_damerau,
+        "regexp_topk": q_regexp_topk,
+        "term_range_topk": q_term_range_topk,
         "phrase_topk": q_phrase_topk,
         "substring_topk": q_substring_topk,
         "substring_topk_short": q_substring_topk_short,
@@ -1186,6 +1325,67 @@ hits AS (
   SELECT doc_id, count(*) AS n
   FROM toks
   WHERE term LIKE '{WILDCARD_PATTERN.replace("*", "%").replace("?", "_")}'
+  GROUP BY doc_id
+)
+SELECT h.doc_id, h.n::BIGINT AS sum_tf
+FROM hits h JOIN documents d USING (doc_id)
+ORDER BY h.n DESC, d.source, d.doc_id LIMIT {EXPANSION_K}
+"""
+
+# bounded rewrite: matched terms ranked by (df DESC, term ASC), only
+# the top WILDCARD_BOUND scored — the engine's max_expansions semantics
+_WILDCARD_BOUNDED_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+matched AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term LIKE '{WILDCARD_BOUNDED_PATTERN.replace("*", "%").replace("?", "_")}'
+  GROUP BY term
+),
+top AS (
+  SELECT term FROM matched ORDER BY df DESC, term ASC
+  LIMIT {WILDCARD_BOUND}
+),
+hits AS (
+  SELECT doc_id, count(*) AS n FROM toks JOIN top USING (term)
+  GROUP BY doc_id
+)
+SELECT h.doc_id, h.n::BIGINT AS sum_tf
+FROM hits h JOIN documents d USING (doc_id)
+ORDER BY h.n DESC, d.source, d.doc_id LIMIT {EXPANSION_K}
+"""
+
+_REGEXP_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+hits AS (
+  SELECT doc_id, count(*) AS n
+  FROM toks
+  WHERE regexp_full_match(term, '{REGEXP_PATTERN}')
+  GROUP BY doc_id
+)
+SELECT h.doc_id, h.n::BIGINT AS sum_tf
+FROM hits h JOIN documents d USING (doc_id)
+ORDER BY h.n DESC, d.source, d.doc_id LIMIT {EXPANSION_K}
+"""
+
+_TERM_RANGE_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+hits AS (
+  SELECT doc_id, count(*) AS n
+  FROM toks
+  WHERE term >= '{RANGE_LO}' AND term <= '{RANGE_HI}'
+  GROUP BY doc_id
+)
+SELECT h.doc_id, h.n::BIGINT AS sum_tf
+FROM hits h JOIN documents d USING (doc_id)
+ORDER BY h.n DESC, d.source, d.doc_id LIMIT {EXPANSION_K}
+"""
+
+_FUZZY_DAMERAU_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+hits AS (
+  SELECT doc_id, count(*) AS n
+  FROM toks
+  WHERE damerau_levenshtein(term, '{DAMERAU_TERM}') <= {DAMERAU_EDITS}
   GROUP BY doc_id
 )
 SELECT h.doc_id, h.n::BIGINT AS sum_tf
@@ -1501,6 +1701,10 @@ def oracle_sql() -> dict[str, str]:
         "near_topk": _NEAR_SQL,
         "fuzzy_topk": _FUZZY_SQL,
         "wildcard_topk": _WILDCARD_SQL,
+        "wildcard_topk_bounded": _WILDCARD_BOUNDED_SQL,
+        "fuzzy_topk_damerau": _FUZZY_DAMERAU_SQL,
+        "regexp_topk": _REGEXP_SQL,
+        "term_range_topk": _TERM_RANGE_SQL,
         "phrase_topk": _PHRASE_SQL,
         "substring_topk": _SUBSTRING_SQL,
         "substring_topk_short": _SUBSTRING_SHORT_SQL,

@@ -324,7 +324,15 @@ def build_index(
     def stage_dict():
         d = (
             load_postings(spark, out_dir)
-            .select("term", "part_id", "df", "cf")
+            .select(
+                "term", "part_id", "df", "cf",
+                # term length, persisted so fuzzy's |len diff| <=
+                # max_edits window is a PUSHED range predicate (parquet
+                # row-group min/max) instead of a computed filter —
+                # the FST-automaton / sorted-range analog for edit-
+                # distance candidate pruning (query.fuzzy_topk)
+                F.length("term").cast("int").alias("tlen"),
+            )
             .sortWithinPartitions("term")
         )
         write_table(d, os.path.join(out_dir, "dictionary"))
@@ -337,28 +345,62 @@ def build_index(
 def load_postings(spark: SparkSession, out_dir: str) -> DataFrame:
     """Final postings: all waves, salted partials replaced by merged.
 
-    This is the query-side index-open surface, so it also applies the
-    engine's session confs (listing threshold for the hundreds of
-    part_id dirs — see session.py) for sessions that never ran a build.
-    """
-    from capsbm25.session import configure_session
+    The partitioned layout holds hundreds of part_id dirs, and Spark's
+    default parallelPartitionDiscovery.threshold=32 turns the eager
+    file listing at read time into a distributed JOB (~1s at 512 dirs
+    on a local fs). Rather than retune the caller's session globally
+    (their own highly-partitioned object-store tables read in the same
+    session want distributed listing), the raised threshold is SCOPED
+    to this read — file listing happens while the relation resolves,
+    so set/restore around spark.read.parquet covers it. Sessions that
+    want the tuning durable call session.configure_session themselves
+    (build_index and the streaming ingest entry points do)."""
+    from capsbm25.session import scoped_listing_threshold
 
-    configure_session(spark, out_dir)
-    return spark.read.parquet(os.path.join(out_dir, "postings")).where(
-        ~F.col("partial")
-    )
+    with scoped_listing_threshold(spark, out_dir):
+        df = spark.read.parquet(os.path.join(out_dir, "postings"))
+    return df.where(~F.col("partial"))
+
+
+# per-(application, path, mtime) cache of the dictionary DataFrame:
+# expansion queries open the dictionary on EVERY call, and re-reading
+# the parquet (plus its listing) dominated round-5's fuzzy/wildcard
+# latency. mtime keys rebuilds-in-place to a fresh cache entry.
+_DICT_CACHE: dict = {}
 
 
 def load_dictionary(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    """Term dictionary side index (term, part_id, df, cf) persisted by
-    the build's dictionary stage; None for indexes that predate it or
-    streaming segment dirs (expansion queries then fall back to a
-    pruned 2-column projection of the postings — see
-    query._expansion_matched)."""
+    """Term dictionary side index (term, part_id, df, cf, tlen)
+    persisted by the build's dictionary stage; None for indexes that
+    predate it or streaming segment dirs (expansion queries then fall
+    back to a pruned projection of the postings — see
+    query._expansion_matched). The returned DataFrame is CACHED
+    (Spark .cache(), keyed by application + path + mtime): the
+    dictionary is the hot side of every expansion query and is tiny
+    relative to the postings, so repeated queries pay zero read cost.
+    Callers wanting an uncached read (e.g. plan-pushdown inspection)
+    can spark.read.parquet the path directly."""
     path = os.path.join(out_dir, "dictionary")
     if not os.path.isdir(path):
         return None
-    return spark.read.parquet(path)
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = 0.0
+    key = (spark.sparkContext.applicationId, os.path.abspath(path), mtime)
+    df = _DICT_CACHE.get(key)
+    if df is None:
+        # evict stale entries for the same path (rebuild-in-place or a
+        # previous application) so their cached blocks free up
+        for k in [k for k in list(_DICT_CACHE) if k[1] == key[1]
+                  and k != key]:
+            try:
+                _DICT_CACHE.pop(k).unpersist()
+            except Exception:
+                pass
+        df = spark.read.parquet(path).cache()
+        _DICT_CACHE[key] = df
+    return df
 
 
 def load_doc_stats(spark: SparkSession, out_dir: str) -> DataFrame:

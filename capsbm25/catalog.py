@@ -70,14 +70,20 @@ def write_table(
         # can't interleave set/restore and strand the wrong value.
         spark = df.sparkSession
         key = "spark.sql.maxConcurrentOutputFileWriters"
-        try:
-            cur = int(spark.conf.get(key, "0"))
-        except (TypeError, ValueError):
-            cur = 0
-        if cur >= 64:
-            df.write.mode(mode).partitionBy(*partition_by).parquet(dest)
-            return
+        # the >=64 check happens INSIDE the lock: an unlocked read can
+        # observe another thread's transient set(64), whose finally
+        # then restores the conf to 0/unset before THIS write plans —
+        # silently reintroducing the per-task partition sort (round-5
+        # advice). Holding the lock for the already-tuned case costs
+        # nothing (configure_session-tuned sessions never contend).
         with _WRITER_CONF_LOCK:
+            try:
+                cur = int(spark.conf.get(key, "0"))
+            except (TypeError, ValueError):
+                cur = 0
+            if cur >= 64:
+                df.write.mode(mode).partitionBy(*partition_by).parquet(dest)
+                return
             prev = spark.conf.get(key, None)
             spark.conf.set(key, "64")
             try:

@@ -1548,6 +1548,29 @@ def term_doc_ids(postings: DataFrame, terms: list[str]) -> DataFrame:
     return f.mapInPandas(rows, schema="doc_id long").distinct()
 
 
+# unbounded (max_expansions=None) expansions collect matched pairs to
+# the driver up to this many rows so the postings scan gets pushed-down
+# In(term)/In(part_id) predicates (file + row-group pruning); beyond
+# it the match degrades to a distributed equi-join on term.
+MAX_EXPANSION_COLLECT = 50_000
+
+# the Lucene MultiTermQuery top-N rewrite bound (IndexSearcher's
+# default maxClauseCount era value): an expansion query scores at most
+# this many matched dictionary terms unless the caller widens/disables
+# the bound. Makes wildcard/fuzzy/prefix cost independent of how many
+# terms a pattern HAPPENS to match on a huge vocabulary.
+MAX_EXPANSIONS_DEFAULT = 1024
+
+# above this many distinct matched terms, a literal In(term) list costs
+# more to plan/codegen than a broadcast semi-join on a tiny term frame
+_ISIN_MAX_TERMS = 2048
+
+# per-query salt buckets for the two-phase top-N term selection (same
+# trick as _window_topk: phase-1 local top-N per salt spreads the bulk
+# sort; phase-2 ranks the <= salt*N survivors)
+_EXPANSION_SALT = 32
+
+
 def prefix_topk(
     spark: SparkSession,
     postings: DataFrame,
@@ -1556,6 +1579,7 @@ def prefix_topk(
     doc_filter: DataFrame | None = None,
     doc_exclude: DataFrame | None = None,
     dictionary: DataFrame | None = None,
+    max_expansions: int | None = MAX_EXPANSIONS_DEFAULT,
 ) -> DataFrame:
     """Prefix query (Lucene PrefixQuery / the reference suffix array's
     term-range scan): docs containing ANY term starting with the
@@ -1601,18 +1625,11 @@ def prefix_topk(
     matched = _expansion_matched(
         spark, postings, dictionary, spark.createDataFrame(qpdf),
         F.col("term").startswith(F.col("prefix")), scan_cond=cond,
+        max_expansions=max_expansions,
     )
     if matched is None:
         return spark.createDataFrame([], RESULT_SCHEMA)
     return _term_expansion_topk(matched, doc_filter, doc_exclude)
-
-
-# term-expansion queries collect the matched dictionary pairs to the
-# driver up to this many rows so the postings scan gets pushed-down
-# In(term)/In(part_id) predicates (file + row-group pruning); beyond
-# it the match stays a distributed equi-join on term. The cap is the
-# analog of Lucene's bounded MultiTermQuery rewrites.
-MAX_EXPANSION_COLLECT = 50_000
 
 
 def _expansion_matched(
@@ -1622,57 +1639,104 @@ def _expansion_matched(
     qdf: DataFrame,
     join_cond,
     scan_cond=None,
+    max_expansions: int | None = MAX_EXPANSIONS_DEFAULT,
+    rank_cols=None,
+    post_cols=None,
 ):
     """Shared head of the term-EXPANSION query family: evaluate the
-    term predicate against the DICTIONARY, not the posting payloads.
+    term predicate against the DICTIONARY, not the posting payloads,
+    and bound how many matched terms get scored.
 
     The reference's sorted suffix array makes term-range expansion a
     binary search over the term dictionary
     (/root/reference/src/Suffix_Array.cpp:252-297), and Lucene walks a
-    term-dictionary FST; the pre-round-5 shape here instead evaluated
-    levenshtein/LIKE against every posting ROW — whose scan must read
-    the payload binaries (doc_ids/tfs/dls) for every row because the
-    theta-join filters only after the scan. This helper restores the
-    dictionary shape:
+    term-dictionary FST then rewrites through a bounded top-N terms
+    query (MultiTermQuery's scoring rewrites). The shape here:
 
-    1. predicate runs over `dictionary` (term, part_id — narrow rows,
-       one per term x part; the persisted build artifact when
-       available, else a 2-column pruned projection of the postings);
-    2. matched (term, part_id, query_id, k) pairs collect to the
-       driver (capped at MAX_EXPANSION_COLLECT);
-    3. the postings scan is pruned by In(part_id) (FILE pruning on the
-       partitioned layout) + In(term) (row-group pruning) BEFORE its
-       payload columns are read, then equi-joined to the broadcast
-       pairs.
+    1. the predicate runs over `dictionary` (term, part_id, df —
+       narrow rows, one per term; the persisted build artifact when
+       available, else a pruned projection of the postings). A `tlen`
+       column is provided (persisted by round-6 builds for parquet
+       min/max pruning; computed on the fly otherwise) so length-window
+       scan conditions work against any dictionary;
+    2. `post_cols` (e.g. a fuzzy edit distance) are computed on the
+       MATCHED rows only, then the per-query top `max_expansions`
+       terms are kept by `rank_cols` (default df DESC, term ASC — keep
+       the terms that match the most documents; deterministic). The
+       selection is two-phase salted so no single task ever sorts the
+       full match set of a pathological pattern;
+    3. the bounded (term, part_id, query_id, k) pairs collect to the
+       driver — at most max_expansions x n_queries rows — and prune
+       the postings scan via pushed In(part_id) (FILE pruning on the
+       partitioned layout) + In(term) (row-group pruning) BEFORE
+       payload columns are read; above _ISIN_MAX_TERMS distinct terms
+       the prune becomes a broadcast semi-join instead of a giant
+       literal list. The pruned rows equi-join the broadcast pairs.
 
-    Over the cap the match degrades to a distributed equi-join on term
-    (still dictionary-driven — never a theta join over payload rows).
-    Returns the matched posting-row frame carrying query_id and k.
+    max_expansions=None disables the bound (collect capped at
+    MAX_EXPANSION_COLLECT; beyond it a distributed term equi-join —
+    still dictionary-driven, never a theta join over payload rows).
+    Returns the matched posting-row frame carrying query_id and k, or
+    None when nothing matched.
     """
     dic = dictionary if dictionary is not None else postings
-    cols = ["term"] + (["part_id"] if "part_id" in dic.columns else [])
+    cols = ["term"] + [c for c in ("part_id", "df", "tlen")
+                       if c in dic.columns]
     dic = dic.select(*cols)
+    if "tlen" not in dic.columns:
+        # pre-round-6 dictionaries / postings projections: computed
+        # (correct, just not pushed to the parquet scan)
+        dic = dic.withColumn("tlen", F.length("term"))
+    if "df" not in dic.columns:
+        dic = dic.withColumn("df", F.lit(0).cast("long"))
     if scan_cond is not None:
         dic = dic.where(scan_cond)
     dm = dic.join(F.broadcast(qdf), join_cond)
+    for name, col in (post_cols or {}).items():
+        dm = dm.withColumn(name, col)
+        dm = dm.where(F.col(name).isNotNull())
+    has_part = "part_id" in cols
     posts = postings.drop("pos") if "pos" in postings.columns else postings
-    sel_cols = ["term", "query_id", "k"] + (
-        ["part_id"] if "part_id" in cols else [])
+    sel_cols = ["term", "query_id", "k", "df"] + (
+        ["part_id"] if has_part else []) + list(post_cols or ())
+
+    if max_expansions is not None:
+        rank_cols = rank_cols or [F.desc("df"), F.asc("term")]
+        w1 = Window.partitionBy("query_id", "_salt").orderBy(*rank_cols)
+        w2 = Window.partitionBy("query_id").orderBy(*rank_cols)
+        pairs_pdf = (
+            dm.select(*sel_cols)
+            .withColumn("_salt",
+                        F.pmod(F.xxhash64("term"), F.lit(_EXPANSION_SALT)))
+            .withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= int(max_expansions))
+            .drop("_salt", "_r1")
+            .withColumn("_rn", F.row_number().over(w2))
+            .where(F.col("_rn") <= int(max_expansions))
+            .drop("_rn")
+            .toPandas()
+        )
+        if pairs_pdf.empty:
+            return None
+        hit = pairs_pdf.groupby("query_id").size()
+        capped = hit[hit >= int(max_expansions)]
+        if len(capped):  # no silent caps: say when the bound truncated
+            _logger.info(
+                "expansion bound max_expansions=%d reached for "
+                "query_id(s) %s — scoring the top terms by rank order "
+                "only (Lucene top-N rewrite semantics)",
+                int(max_expansions), sorted(capped.index.tolist()),
+            )
+        return _pruned_pair_join(spark, posts, pairs_pdf, has_part)
+
     pairs_pdf = dm.select(*sel_cols).limit(
         MAX_EXPANSION_COLLECT + 1).toPandas()
     if len(pairs_pdf) <= MAX_EXPANSION_COLLECT:
         if pairs_pdf.empty:
             return None
-        pruned = posts.where(
-            F.col("term").isin(sorted(set(pairs_pdf["term"]))))
-        if "part_id" in pairs_pdf.columns:
-            pruned = pruned.where(F.col("part_id").isin(
-                sorted(int(p) for p in set(pairs_pdf["part_id"]))))
-        pairs = spark.createDataFrame(
-            pairs_pdf[["term", "query_id", "k"]].drop_duplicates())
-        return pruned.join(F.broadcast(pairs), "term")
+        return _pruned_pair_join(spark, posts, pairs_pdf, has_part)
     _logger.info(
-        "term expansion over %d matched pairs exceeds "
+        "unbounded term expansion over %d matched pairs exceeds "
         "MAX_EXPANSION_COLLECT=%d — distributed term equi-join engaged",
         len(pairs_pdf), MAX_EXPANSION_COLLECT,
     )
@@ -1683,20 +1747,84 @@ def _expansion_matched(
     )
 
 
+def _pruned_pair_join(spark, posts, pairs_pdf, has_part):
+    """Prune the postings scan to the matched terms and equi-join the
+    broadcast (term, query_id, k) pairs. In(term) literals below
+    _ISIN_MAX_TERMS (pushed to parquet row-group stats); broadcast
+    semi-join above (literal lists that large cost more to plan and
+    codegen than the join). In(part_id) always — part counts are small
+    and it prunes FILES on the partitioned layout."""
+    terms = sorted(set(pairs_pdf["term"]))
+    if has_part:
+        posts = posts.where(F.col("part_id").isin(
+            sorted(int(p) for p in set(pairs_pdf["part_id"]))))
+    if len(terms) <= _ISIN_MAX_TERMS:
+        pruned = posts.where(F.col("term").isin(terms))
+    else:
+        tdf = spark.createDataFrame(pd.DataFrame({"term": terms}))
+        pruned = posts.join(F.broadcast(tdf), "term", "semi")
+    pairs = spark.createDataFrame(
+        pairs_pdf[["term", "query_id", "k"]].drop_duplicates())
+    return pruned.join(F.broadcast(pairs), "term")
+
+
+# a task's expansion decode combines (doc, tf) pairs locally and
+# re-compresses whenever this many raw pairs have accumulated — task
+# memory stays O(chunk + distinct docs in task), never O(df mass)
+_EXPANSION_COMBINE_CHUNK = 4_000_000
+
+
 def _term_expansion_topk(matched, doc_filter, doc_exclude) -> DataFrame:
     """Shared tail of the term-EXPANSION query family (prefix, fuzzy,
     wildcard): matched = posting rows joined to (query_id, k), docs
     ranked by the summed tf of their matching terms (deterministic,
     idf-free — an expansion set makes per-term idf unstable), ties by
-    doc_id. Narrow decode -> filter joins -> built-in agg -> two-phase
-    salted top-k; no task ever holds more than one posting row."""
+    doc_id.
+
+    Scale shape (round 6): the decode pass COMBINES map-side. An
+    expansion over Zipf-head terms (e.g. wildcard `w00*` hitting the
+    top-100 ranks) decodes a df-MASS of (doc, tf) pairs — tens of
+    entries per doc when the matched terms co-occur; materializing one
+    Arrow row per pair made the downstream shuffle agg the whole cost
+    (round-5's wildcard regression). Matched terms are term-range
+    ADJACENT (`w00*` spans one dictionary range), so one task's rows
+    overlap heavily on docs: each task now accumulates pairs in numpy
+    and re-compresses via unique+bincount every _EXPANSION_COMBINE_CHUNK
+    raw pairs, emitting one row per (query, distinct doc in task) —
+    the exploded pair frame never exists, the shuffle input is
+    distinct-docs-sized, and task memory is bounded at any doc-id
+    cardinality (no dense corpus-sized array, works at 10^12 docs).
+    Then filter joins -> built-in agg -> two-phase salted top-k; no
+    task ever holds more than one chunk of raw pairs."""
     def doc_rows(it):
+        acc: dict = {}  # (query_id, k) -> [docs_chunks, tf_chunks, n]
+
+        def compress(ent):
+            docs = np.concatenate(ent[0])
+            tfs = np.concatenate(ent[1])
+            uniq, inv = np.unique(docs, return_inverse=True)
+            # tf sums are token counts (< 2^53): float64 bincount is
+            # exact and much faster than np.add.at on int64
+            sums = np.bincount(inv, weights=tfs.astype(np.float64))
+            ent[0] = [uniq]
+            ent[1] = [sums.astype(np.int64)]
+            ent[2] = uniq.size
+
         for row, docs, tfs in _iter_decoded_postings(it, with_tf=True):
+            ent = acc.setdefault((row.query_id, row.k), [[], [], 0])
+            ent[0].append(docs)
+            ent[1].append(tfs)
+            ent[2] += docs.size
+            if ent[2] >= _EXPANSION_COMBINE_CHUNK:
+                compress(ent)
+        for (qid, k), ent in acc.items():
+            compress(ent)
+            uniq, sums = ent[0][0], ent[1][0]
             yield pd.DataFrame(
-                {"query_id": np.full(docs.size, row.query_id, np.int32),
-                 "doc_id": docs,
-                 "tf": tfs,
-                 "k": np.full(docs.size, row.k, np.int32)}
+                {"query_id": np.full(uniq.size, qid, np.int32),
+                 "doc_id": uniq,
+                 "tf": sums,
+                 "k": np.full(uniq.size, k, np.int32)}
             )
 
     c = matched.mapInPandas(
@@ -1713,6 +1841,68 @@ def _term_expansion_topk(matched, doc_filter, doc_exclude) -> DataFrame:
     return _window_topk(scored).orderBy("query_id", "rank")
 
 
+def _damerau_levenshtein(a: str, b: str) -> int:
+    """TRUE Damerau-Levenshtein (Lowrance-Wagner, unrestricted): edits
+    = insert/delete/substitute/transpose-adjacent, and a transposed
+    pair may be edited between ("ca"->"abc" = 2, where restricted OSA
+    says 3). Matches DuckDB's damerau_levenshtein (the oracle) exactly
+    — parity-tested against it in tests/test_fuzzy_damerau.py."""
+    la, lb = len(a), len(b)
+    if not la:
+        return lb
+    if not lb:
+        return la
+    maxdist = la + lb
+    # DP over (la+2) x (lb+2) with the Lowrance-Wagner last-occurrence
+    # bookkeeping; small strings (query terms) — plain python is fine
+    # for the post-join refine set this runs on (classic-pruned).
+    d = [[0] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = maxdist
+    for i in range(la + 1):
+        d[i + 1][0] = maxdist
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = maxdist
+        d[1][j + 1] = j
+    last_row: dict = {}
+    for i in range(1, la + 1):
+        ch_a = a[i - 1]
+        last_col = 0
+        for j in range(1, lb + 1):
+            ch_b = b[j - 1]
+            i_ = last_row.get(ch_b, 0)
+            j_ = last_col
+            cost = 0 if ch_a == ch_b else 1
+            if not cost:
+                last_col = j
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,          # substitute / match
+                d[i + 1][j] + 1,         # insert
+                d[i][j + 1] + 1,         # delete
+                d[i_][j_] + (i - i_ - 1) + 1 + (j - j_ - 1),  # transpose
+            )
+        last_row[ch_a] = i
+    return d[la + 1][lb + 1]
+
+
+def _fuzzy_scan_cond(qlens, max_edits: int, prefixes=None):
+    """Dictionary-scan prefilter for fuzzy: |len(term) - len(qterm)| <=
+    max_edits is necessary under classic AND Damerau distance (every
+    edit op changes length by at most 1), expressed as one coarse
+    range over the query batch so it stays a single pushable predicate
+    pair on the persisted `tlen` column (parquet row-group min/max —
+    the FST-automaton / sorted-range analog). Exact-prefix conditions
+    (prefix_len > 0) additionally push as StringStartsWith."""
+    cond = F.col("tlen").between(
+        min(qlens) - int(max_edits), max(qlens) + int(max_edits))
+    if prefixes:
+        pcond = F.col("term").startswith(prefixes[0])
+        for p_ in prefixes[1:]:
+            pcond = pcond | F.col("term").startswith(p_)
+        cond = cond & pcond
+    return cond
+
+
 def fuzzy_topk(
     spark: SparkSession,
     postings: DataFrame,
@@ -1723,6 +1913,8 @@ def fuzzy_topk(
     doc_filter: DataFrame | None = None,
     doc_exclude: DataFrame | None = None,
     dictionary: DataFrame | None = None,
+    max_expansions: int | None = MAX_EXPANSIONS_DEFAULT,
+    transpositions: bool = False,
 ) -> DataFrame:
     """Fuzzy term query (Lucene FuzzyQuery): docs containing ANY
     dictionary term within `max_edits` Levenshtein edits of the query
@@ -1735,26 +1927,36 @@ def fuzzy_topk(
     the automaton cost explodes; here it would match most of the
     dictionary).
 
-    SEMANTICS DEVIATION from Lucene: distances here are CLASSIC
-    Levenshtein (insert/delete/substitute), matching Spark's and
-    DuckDB's built-in `levenshtein`. Lucene FuzzyQuery defaults to
-    Damerau-Levenshtein (`transpositions=true`), where a swapped
-    adjacent pair ("hte" -> "the") costs 1 edit; here it costs 2, so
-    max_edits=1 misses pure-transposition typos that Lucene would
-    match. Engine and oracle agree with each other; users migrating
-    Lucene workloads should pass max_edits=2 where transposition typos
-    matter. prefix_len > 0 additionally requires an exact shared
-    prefix (Lucene's prefixLength) — that prefix becomes a pushed
-    StringStartsWith predicate, so the scan prunes to the prefix's row
-    groups instead of reading the dictionary.
+    SEMANTICS: distances default to CLASSIC Levenshtein
+    (insert/delete/substitute), matching Spark's and DuckDB's built-in
+    `levenshtein`. `transpositions=True` switches to TRUE
+    Damerau-Levenshtein (Lowrance-Wagner: an adjacent swap costs 1,
+    and the swapped pair may be edited between — "ca"->"abc" is 2),
+    matching DuckDB's `damerau_levenshtein` exactly; Lucene's
+    transpositions=true uses the restricted OSA variant, which differs
+    only on edited-between-transposition cases. prefix_len > 0
+    additionally requires an exact shared prefix (Lucene's
+    prefixLength) — that prefix becomes a pushed StringStartsWith
+    predicate, so the scan prunes to the prefix's row groups instead
+    of reading the dictionary.
 
-    Scale shape (round 5): the edit-distance test is Spark's BUILT-IN
-    levenshtein expression evaluated against the TERM DICTIONARY
-    (`dictionary=` — the build's persisted side index, or a 2-column
-    pruned projection of the postings when absent), never against
-    payload-bearing posting rows; the matched terms then prune the
-    postings scan via pushed In(term)/In(part_id) predicates
-    (_expansion_matched). No UDF anywhere.
+    max_expansions bounds how many matched dictionary terms are scored
+    (Lucene FuzzyQuery's maxExpansions; selection order = edit
+    distance ASC, then df DESC, then term — the closest, then
+    most-frequent terms win). None disables the bound.
+
+    Scale shape (round 6): the dictionary scan carries a PUSHED
+    length-window predicate — |len(term) - len(qterm)| <= max_edits is
+    necessary for any match, and the round-6 dictionary persists a
+    `tlen` column sorted-adjacent to term so parquet row-group min/max
+    prunes the scan (the FST-automaton analog: candidates come from a
+    pruned range, not a full dictionary pass). The edit-distance test
+    is Spark's BUILT-IN banded levenshtein (threshold form — early
+    exit at max_edits) over the surviving rows; transpositions=True
+    refines classic-prefiltered (<= 2*max_edits, a valid bound since
+    classic <= 2*DL) matches with an Arrow-batched UDF on matched rows
+    only. Matched terms then prune the postings scan via pushed
+    In(term)/In(part_id) predicates (_expansion_matched).
     """
     cfg = cfg or BuildConfig()
     if cfg.tokenizer == "chargram":
@@ -1785,20 +1987,40 @@ def fuzzy_topk(
     )
     if empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    scan_cond = None
-    if prefix_len > 0:
-        prefixes = sorted(set(qpdf["pfx"]))
-        scan_cond = F.col("term").startswith(prefixes[0])
-        for p_ in prefixes[1:]:
-            scan_cond = scan_cond | F.col("term").startswith(p_)
-    join_cond = F.levenshtein(F.col("term"), F.col("qterm")) <= int(max_edits)
+    me = int(max_edits)
+    scan_cond = _fuzzy_scan_cond(
+        [len(t) for t in qpdf["qterm"]], me,
+        sorted(set(qpdf["pfx"])) if prefix_len > 0 else None)
+    # banded builtin levenshtein: threshold form early-exits the DP at
+    # max_edits and returns -1 above it. transpositions prefilters with
+    # classic <= 2*max_edits (classic <= 2*DL), refined post-join.
+    join_thresh = 2 * me if transpositions else me
+    join_cond = (
+        F.levenshtein(F.col("term"), F.col("qterm"), join_thresh) >= 0
+    )
     if prefix_len > 0:
         join_cond = join_cond & F.col("term").startswith(F.col("pfx"))
+    if transpositions:
+        @F.pandas_udf("int")
+        def _dl_dist(term: pd.Series, qterm: pd.Series) -> pd.Series:
+            out = [
+                dist if (dist := _damerau_levenshtein(t, q)) <= me
+                else None
+                for t, q in zip(term, qterm)
+            ]
+            return pd.Series(out, dtype="Int32")
+
+        dist_col = _dl_dist(F.col("term"), F.col("qterm"))
+    else:
+        dist_col = F.levenshtein(F.col("term"), F.col("qterm"), me)
     matched = _expansion_matched(
         spark, postings, dictionary,
         spark.createDataFrame(qpdf.drop(columns=["pfx"])
                               if prefix_len <= 0 else qpdf),
         join_cond, scan_cond=scan_cond,
+        max_expansions=max_expansions,
+        rank_cols=[F.asc("dist"), F.desc("df"), F.asc("term")],
+        post_cols={"dist": dist_col},
     )
     if matched is None:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -1813,6 +2035,7 @@ def wildcard_topk(
     doc_filter: DataFrame | None = None,
     doc_exclude: DataFrame | None = None,
     dictionary: DataFrame | None = None,
+    max_expansions: int | None = MAX_EXPANSIONS_DEFAULT,
 ) -> DataFrame:
     """Wildcard term query (Lucene WildcardQuery): `*` matches any run
     of characters, `?` exactly one; docs containing ANY matching
@@ -1871,6 +2094,175 @@ def wildcard_topk(
         spark, postings, dictionary,
         spark.createDataFrame(qpdf.drop(columns=["pat"])),
         F.expr("term LIKE like_pat"), scan_cond=scan_cond,
+        max_expansions=max_expansions,
+    )
+    if matched is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    return _term_expansion_topk(matched, doc_filter, doc_exclude)
+
+
+# regex metachars allowed in regexp_topk patterns: the common
+# Java-regex / RE2 subset with IDENTICAL semantics in both engines
+# (Spark evaluates Java regex, the DuckDB oracle RE2) — no backslash
+# escapes (dialects differ), no lookaround, no backreferences.
+_REGEXP_SAFE = r"[a-z0-9.*+?|()\[\]{},\-]+"
+
+
+def regexp_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: pd.DataFrame,
+    cfg: BuildConfig | None = None,
+    doc_filter: DataFrame | None = None,
+    doc_exclude: DataFrame | None = None,
+    dictionary: DataFrame | None = None,
+    max_expansions: int | None = MAX_EXPANSIONS_DEFAULT,
+) -> DataFrame:
+    """Regexp term query (Lucene RegexpQuery): docs containing ANY
+    dictionary term the pattern FULLY matches (anchored, like Lucene —
+    `so.*` matches "sort" but "os.*" does not), ranked by summed tf of
+    the matched terms, ties by doc_id.
+
+    queries: pandas (query_id, text, k) — text is the regex,
+    lowercased against the normalized dictionary. Patterns are
+    restricted to the Java-regex/RE2 common subset
+    (`[a-z0-9.*+?|()\\[\\]{},-]`, no backslash escapes / lookaround /
+    backreferences) so the engine (Spark RLIKE, anchored `^(?:p)$`)
+    and the oracle (DuckDB regexp_full_match) agree by construction;
+    anything else raises. A LEADING literal run prunes the dictionary
+    scan via pushed StringStartsWith, exactly like wildcard; Lucene's
+    analog walks only the automaton-reachable FST range.
+
+    Scale shape: identical to wildcard_topk — dictionary-evaluated
+    match, bounded top-N-by-df rewrite (max_expansions), pushed
+    In(term)/In(part_id) postings prune.
+    """
+    import re
+
+    cfg = cfg or BuildConfig()
+    if cfg.tokenizer == "chargram":
+        raise ValueError(
+            "regexp_topk requires a word-tokenizer index; use "
+            "substring_topk on a chargram index"
+        )
+    rows = []
+    for q in queries.itertuples(index=False):
+        pat = str(q.text or "").lower()
+        if not pat or not re.fullmatch(_REGEXP_SAFE, pat):
+            raise ValueError(
+                "regexp pattern must be non-empty, lowercase, and "
+                f"within the Java/RE2 common subset {_REGEXP_SAFE}: "
+                f"{q.text!r}"
+            )
+        try:
+            re.compile(pat)
+        except re.error as e:
+            raise ValueError(f"invalid regexp {q.text!r}: {e}") from e
+        rows.append((int(q.query_id), pat, f"^(?:{pat})$", int(q.k)))
+    qpdf = pd.DataFrame(rows, columns=["query_id", "pat", "rx", "k"])
+    if qpdf.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    _, doc_filter, doc_exclude, _, _, empty = _prep_doc_sets(
+        spark, "distributed", doc_filter, doc_exclude, 0
+    )
+    if empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    lead = sorted({re.split(r"[.*+?|()\[\]{},]", p)[0].rstrip("-")
+                   for p in qpdf["pat"]})
+    scan_cond = None
+    if all(lead):  # every pattern starts with a literal run -> pushdown
+        scan_cond = F.col("term").startswith(lead[0])
+        for p_ in lead[1:]:
+            scan_cond = scan_cond | F.col("term").startswith(p_)
+    matched = _expansion_matched(
+        spark, postings, dictionary,
+        spark.createDataFrame(qpdf.drop(columns=["pat"])),
+        F.expr("term RLIKE rx"), scan_cond=scan_cond,
+        max_expansions=max_expansions,
+    )
+    if matched is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    return _term_expansion_topk(matched, doc_filter, doc_exclude)
+
+
+def term_range_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: pd.DataFrame,
+    cfg: BuildConfig | None = None,
+    doc_filter: DataFrame | None = None,
+    doc_exclude: DataFrame | None = None,
+    dictionary: DataFrame | None = None,
+    max_expansions: int | None = MAX_EXPANSIONS_DEFAULT,
+) -> DataFrame:
+    """Term-range query (Lucene TermRangeQuery; the reference's sorted
+    suffix-array range scan, /root/reference/src/Suffix_Array.cpp:
+    252-297, is exactly this shape): docs containing ANY dictionary
+    term in [lo, hi], ranked by summed tf, ties by doc_id.
+
+    queries: pandas (query_id, lo, hi, k) plus optional boolean
+    columns include_lower / include_upper (default True — inclusive
+    bounds, Lucene's includeLower/includeUpper). A null/empty lo means
+    open below, null/empty hi open above (not both).
+
+    Scale shape: the range predicate IS the pushdown — the dictionary
+    is term-sorted on disk (build.py stage_dict), so the coarse
+    [min(lo), max(hi)] envelope over the query batch reaches the
+    parquet scan as pushed >=/<= filters and row-group min/max prunes
+    to the touched range, the closest Spark analog of the reference's
+    two binary searches. Per-query bounds then refine against the
+    broadcast query frame; bounded top-N-by-df rewrite and pushed
+    In(term)/In(part_id) postings prune as in the rest of the family.
+    """
+    cfg = cfg or BuildConfig()
+    if cfg.tokenizer == "chargram":
+        raise ValueError("term_range_topk requires a word-tokenizer index")
+    def _bound(v):
+        return v.lower() if isinstance(v, str) and v else None
+
+    rows = []
+    for q in queries.itertuples(index=False):
+        lo = _bound(getattr(q, "lo", None))
+        hi = _bound(getattr(q, "hi", None))
+        if lo is None and hi is None:
+            raise ValueError("term range needs at least one bound")
+        inc_lo = bool(getattr(q, "include_lower", True))
+        inc_hi = bool(getattr(q, "include_upper", True))
+        rows.append((int(q.query_id), lo, hi, inc_lo, inc_hi, int(q.k)))
+    qpdf = pd.DataFrame(
+        rows,
+        columns=["query_id", "lo", "hi", "inc_lo", "inc_hi", "k"])
+    if qpdf.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    _, doc_filter, doc_exclude, _, _, empty = _prep_doc_sets(
+        spark, "distributed", doc_filter, doc_exclude, 0
+    )
+    if empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    # coarse pushable envelope over the batch (open bounds drop a side)
+    scan_cond = None
+    los = [v for v in qpdf["lo"] if v is not None]
+    his = [v for v in qpdf["hi"] if v is not None]
+    if len(los) == len(qpdf):
+        scan_cond = F.col("term") >= min(los)
+    if len(his) == len(qpdf):
+        hc = F.col("term") <= max(his)
+        scan_cond = hc if scan_cond is None else scan_cond & hc
+    join_cond = (
+        F.col("lo").isNull()
+        | F.when(F.col("inc_lo"), F.col("term") >= F.col("lo"))
+           .otherwise(F.col("term") > F.col("lo"))
+    ) & (
+        F.col("hi").isNull()
+        | F.when(F.col("inc_hi"), F.col("term") <= F.col("hi"))
+           .otherwise(F.col("term") < F.col("hi"))
+    )
+    matched = _expansion_matched(
+        spark, postings, dictionary,
+        spark.createDataFrame(
+            qpdf.astype({"lo": object, "hi": object})),
+        join_cond, scan_cond=scan_cond,
+        max_expansions=max_expansions,
     )
     if matched is None:
         return spark.createDataFrame([], RESULT_SCHEMA)

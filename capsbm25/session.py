@@ -32,16 +32,61 @@ notes).
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 from pyspark.sql import SparkSession
 
 _LOCAL_SCHEMES = ("", "file")
 
 
 def _is_local_path(dest: str) -> bool:
-    """True when dest is a local-filesystem path (no scheme / file://)."""
+    """True when dest is a local-filesystem path (no scheme / file://).
+    Any scheme-less dest counts — a bare relative dir name ("myindex")
+    is just as local as "./myindex" (round-5 advice: the old "/"-or-
+    dot sniff silently skipped the engine confs for legal local
+    destinations)."""
     if "://" in dest:
         return dest.split("://", 1)[0] in _LOCAL_SCHEMES
-    return "/" in dest or dest.startswith(".")
+    return True
+
+
+_LISTING_LOCK = threading.RLock()
+_LISTING_KEY = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+
+
+@contextlib.contextmanager
+def scoped_listing_threshold(spark: SparkSession, dest: str):
+    """Raise the partition-listing threshold for the duration of one
+    index open (load_postings): Spark lists files eagerly while the
+    read's relation resolves, so a set/restore window around
+    spark.read.parquet covers the listing without permanently retuning
+    the caller's session (whose OWN highly-partitioned object-store
+    tables may want distributed listing). No-op on non-local dests and
+    on sessions already tuned (configure_session). Serialized under a
+    lock so two engine threads can't interleave set/restore; an RLock
+    so a session-tuned outer frame can nest."""
+    if not _is_local_path(dest):
+        yield
+        return
+    with _LISTING_LOCK:
+        conf = spark.conf
+        try:
+            cur = int(conf.get(_LISTING_KEY, "32"))
+        except (TypeError, ValueError):
+            cur = 32
+        if cur >= 8192:
+            yield
+            return
+        prev = conf.get(_LISTING_KEY, None)
+        conf.set(_LISTING_KEY, "8192")
+        try:
+            yield
+        finally:
+            if prev is None:
+                conf.unset(_LISTING_KEY)
+            else:
+                conf.set(_LISTING_KEY, prev)
 
 
 def configure_session(spark: SparkSession, dest: str | None = None) -> None:

@@ -27,6 +27,7 @@ from __future__ import annotations
 import contextlib
 import fcntl
 import json
+import logging
 import os
 import time
 
@@ -37,6 +38,8 @@ from capsbm25.config import BuildConfig
 from capsbm25.docids import assign_doc_ids
 from capsbm25.partition import plan_from_sample
 from capsbm25.postings import assemble_postings, extract_pairs, extract_runs
+
+_logger = logging.getLogger("capsbm25.streaming")
 
 
 def _stats_path(out_dir: str) -> str:
@@ -199,7 +202,19 @@ def process_batch(
         )
         _write_stats(out_dir, cur)
     if auto_compact:
-        _auto_compact(spark, out_dir, cfg_unresolved, merge_factor)
+        # merge-on-commit is BEST-EFFORT by contract ("a failed/aborted
+        # merge never fails the commit"): the segment above is durable
+        # and replay is idempotent, so a transient merge failure inside
+        # a default-on feature must not propagate out of foreachBatch
+        # and kill the StreamingQuery — log it and let the NEXT batch's
+        # auto_compact retry naturally (round-5 advice, medium).
+        try:
+            _auto_compact(spark, out_dir, cfg_unresolved, merge_factor)
+        except Exception:
+            _logger.exception(
+                "merge-on-commit auto-compaction failed after a durable "
+                "segment commit — continuing; the next batch retries"
+            )
 
 
 def _auto_compact(spark, out_dir, cfg, merge_factor: int) -> None:
@@ -780,12 +795,24 @@ def _compact_tiered(spark, out_dir, cfg, stats, merge_factor,
         tmp = os.path.join(
             out_dir, "segments",
             f".tiering-{os.getpid()}-{uuid.uuid4().hex[:8]}")
-        merged.write.mode("overwrite").parquet(os.path.join(tmp, "postings"))
-        out_docs = g_docs
-        if drop_bc is not None:
-            ids = spark.createDataFrame(g_del[["doc_id"]])
-            out_docs = g_docs.join(ids, "doc_id", "anti")
-        out_docs.write.mode("overwrite").parquet(os.path.join(tmp, "docs"))
+        try:
+            merged.write.mode("overwrite").parquet(
+                os.path.join(tmp, "postings"))
+            out_docs = g_docs
+            if drop_bc is not None:
+                ids = spark.createDataFrame(g_del[["doc_id"]])
+                out_docs = g_docs.join(ids, "doc_id", "anti")
+            out_docs.write.mode("overwrite").parquet(
+                os.path.join(tmp, "docs"))
+        except BaseException:
+            # a failing group removes its OWN partial temp dir before
+            # re-raising — the concurrent-merge error path below only
+            # sees finished groups' tmp paths, so without this the
+            # half-written .tiering-* dir would accumulate under
+            # segments/ across failures (round-5 advice; disk-only,
+            # hidden dirs are never referenced by stats)
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         return ({
             "members": [s["id"] for s in g],
             "tmp": tmp,

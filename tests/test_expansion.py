@@ -155,3 +155,278 @@ def test_wildcard_rejects_bad_pattern(built_index, spark):
                           "k": np.array([5], dtype=np.int32)})
         with pytest.raises(ValueError, match="wildcard pattern"):
             wildcard_topk(spark, built_index["postings"], q, cfg)
+
+
+# ---------------------------------------------------------------- round 6
+
+
+def _dl_want(a, b):
+    import duckdb
+
+    with duckdb.connect() as con:
+        return con.execute(
+            "select damerau_levenshtein(?, ?)", [a, b]).fetchone()[0]
+
+
+def test_damerau_parity_with_duckdb():
+    """Engine _damerau_levenshtein must match DuckDB's (the oracle)
+    EXACTLY — true Damerau-Levenshtein (Lowrance-Wagner), where the
+    transposed pair may be edited between ("ca"->"abc" = 2; restricted
+    OSA says 3). Also validates the classic <= 2*DL prefilter bound
+    the fuzzy join relies on."""
+    import random
+
+    from capsbm25.query import _damerau_levenshtein
+
+    fixed = [("ca", "abc"), ("abc", "ca"), ("hte", "the"),
+             ("abcd", "acbd"), ("ab", "ba"), ("", "abc"), ("a", ""),
+             ("same", "same"), ("xabc", "abcx"), ("abcdef", "abcfed")]
+    rng = random.Random(42)
+    rand = [
+        ("".join(rng.choice("abcz01") for _ in range(rng.randint(0, 7))),
+         "".join(rng.choice("abcz01") for _ in range(rng.randint(0, 7))))
+        for _ in range(300)
+    ]
+    for a, b in fixed + rand:
+        dl = _damerau_levenshtein(a, b)
+        assert dl == _dl_want(a, b), (a, b)
+        classic = _lev(a, b)
+        assert dl <= classic <= 2 * dl or (dl == 0 and classic == 0), (a, b)
+
+
+def test_fuzzy_transpositions(built_index, spark):
+    """transpositions=True matches Damerau-only typos (adjacent swap =
+    1 edit) that classic max_edits=1 misses; differential against the
+    naive DL expansion of the oracle dictionary."""
+    from capsbm25.query import _damerau_levenshtein
+
+    cfg, oracle = built_index["cfg"], built_index["oracle"]
+    vocab = sorted(oracle.postings)
+    seed = next(t for t in vocab if len(t) >= 4 and t[-2] != t[-1])
+    probe = seed[:-2] + seed[-1] + seed[-2]  # swap last two chars
+    queries = pd.DataFrame({
+        "query_id": np.array([0], dtype=np.int32),
+        "text": [probe],
+        "k": np.array([12], dtype=np.int32),
+    })
+    for me in (1, 2):
+        got = fuzzy_topk(
+            spark, built_index["postings"], queries, cfg,
+            max_edits=me, transpositions=True,
+        ).toPandas()
+        want = _expansion_want(
+            oracle,
+            lambda t, me=me: _damerau_levenshtein(t, probe) <= me, 12)
+        _check_one(got, 0, want)
+        assert len(want) > 0  # the swapped seed itself must match
+    # classic max_edits=1 must NOT match the pure-transposition typo
+    # unless some term is within 1 classic edit anyway
+    got_classic = fuzzy_topk(
+        spark, built_index["postings"], queries, cfg, max_edits=1,
+    ).toPandas()
+    want_classic = _expansion_want(
+        oracle, lambda t: _lev(t, probe) <= 1, 12)
+    _check_one(got_classic, 0, want_classic)
+
+
+def test_max_expansions_bound(built_index, spark):
+    """Lucene top-N rewrite: with max_expansions=N only the N best
+    matched terms (df DESC, term ASC) are scored — differential
+    against the bounded naive expansion."""
+    cfg, oracle = built_index["cfg"], built_index["oracle"]
+    pat = "w0*"
+    all_terms = [t for t in sorted(oracle.postings)
+                 if fnmatch.fnmatchcase(t, pat)]
+    assert len(all_terms) > 5  # the bound must actually bind below
+    for n in (3, 5):
+        top = sorted(all_terms,
+                     key=lambda t: (-len(oracle.postings[t]), t))[:n]
+        queries = pd.DataFrame({
+            "query_id": np.array([0], dtype=np.int32),
+            "text": [pat],
+            "k": np.array([12], dtype=np.int32),
+        })
+        got = wildcard_topk(
+            spark, built_index["postings"], queries, cfg,
+            max_expansions=n,
+        ).toPandas()
+        want = _expansion_want(oracle, lambda t: t in set(top), 12)
+        _check_one(got, 0, want)
+    # unbounded (None) and default (1024, wider than any match here)
+    # agree with the full expansion
+    for n in (None, 1024):
+        got = wildcard_topk(
+            spark, built_index["postings"], queries, cfg,
+            max_expansions=n,
+        ).toPandas()
+        want = _expansion_want(
+            oracle, lambda t: fnmatch.fnmatchcase(t, pat), 12)
+        _check_one(got, 0, want)
+
+
+def test_fuzzy_max_expansions_rank_by_distance(built_index, spark):
+    """Fuzzy's bounded selection prefers CLOSER terms first (distance
+    ASC, then df DESC, then term) — with max_expansions=1 the exact
+    match itself must win over any 1-edit neighbor."""
+    cfg, oracle = built_index["cfg"], built_index["oracle"]
+    vocab = sorted(oracle.postings)
+    probe = vocab[len(vocab) // 2]
+    queries = pd.DataFrame({
+        "query_id": np.array([0], dtype=np.int32),
+        "text": [probe],
+        "k": np.array([12], dtype=np.int32),
+    })
+    got = fuzzy_topk(
+        spark, built_index["postings"], queries, cfg, max_edits=2,
+        max_expansions=1,
+    ).toPandas()
+    want = _expansion_want(oracle, lambda t: t == probe, 12)
+    _check_one(got, 0, want)
+
+
+def test_fuzzy_dictionary_scan_pushes_length_window(built_index, spark):
+    """The round-6 dictionary persists tlen; fuzzy's scan condition
+    must reach the parquet scan as pushed range predicates (the
+    FST-automaton analog: candidates come from a pruned range, not a
+    full dictionary pass)."""
+    import os
+
+    from capsbm25.query import _fuzzy_scan_cond
+    from pyspark.sql import functions as F
+
+    dic_path = os.path.join(built_index["res"].out_dir, "dictionary")
+    dic = spark.read.parquet(dic_path)
+    assert "tlen" in dic.columns
+    cond = _fuzzy_scan_cond([5], 1)
+    plan = (dic.where(cond)._jdf.queryExecution().executedPlan()
+            .toString().replace("\n", " "))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(tlen,4)" in plan, plan[:1500]
+    assert "LessThanOrEqual(tlen,6)" in plan, plan[:1500]
+    # and the loaded (cached) dictionary answers fuzzy correctly
+    from capsbm25.build import load_dictionary
+
+    cfg, oracle = built_index["cfg"], built_index["oracle"]
+    vocab = sorted(oracle.postings)
+    probe = vocab[3]
+    queries = pd.DataFrame({
+        "query_id": np.array([0], dtype=np.int32),
+        "text": [probe],
+        "k": np.array([12], dtype=np.int32),
+    })
+    got = fuzzy_topk(
+        spark, built_index["postings"], queries, cfg, max_edits=1,
+        dictionary=load_dictionary(spark, built_index["res"].out_dir),
+    ).toPandas()
+    want = _expansion_want(oracle, lambda t: _lev(t, probe) <= 1, 12)
+    _check_one(got, 0, want)
+
+
+def test_regexp_matches_naive_expansion(built_index, spark):
+    """regexp_topk: anchored full-term regex, differential against the
+    naive re.fullmatch expansion (identical by construction in the
+    validated Java/RE2 common subset)."""
+    import re
+
+    from capsbm25.query import regexp_topk
+
+    cfg, oracle = built_index["cfg"], built_index["oracle"]
+    pats = ["w0.*", "w0[01]1.*", "(the|hash)", "w..3", "w[0-9]{4}"]
+    queries = pd.DataFrame({
+        "query_id": np.arange(len(pats), dtype=np.int32),
+        "text": pats,
+        "k": np.full(len(pats), 12, dtype=np.int32),
+    })
+    # unbounded for the differential (w[0-9]{4} matches > 1024 terms,
+    # where the default top-N rewrite would legitimately bind — bound
+    # semantics are covered by test_max_expansions_bound)
+    out = regexp_topk(spark, built_index["postings"], queries, cfg,
+                      max_expansions=None)
+    plan = out._jdf.queryExecution().executedPlan().toString().replace(
+        "\n", " ")
+    # postings pruned either via pushed In(term) literals (small match
+    # sets) or the broadcast semi-join (w[0-9]{4} matches > _ISIN_MAX_TERMS)
+    assert "In(term" in plan or "LeftSemi" in plan, plan[:1500]
+    got = out.toPandas()
+    for qid, p in enumerate(pats):
+        want = _expansion_want(
+            oracle, lambda t, p=p: re.fullmatch(p, t) is not None, 12)
+        _check_one(got, qid, want)
+    # anchored: a leading-anchor mismatch must NOT partial-match
+    assert not any(
+        re.fullmatch("w..3", t) for t in oracle.postings if len(t) != 4)
+
+
+def test_regexp_rejects_unsafe_pattern(built_index, spark):
+    from capsbm25.query import regexp_topk
+
+    cfg = built_index["cfg"]
+    # NB "Wx*" does NOT raise: patterns lowercase against the
+    # normalized dictionary, same as wildcard_topk
+    for bad in ["", "w\\d+", "(?=x)y", "a^b$c=", "(unclosed"]:
+        q = pd.DataFrame({"query_id": np.array([0], dtype=np.int32),
+                          "text": [bad],
+                          "k": np.array([5], dtype=np.int32)})
+        with pytest.raises(ValueError):
+            regexp_topk(spark, built_index["postings"], q, cfg)
+
+
+def test_term_range_matches_naive_expansion(built_index, spark):
+    """term_range_topk: inclusive/exclusive bounds + open sides,
+    differential against the naive string-range expansion; the
+    dictionary scan must carry PUSHED term-range predicates."""
+    from capsbm25.query import term_range_topk
+
+    cfg, oracle = built_index["cfg"], built_index["oracle"]
+    vocab = sorted(oracle.postings)
+    lo, hi = vocab[len(vocab) // 3], vocab[2 * len(vocab) // 3]
+    queries = pd.DataFrame({
+        "query_id": np.arange(3, dtype=np.int32),
+        "lo": [lo, lo, None],
+        "hi": [hi, hi, vocab[5]],
+        "include_lower": [True, False, True],
+        "include_upper": [True, False, True],
+        "k": np.full(3, 12, dtype=np.int32),
+    })
+    # unbounded for the differential (a thousands-of-terms range is
+    # exactly where the default top-N rewrite would legitimately bind)
+    out = term_range_topk(spark, built_index["postings"], queries, cfg,
+                          max_expansions=None)
+    got = out.toPandas()
+    cases = [
+        lambda t: lo <= t <= hi,
+        lambda t: lo < t < hi,
+        lambda t: t <= vocab[5],
+    ]
+    for qid, fn in enumerate(cases):
+        _check_one(got, qid, _expansion_want(oracle, fn, 12))
+    # the coarse envelope condition pushes to the term-sorted
+    # dictionary parquet as range predicates (the dictionary match
+    # runs eagerly inside the call, so assert on the scan shape the
+    # envelope produces — same protocol as the fuzzy tlen-window test)
+    from pyspark.sql import functions as F
+
+    dic = spark.read.parquet(built_index["res"].out_dir + "/dictionary")
+    env = (F.col("term") >= lo) & (F.col("term") <= hi)
+    plan = (dic.where(env)._jdf.queryExecution().executedPlan()
+            .toString().replace("\n", " "))
+    # the scan is either the raw parquet (range reaches PushedFilters)
+    # or — when load_dictionary already cached this path in-session and
+    # Spark substituted the InMemoryRelation — the cached scan, whose
+    # scan-level filter list carries the same range
+    pushed = (f"GreaterThanOrEqual(term,{lo})" in plan
+              and f"LessThanOrEqual(term,{hi})" in plan)
+    cached = ("InMemoryTableScan" in plan
+              and f">= {lo})" in plan and f"<= {hi})" in plan)
+    assert pushed or cached, plan[:1500]
+
+
+def test_term_range_requires_a_bound(built_index, spark):
+    from capsbm25.query import term_range_topk
+
+    q = pd.DataFrame({"query_id": np.array([0], dtype=np.int32),
+                      "lo": [None], "hi": [None],
+                      "k": np.array([5], dtype=np.int32)})
+    with pytest.raises(ValueError, match="at least one bound"):
+        term_range_topk(spark, built_index["postings"], q,
+                        built_index["cfg"])

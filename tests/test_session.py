@@ -44,3 +44,51 @@ def test_configure_session_sets_and_respects(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_local_path_bare_relative_dir():
+    # round-6 fix: a bare relative dir name is a legal local dest and
+    # must not silently skip the engine tunings
+    assert _is_local_path("myindex")
+    assert _is_local_path("rel/idx")
+
+
+def test_scoped_listing_threshold_restores(spark):
+    from capsbm25.session import scoped_listing_threshold
+
+    prev = spark.conf.get(LIST_KEY, None)
+    try:
+        spark.conf.set(LIST_KEY, "32")
+        with scoped_listing_threshold(spark, "/tmp/idx"):
+            assert spark.conf.get(LIST_KEY) == "8192"
+        assert spark.conf.get(LIST_KEY) == "32"
+        # non-local dest: no-op
+        with scoped_listing_threshold(spark, "s3a://bucket/idx"):
+            assert spark.conf.get(LIST_KEY) == "32"
+        # already-tuned session: left alone, no restore-to-smaller
+        spark.conf.set(LIST_KEY, "9999")
+        with scoped_listing_threshold(spark, "/tmp/idx"):
+            assert spark.conf.get(LIST_KEY) == "9999"
+        assert spark.conf.get(LIST_KEY) == "9999"
+    finally:
+        if prev is None:
+            spark.conf.unset(LIST_KEY)
+        else:
+            spark.conf.set(LIST_KEY, prev)
+
+
+def test_load_postings_leaves_session_conf(built_index, spark):
+    # round-5 advice: opening an index must not permanently retune the
+    # caller's session-wide listing threshold
+    from capsbm25.build import load_postings
+
+    prev = spark.conf.get(LIST_KEY, None)
+    try:
+        spark.conf.set(LIST_KEY, "32")
+        load_postings(spark, built_index["res"].out_dir).count()
+        assert spark.conf.get(LIST_KEY) == "32"
+    finally:
+        if prev is None:
+            spark.conf.unset(LIST_KEY)
+        else:
+            spark.conf.set(LIST_KEY, prev)
