@@ -602,6 +602,78 @@ def q_boolean_topk(spark, sf_dir):
     )
 
 
+def q_boolean_topk_msm(spark, sf_dir):
+    """Lucene minimumNumberShouldMatch: pure-OR query over three SHOULD
+    terms with min_should_match=2 — hits must contain >= 2 distinct of
+    the three, scored BM25 over the matched terms with corpus-global
+    stats (query.boolean_topk msm column)."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.query import boolean_topk
+
+    b = _index_for(spark, sf_dir)
+    res = b["res"]
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "must": [""], "should": [" ".join(BM25_QUERY_TERMS[:3])],
+         "must_not": [""],
+         "k": np.array([BM25_K], dtype=np.int32),
+         "min_should_match": np.array([2], dtype=np.int32)}
+    )
+    got = boolean_topk(
+        spark, load_postings(spark, b["out"]), queries, res.N, res.avgdl,
+        CFG, mode="kernel",
+    )
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.round("g.score", 6).alias("score_r"))
+    )
+
+
+COLLAPSE_MOD = 7
+
+
+def q_bm25_collapse(spark, sf_dir):
+    """Field collapsing (Lucene grouping): BM25 top-k keeping only the
+    best-scoring doc per group (group = original doc_id % COLLAPSE_MOD
+    — a coarse shard-style field), selected over the FULL scored match
+    set, not a post-filter of the top-k (query.bm25_topk collapse=).
+    The doc->group map is corpus-sized, so the collapse runs as a
+    distributed join + per-(query, group) head window."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.query import bm25_topk
+
+    b = _index_for(spark, sf_dir)
+    res = b["res"]
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [" ".join(BM25_QUERY_TERMS)],
+         "k": np.array([BM25_K], dtype=np.int32)}
+    )
+    m = _engine_docid_map(spark, b)
+    collapse = m.select(
+        F.col("engine_doc_id").alias("doc_id"),
+        (F.col("doc_id") % COLLAPSE_MOD).alias("shard"),
+    )
+    got = bm25_topk(
+        spark, load_postings(spark, b["out"]), queries, res.N, res.avgdl,
+        CFG, collapse=collapse,
+    )
+    return (
+        got.alias("g")
+        .join(F.broadcast(m).alias("mm"),
+              F.col("g.doc_id") == F.col("mm.engine_doc_id"))
+        .select(F.col("mm.doc_id").alias("doc_id"),
+                F.round("g.score", 6).alias("score_r"))
+    )
+
+
 def q_bm25_topk_dataframe(spark, sf_dir):
     """Same BM25 computed with pure built-in DataFrame ops (no index) —
     the minimum end-to-end slice of SURVEY §7.3 step 2."""
@@ -1122,6 +1194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_df_cf": q_postings_df_cf,
         "bm25_topk": q_bm25_topk,
         "boolean_topk": q_boolean_topk,
+        "boolean_topk_msm": q_boolean_topk_msm,
+        "bm25_collapse_topk": q_bm25_collapse,
         "near_topk": q_near_topk,
         "fuzzy_topk": q_fuzzy_topk,
         "wildcard_topk": q_wildcard_topk,
@@ -1484,6 +1558,86 @@ FROM scores s JOIN documents d USING (doc_id)
 ORDER BY s.score DESC, d.source, d.doc_id LIMIT {BM25_K}
 """
 
+# minimumNumberShouldMatch: pure-OR over three SHOULD terms, msm=2 —
+# candidates are docs containing >= 2 distinct of the three; scoring
+# stays corpus-global BM25 over every matched term
+_BOOLEAN_MSM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN {tuple(BM25_QUERY_TERMS[:3])!r}
+  GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+cand AS (
+  SELECT doc_id FROM tf GROUP BY doc_id
+  HAVING count(DISTINCT term) >= 2
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * ({_K1} + 1)
+           / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / c.avgdl))
+         ) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+       JOIN cand USING (doc_id) CROSS JOIN corpus c
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, round(s.score, 6) AS score_r
+FROM scores s JOIN documents d USING (doc_id)
+ORDER BY s.score DESC, d.source, d.doc_id LIMIT {BM25_K}
+"""
+
+# Field collapsing: per (doc_id % COLLAPSE_MOD) group keep the head of
+# the FULL scored set by (score DESC, engine-dense-id = (source,
+# doc_id)), then top-k among the heads by the same order
+_BM25_COLLAPSE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN {BM25_QUERY_TERMS!r}
+  GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * ({_K1} + 1)
+           / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / c.avgdl))
+         ) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus c
+  GROUP BY tf.doc_id
+),
+heads AS (
+  SELECT s.doc_id, s.score,
+         row_number() OVER (
+           PARTITION BY s.doc_id % {COLLAPSE_MOD}
+           ORDER BY s.score DESC, d.source, d.doc_id
+         ) AS rn
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT h.doc_id, round(h.score, 6) AS score_r
+FROM heads h JOIN documents d USING (doc_id)
+WHERE h.rn = 1
+ORDER BY h.score DESC, d.source, d.doc_id LIMIT {BM25_K}
+"""
+
 _BM25_SQL = f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOK}) AS term FROM documents
@@ -1698,6 +1852,8 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY term""",
         "bm25_topk": _BM25_SQL,
         "boolean_topk": _BOOLEAN_SQL,
+        "boolean_topk_msm": _BOOLEAN_MSM_SQL,
+        "bm25_collapse_topk": _BM25_COLLAPSE_SQL,
         "near_topk": _NEAR_SQL,
         "fuzzy_topk": _FUZZY_SQL,
         "wildcard_topk": _WILDCARD_SQL,

@@ -399,6 +399,11 @@ def load_dictionary(spark: SparkSession, out_dir: str) -> DataFrame | None:
             except Exception:
                 pass
         df = spark.read.parquet(path).cache()
+        # materialize eagerly: Lucene loads the term index at segment
+        # open, and the first expansion query should not pay the read
+        # + cache fill inside its own latency (the dictionary is tiny
+        # — vocab-sized narrow rows)
+        df.count()
         _DICT_CACHE[key] = df
     return df
 

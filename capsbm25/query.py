@@ -270,6 +270,7 @@ def bm25_topk(
     doc_filter: DataFrame | None = None,
     max_kernel_filter: int = 4_000_000,
     doc_exclude: DataFrame | None = None,
+    collapse: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 over the index for a batch of queries.
 
@@ -302,8 +303,23 @@ def bm25_topk(
     a compaction physically drops the docs). Same kernel-vs-semi-join
     routing rules as doc_filter; typical tombstone sets are tiny and
     ride the kernel broadcast.
+
+    collapse: optional (doc_id, <group>) DataFrame — Lucene field
+    collapsing (grouping): the result keeps only the BEST-scoring doc
+    per group value per query (ties by doc_id), ranked among the group
+    heads; e.g. collapse=load_doc_stats(...).select("doc_id",
+    "conv_id") returns at most one turn per conversation. The
+    selection runs over the FULL scored match set (exact Lucene
+    semantics, not a post-filter of the top-k), which forces the
+    distributed path: the doc→group map is corpus-sized — a
+    broadcastable per-task copy cannot exist at 10^12 docs — so the
+    collapse is a distributed join + per-(query, group) head window.
+    Docs with a NULL/absent group each form their own group (Lucene's
+    nullPolicy=expand).
     """
     cfg = cfg or BuildConfig()
+    if collapse is not None:
+        mode = "distributed"
     qt = _query_terms_pdf(queries, cfg)
     if qt.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -332,7 +348,8 @@ def bm25_topk(
         run_kernel=lambda m: _run_kernel(
             m, N, avgdl, cfg, prune, conjunctive, filt_bc, excl_bc),
         run_distributed=lambda m, dfm: _run_distributed(
-            m, dfm, N, avgdl, cfg, conjunctive, doc_filter, doc_exclude),
+            m, dfm, N, avgdl, cfg, conjunctive, doc_filter, doc_exclude,
+            collapse=collapse),
     )
 
 
@@ -512,7 +529,8 @@ def _window_topk(scored: DataFrame) -> DataFrame:
 
 def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive,
                      doc_filter: DataFrame | None = None,
-                     doc_exclude: DataFrame | None = None) -> DataFrame:
+                     doc_exclude: DataFrame | None = None,
+                     collapse: DataFrame | None = None) -> DataFrame:
     # df_map: global df per term from _term_df_map (pre-query-join —
     # see its docstring); shipped in the task closure (tiny) instead of
     # a broadcast join
@@ -564,6 +582,33 @@ def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive,
         # AND semantics: doc must contain every distinct query term
         # (segments may split one term across rows — count distinct)
         scored = scored.where(F.col("n_matched") >= F.col("nq"))
+    if collapse is not None:
+        # field collapsing over the FULL scored set: keep the best
+        # (score DESC, doc_id) doc per (query, group). Null-group docs
+        # each collapse alone (group key "\0d<doc_id>" cannot collide
+        # with a real stringified value). The window partitions on the
+        # group key — group count is ~corpus-scale, so the work
+        # spreads; no corpus-sized driver or broadcast state anywhere.
+        key = [c for c in collapse.columns if c != "doc_id"]
+        if len(key) != 1:
+            raise ValueError(
+                "collapse must have exactly (doc_id, <group>) columns; "
+                f"got {collapse.columns}"
+            )
+        key = key[0]
+        grp = F.coalesce(
+            F.col(key).cast("string"),
+            F.concat(F.lit("\0d"), F.col("doc_id").cast("string")),
+        )
+        cw = Window.partitionBy("query_id", "_grp").orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        scored = (
+            scored.join(collapse, "doc_id", "left")
+            .withColumn("_grp", grp)
+            .withColumn("_gr", F.row_number().over(cw))
+            .where(F.col("_gr") == 1)
+            .drop("_gr", "_grp", key)
+        )
     return _window_topk(scored)
 
 
@@ -596,6 +641,13 @@ def boolean_topk(
     OOV SHOULD/MUST_NOT terms are ignored. A query with no positive
     terms returns nothing.
 
+    An optional `min_should_match` column (default 0; Lucene's
+    minimumNumberShouldMatch) requires every hit to match at least
+    that many DISTINCT SHOULD terms on top of the MUST set; a query
+    whose min_should_match exceeds its SHOULD clause count is provably
+    empty (OOV SHOULD terms can never match, so they only make the
+    requirement harder — same as Lucene).
+
     Execution mirrors bm25_topk: the MUST_NOT terms' postings travel to
     the same kernel group / narrow pass as the positive terms (one
     pushdown-pruned scan + broadcast join for the whole batch), so the
@@ -626,15 +678,20 @@ def boolean_topk(
         )
         if not must and not should:
             continue  # no positive clause
+        msm = int(getattr(q, "min_should_match", 0) or 0)
+        if msm < 0:
+            raise ValueError("min_should_match must be >= 0")
+        if msm > len(should):
+            continue  # cannot be satisfied — provably empty (Lucene)
         qid, k = int(q.query_id), int(q.k)
         for t in must:
-            rows.append((qid, t, k, len(must), "must"))
+            rows.append((qid, t, k, len(must), "must", msm))
         for t in should:
-            rows.append((qid, t, k, len(must), "should"))
+            rows.append((qid, t, k, len(must), "should", msm))
         for t in sorted(nots):
-            rows.append((qid, t, k, len(must), "not"))
+            rows.append((qid, t, k, len(must), "not", msm))
     qt = pd.DataFrame(
-        rows, columns=["query_id", "term", "k", "n_must", "role"]
+        rows, columns=["query_id", "term", "k", "n_must", "role", "msm"]
     )
     if qt.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -666,9 +723,11 @@ def _run_boolean_kernel(matched, N, avgdl, cfg,
         k = int(pdf["k"].iloc[0])
         qid = int(pdf["query_id"].iloc[0])
         n_must = int(pdf["n_must"].iloc[0])
+        msm = int(pdf["msm"].iloc[0]) if "msm" in pdf.columns else 0
         pdf = pdf.sort_values("term")
         pos_terms = []   # scoring terms, sorted order (bit-stable sums)
         must_docs = []
+        should_docs = []
         not_docs = []
         for term, grp in pdf.groupby("term", sort=True):
             role = grp["role"].iloc[0]
@@ -688,6 +747,8 @@ def _run_boolean_kernel(matched, N, avgdl, cfg,
             pos_terms.append({"docs": docs, "scores": sc})
             if role == "must":
                 must_docs.append(docs)
+            else:
+                should_docs.append(docs)
         if len(must_docs) < n_must:
             return _empty_result()  # an OOV MUST term empties the query
         if n_must:
@@ -701,6 +762,20 @@ def _run_boolean_kernel(matched, N, avgdl, cfg,
                 return _empty_result()
             cand = np.unique(np.concatenate(
                 [t["docs"] for t in pos_terms]))
+        if msm:
+            # minimumNumberShouldMatch: count distinct matched SHOULD
+            # terms per candidate (arrays are doc-sorted — one
+            # searchsorted membership probe per term)
+            cnt = np.zeros(cand.size, dtype=np.int32)
+            for docs in should_docs:
+                if docs.size == 0:
+                    continue
+                ix = np.searchsorted(docs, cand)
+                ix = np.minimum(ix, docs.size - 1)
+                cnt[docs[ix] == cand] += 1
+            cand = cand[cnt >= msm]
+            if cand.size == 0:
+                return _empty_result()
         if not_docs:
             cand = np.setdiff1d(
                 cand, np.unique(np.concatenate(not_docs)),
@@ -755,13 +830,15 @@ def _run_boolean_distributed(matched, df_map, N, avgdl, cfg,
                         "contrib": sc,
                         "k": np.full(docs.size, row.k, np.int32),
                         "n_must": np.full(docs.size, row.n_must, np.int32),
+                        "msm": np.full(
+                            docs.size, getattr(row, "msm", 0), np.int32),
                     }
                 )
 
     c = matched.mapInPandas(
         contribs,
         schema="query_id int, term string, role string, doc_id long, "
-               "contrib double, k int, n_must int",
+               "contrib double, k int, n_must int, msm int",
     )
     if doc_filter is not None:
         c = c.join(doc_filter.select("doc_id"), "doc_id", "semi")
@@ -778,11 +855,16 @@ def _run_boolean_distributed(matched, df_map, N, avgdl, cfg,
             ).alias("nm"),
             F.sum(F.when(F.col("role") == "not", F.lit(1))
                   .otherwise(F.lit(0))).alias("nn"),
+            F.count_distinct(
+                F.when(F.col("role") == "should", F.col("term"))
+            ).alias("nsh"),
             F.first("n_must").alias("n_must"),
+            F.first("msm").alias("msm"),
         )
         # a (query, doc) group only exists if >= 1 term matched, so
         # nn == 0 already implies a positive match — no npos count
-        .where((F.col("nm") == F.col("n_must")) & (F.col("nn") == 0))
+        .where((F.col("nm") == F.col("n_must")) & (F.col("nn") == 0)
+               & (F.col("nsh") >= F.col("msm")))
     )
     return _window_topk(scored)
 

@@ -87,6 +87,7 @@ class OracleIndex:
     def boolean_topk(self, must: str, should: str, must_not: str, k: int,
                      doc_filter: set[int] | None = None,
                      doc_exclude: set[int] | None = None,
+                     min_should_match: int = 0,
                      ) -> list[tuple[int, float]]:
         """Lucene BooleanQuery semantics (mirrors query.boolean_topk):
         candidates contain ALL must terms (or ANY should term when no
@@ -109,6 +110,14 @@ class OracleIndex:
             cand = set()
             for t in s:
                 cand.update(self.postings.get(t, {}).keys())
+        if min_should_match:
+            if min_should_match > len(s):
+                return []
+            cand = {
+                d for d in cand
+                if sum(1 for t in s if d in self.postings.get(t, {}))
+                >= min_should_match
+            }
         for t in x:
             cand -= self.postings.get(t, {}).keys()
         if doc_filter is not None:

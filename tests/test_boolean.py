@@ -122,3 +122,68 @@ def test_boolean_with_batch_global_filters(built_index, spark):
         assert list(got.doc_id) == [d for d, _ in want_rows], mode
         assert np.allclose(got.score, [s for _, s in want_rows],
                            atol=1e-9), mode
+
+
+# ---------------------------------------------------------------- round 6
+
+
+def test_min_should_match_all_modes(built_index, spark):
+    """Lucene minimumNumberShouldMatch: hits must match >= msm distinct
+    SHOULD terms on top of the MUST set; msm > |should| is provably
+    empty; msm=0 is exactly the old behavior."""
+    res, cfg, oracle = (built_index["res"], built_index["cfg"],
+                        built_index["oracle"])
+    v = _vocab_probe(oracle)
+    base = [
+        # (qid, must, should, must_not, msm)
+        (0, "", f"{v[0]} {v[1]} {v[2]}", "", 2),     # pure OR, 2-of-3
+        (1, "", f"{v[0]} {v[1]} {v[2]}", "", 3),     # AND via msm
+        (2, v[3], f"{v[0]} {v[1]}", "", 1),          # must + 1-of-2
+        (3, "", f"{v[0]} {v[1]}", v[2], 2),          # msm then NOT
+        (4, "", f"{v[0]} {v[1]}", "", 3),            # msm > |should| -> empty
+        (5, "", f"{v[0]} zzznotaterm", "", 2),       # OOV makes 2-of-2 impossible
+        (6, "", f"{v[0]} {v[1]} {v[2]}", "", 0),     # msm=0 == plain OR
+    ]
+    queries = pd.DataFrame(
+        [(q, m, s, n, 12, msm) for q, m, s, n, msm in base],
+        columns=["query_id", "must", "should", "must_not", "k",
+                 "min_should_match"],
+    ).astype({"query_id": np.int32, "k": np.int32,
+              "min_should_match": np.int32})
+    want = []
+    for q, m, s, n, msm in base:
+        for rank, (d, sc) in enumerate(
+            oracle.boolean_topk(m, s, n, 12, min_should_match=msm), 1
+        ):
+            want.append((q, d, sc, rank))
+    want = pd.DataFrame(
+        want, columns=["query_id", "doc_id", "score", "rank"])
+    assert {0, 2, 3, 6} <= set(want["query_id"])
+    assert not set(want["query_id"]) & {4}
+    # msm must actually bind somewhere: 2-of-3 < plain OR
+    n_or = len(oracle.boolean_topk("", f"{v[0]} {v[1]} {v[2]}", "", 10**9))
+    n_msm = len(oracle.boolean_topk("", f"{v[0]} {v[1]} {v[2]}", "",
+                                    10**9, min_should_match=2))
+    assert 0 < n_msm < n_or
+    for mode in ("kernel", "distributed", "auto"):
+        got = boolean_topk(
+            spark, built_index["postings"], queries, res.N, res.avgdl,
+            cfg, mode=mode,
+        ).toPandas()
+        assert len(got) == len(want), mode
+        for qid in set(want["query_id"]):
+            g = got[got.query_id == qid].sort_values("rank")
+            w = want[want.query_id == qid].sort_values("rank")
+            assert list(g.doc_id) == list(w.doc_id), (mode, qid)
+            assert np.allclose(g.score, w.score, atol=1e-9), (mode, qid)
+
+
+def test_min_should_match_rejects_negative(built_index, spark):
+    res, cfg = built_index["res"], built_index["cfg"]
+    q = pd.DataFrame(
+        [(0, "", "the", "", 5, -1)],
+        columns=["query_id", "must", "should", "must_not", "k",
+                 "min_should_match"])
+    with pytest.raises(ValueError, match="min_should_match"):
+        boolean_topk(spark, built_index["postings"], q, res.N,
+                     res.avgdl, cfg)

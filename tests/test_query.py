@@ -5,6 +5,7 @@ modes (pruned kernel == unpruned kernel == distributed agg == oracle)."""
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 
 from capsbm25 import fixtures as fx
 from capsbm25.query import bm25_topk
@@ -544,3 +545,70 @@ def test_doc_filter_duplicates_dont_trip_kernel_cap(built_index, spark):
         got.sort_values(["query_id", "rank"], ignore_index=True),
         want.sort_values(["query_id", "rank"], ignore_index=True),
     )
+
+
+# ---------------------------------------------------------------- round 6
+
+
+def test_bm25_collapse_by_conv(built_index, spark):
+    """Field collapsing (Lucene grouping): at most one doc per group,
+    the group HEAD chosen over the FULL scored set (score DESC, doc_id)
+    — not a post-filter of the top-k; differential against the naive
+    per-group-best oracle. The group key is conv_id's last char (a
+    coarse ≤10-value shard-style field) so collisions are guaranteed
+    on the small fixture and the collapse provably binds; raw conv_id
+    groups are exercised too (correctness only — top-k conv
+    collisions are rare at fixture scale)."""
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import bm25_topk
+
+    res, cfg, oracle = (built_index["res"], built_index["cfg"],
+                        built_index["oracle"])
+    queries = fx.queries_pdf(42).head(6)
+    conv = oracle.doc_meta["conv_id"]
+    stats = load_doc_stats(spark, res.out_dir)
+    for tag, collapse_df, grp_of in (
+        ("shard", stats.select(
+            "doc_id", F.substring("conv_id", -1, 1).alias("shard")),
+         lambda d: conv.iloc[d][-1]),
+        ("conv", stats.select("doc_id", "conv_id"),
+         lambda d: conv.iloc[d]),
+    ):
+        got = bm25_topk(
+            spark, built_index["postings"], queries, res.N, res.avgdl,
+            cfg, collapse=collapse_df,
+        ).toPandas()
+        binds = 0
+        for q in queries.itertuples(index=False):
+            full = oracle.topk(q.text, 10**9)  # score DESC, doc ASC
+            best: dict = {}
+            for d, s in full:
+                best.setdefault(grp_of(d), (d, s))
+            want = sorted(best.values(), key=lambda x: (-x[1], x[0]))
+            want = want[: int(q.k)]
+            if [d for d, _ in want] != [d for d, _ in full[: int(q.k)]]:
+                binds += 1
+            g = got[got.query_id == q.query_id].sort_values("rank")
+            assert list(g.doc_id) == [d for d, _ in want], (tag, q.query_id)
+            assert np.allclose(
+                g.score, [s for _, s in want], atol=1e-9), (tag, q.query_id)
+            # one doc per group, structurally
+            assert len({grp_of(d) for d in g.doc_id}) == len(g), (
+                tag, q.query_id)
+        if tag == "mod5":
+            # the collapse must actually change some result
+            assert binds > 0
+
+
+def test_bm25_collapse_rejects_bad_map(built_index, spark):
+    import pytest
+
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import bm25_topk
+
+    res, cfg = built_index["res"], built_index["cfg"]
+    queries = fx.queries_pdf(42).head(1)
+    bad = load_doc_stats(spark, res.out_dir)  # 4 columns, ambiguous
+    with pytest.raises(ValueError, match="collapse"):
+        bm25_topk(spark, built_index["postings"], queries, res.N,
+                  res.avgdl, cfg, collapse=bad).collect()
