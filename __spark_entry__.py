@@ -674,6 +674,105 @@ def q_bm25_collapse(spark, sf_dir):
     )
 
 
+BOOST_SPEC = ((BM25_QUERY_TERMS[0], 2.0), (BM25_QUERY_TERMS[1], 1.0),
+              (BM25_QUERY_TERMS[2], 0.5))
+OFFSET_PAGE = 5
+
+
+def q_bm25_boost_topk(spark, sf_dir):
+    """Query-time term boosts (Lucene ^boost): `t0^2.0 t1 t2^0.5` —
+    each term's BM25 contribution scales by its boost; WAND bounds are
+    recomputed from boosted scores so pruning stays exact
+    (query.bm25_topk boosts=True)."""
+    import numpy as np
+    import pandas as pd
+
+    b = _index_for(spark, sf_dir)
+    res = b["res"]
+    text = " ".join(f"{t}^{w}" if w != 1.0 else t for t, w in BOOST_SPEC)
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32), "text": [text],
+         "k": np.array([BM25_K], dtype=np.int32)}
+    )
+    got = bm25_topk(
+        spark, load_postings(spark, b["out"]), queries, res.N, res.avgdl,
+        CFG, boosts=True,
+    )
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.round("g.score", 6).alias("score_r"))
+    )
+
+
+def q_bm25_offset_topk(spark, sf_dir):
+    """Pagination (Lucene searchAfter): page 2 of the flagship query —
+    offset=OFFSET_PAGE, k=BM25_K, global ranks (offset, offset+k]
+    (query.bm25_topk `offset` column; both paths fetch offset+k and
+    slice, so pages are rank-stable)."""
+    import numpy as np
+    import pandas as pd
+
+    b = _index_for(spark, sf_dir)
+    res = b["res"]
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [" ".join(BM25_QUERY_TERMS)],
+         "k": np.array([BM25_K], dtype=np.int32),
+         "offset": np.array([OFFSET_PAGE], dtype=np.int32)}
+    )
+    got = bm25_topk(
+        spark, load_postings(spark, b["out"]), queries, res.N, res.avgdl,
+        CFG,
+    )
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.round("g.score", 6).alias("score_r"),
+                F.col("g.rank").alias("rank"))
+    )
+
+
+def q_explain_scores(spark, sf_dir):
+    """Score explanation (Lucene IndexSearcher.explain): per-(term,
+    doc) BM25 components — tf, dl, corpus-global df, idf, contrib —
+    for the flagship query's top-3 docs (query.explain_scores; contrib
+    sums reproduce the bm25_topk scores)."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.query import explain_scores
+
+    b = _index_for(spark, sf_dir)
+    res = b["res"]
+    posts = load_postings(spark, b["out"])
+    topq = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [" ".join(BM25_QUERY_TERMS)],
+         "k": np.array([3], dtype=np.int32)}
+    )
+    top = bm25_topk(spark, posts, topq, res.N, res.avgdl, CFG).toPandas()
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [" ".join(BM25_QUERY_TERMS)],
+         "doc_ids": [sorted(int(d) for d in top["doc_id"])]}
+    )
+    got = explain_scores(spark, posts, queries, res.N, res.avgdl, CFG)
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"), F.col("g.term"),
+                F.col("g.tf"), F.col("g.dl"), F.col("g.df"),
+                F.round("g.idf", 6).alias("idf_r"),
+                F.round("g.contrib", 6).alias("contrib_r"))
+    )
+
+
 def q_bm25_topk_dataframe(spark, sf_dir):
     """Same BM25 computed with pure built-in DataFrame ops (no index) —
     the minimum end-to-end slice of SURVEY §7.3 step 2."""
@@ -1196,6 +1295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_topk": q_boolean_topk,
         "boolean_topk_msm": q_boolean_topk_msm,
         "bm25_collapse_topk": q_bm25_collapse,
+        "bm25_boost_topk": q_bm25_boost_topk,
+        "bm25_offset_topk": q_bm25_offset_topk,
+        "explain_scores": q_explain_scores,
         "near_topk": q_near_topk,
         "fuzzy_topk": q_fuzzy_topk,
         "wildcard_topk": q_wildcard_topk,
@@ -1558,6 +1660,121 @@ FROM scores s JOIN documents d USING (doc_id)
 ORDER BY s.score DESC, d.source, d.doc_id LIMIT {BM25_K}
 """
 
+_BOOST_CASE = ("CASE tf.term " + " ".join(
+    f"WHEN '{t}' THEN {w}" for t, w in BOOST_SPEC if w != 1.0
+) + " ELSE 1.0 END")
+
+# query-time term boosts: each term's BM25 contribution multiplied by
+# its ^boost before the per-doc sum; ranking/ties otherwise unchanged
+_BM25_BOOST_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN {BM25_QUERY_TERMS!r}
+  GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * ({_K1} + 1)
+           / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / c.avgdl))
+           * {_BOOST_CASE}
+         ) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus c
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, round(s.score, 6) AS score_r
+FROM scores s JOIN documents d USING (doc_id)
+ORDER BY s.score DESC, d.source, d.doc_id LIMIT {BM25_K}
+"""
+
+# pagination: page 2 = rows (OFFSET_PAGE, OFFSET_PAGE + k] of the
+# global (score DESC, dense-id) ranking, rank column GLOBAL
+_BM25_OFFSET_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN {BM25_QUERY_TERMS!r}
+  GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * ({_K1} + 1)
+           / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / c.avgdl))
+         ) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus c
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, round(s.score, 6) AS score_r,
+       (row_number() OVER (
+          ORDER BY s.score DESC, d.source, d.doc_id))::INT AS rank
+FROM scores s JOIN documents d USING (doc_id)
+ORDER BY s.score DESC, d.source, d.doc_id
+LIMIT {BM25_K} OFFSET {OFFSET_PAGE}
+"""
+
+# explain: BM25 components per (term, doc) for the flagship query's
+# top-3 docs — tf/dl/df/idf/contrib, df and idf corpus-global
+_EXPLAIN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN {BM25_QUERY_TERMS!r}
+  GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * ({_K1} + 1)
+           / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / c.avgdl))
+         ) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus c
+  GROUP BY tf.doc_id
+),
+top3 AS (
+  SELECT s.doc_id FROM scores s JOIN documents d USING (doc_id)
+  ORDER BY s.score DESC, d.source, d.doc_id LIMIT 3
+)
+SELECT tf.doc_id, tf.term, tf.tf::BIGINT AS tf, dl.dl::BIGINT AS dl,
+       dft.df::BIGINT AS df,
+       round(ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5)), 6) AS idf_r,
+       round(
+         ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+         * tf.tf * ({_K1} + 1)
+         / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / c.avgdl)), 6
+       ) AS contrib_r
+FROM tf JOIN top3 USING (doc_id) JOIN dl USING (doc_id)
+     JOIN dft USING (term) CROSS JOIN corpus c
+"""
+
 # minimumNumberShouldMatch: pure-OR over three SHOULD terms, msm=2 —
 # candidates are docs containing >= 2 distinct of the three; scoring
 # stays corpus-global BM25 over every matched term
@@ -1854,6 +2071,9 @@ def oracle_sql() -> dict[str, str]:
         "boolean_topk": _BOOLEAN_SQL,
         "boolean_topk_msm": _BOOLEAN_MSM_SQL,
         "bm25_collapse_topk": _BM25_COLLAPSE_SQL,
+        "bm25_boost_topk": _BM25_BOOST_SQL,
+        "bm25_offset_topk": _BM25_OFFSET_SQL,
+        "explain_scores": _EXPLAIN_SQL,
         "near_topk": _NEAR_SQL,
         "fuzzy_topk": _FUZZY_SQL,
         "wildcard_topk": _WILDCARD_SQL,

@@ -36,6 +36,7 @@ never enter the top-k (ties break by doc_id among survivors only).
 from __future__ import annotations
 
 import logging
+import re
 
 import numpy as np
 import pandas as pd
@@ -71,14 +72,42 @@ MAX_CAND_COLLECT = 200_000
 CAND_CHUNK_SPAN = 4_000_000
 
 
-def _query_terms_pdf(queries: pd.DataFrame, cfg: BuildConfig) -> pd.DataFrame:
+_BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
+
+
+def _query_terms_pdf(queries: pd.DataFrame, cfg: BuildConfig,
+                     boosts: bool = False) -> pd.DataFrame:
+    """One row per (query, distinct term). With boosts=True, a chunk
+    `term^2.5` (Lucene query-parser boost syntax) assigns that term a
+    per-query boost; unboosted terms get 1.0, and when a term appears
+    several times the max boost wins (terms are deduplicated — matching
+    the engine's existing set-of-terms semantics — so occurrences can't
+    stack). An `offset` queries column (pagination) rides along when
+    present regardless of boosts."""
     rows = []
+    has_off = "offset" in queries.columns
     for q in queries.itertuples(index=False):
-        terms = sorted(set(tokenize_py(q.text, cfg)))
+        off = int(getattr(q, "offset", 0) or 0) if has_off else 0
+        if off < 0:
+            raise ValueError("offset must be >= 0")
+        if boosts:
+            bmap: dict[str, float] = {}
+            for chunk in str(q.text).split():
+                m = _BOOST_RE.match(chunk)
+                body, b = (m.group(1), float(m.group(2))) if m \
+                    else (chunk, 1.0)
+                for t in tokenize_py(body, cfg):
+                    bmap[t] = max(bmap.get(t, 0.0), b)
+            terms = sorted(bmap)
+        else:
+            terms = sorted(set(tokenize_py(q.text, cfg)))
+            bmap = {t: 1.0 for t in terms}
         for t in terms:
-            rows.append((int(q.query_id), t, int(q.k), len(terms)))
+            rows.append((int(q.query_id), t, int(q.k), len(terms),
+                         float(bmap[t]), off))
     return pd.DataFrame(
-        rows, columns=["query_id", "term", "k", "n_query_terms"]
+        rows, columns=["query_id", "term", "k", "n_query_terms",
+                       "boost", "off"]
     )
 
 
@@ -93,13 +122,16 @@ def _empty_result() -> pd.DataFrame:
     )
 
 
-def _result_pdf(qid: int, top_d: np.ndarray, top_s: np.ndarray) -> pd.DataFrame:
+def _result_pdf(qid: int, top_d: np.ndarray, top_s: np.ndarray,
+                start: int = 0) -> pd.DataFrame:
+    # start: global rank of the first row minus one (pagination offset)
     return pd.DataFrame(
         {
             "query_id": np.full(top_d.size, qid, dtype=np.int32),
             "doc_id": top_d.astype(np.int64),
             "score": top_s,
-            "rank": np.arange(1, top_d.size + 1, dtype=np.int32),
+            "rank": np.arange(
+                start + 1, start + top_d.size + 1, dtype=np.int32),
         }
     )
 
@@ -133,6 +165,10 @@ def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
     while df/N stay stale until a merge physically drops them)."""
     k = int(pdf["k"].iloc[0])
     qid = int(pdf["query_id"].iloc[0])
+    # pagination: fetch the first off + k hits, return (off, off + k]
+    # with GLOBAL ranks — identical to slicing a larger result page
+    off = int(pdf["off"].iloc[0]) if "off" in pdf.columns else 0
+    kk = k + off
     pdf = pdf.sort_values("term")  # fixed summation order -> bit-stable
     terms = []
     for term, grp in pdf.groupby("term", sort=True):
@@ -158,6 +194,13 @@ def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
             docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
         tidf = float(idf_fn(N, df_total))
         sc = term_scores(tfs, dls, tidf, avgdl, cfg.k1, cfg.b)
+        boost = float(grp["boost"].iloc[0]) if "boost" in grp.columns \
+            else 1.0
+        if boost != 1.0:
+            # query-time term boost (Lucene ^boost): scales this term's
+            # contribution; uppers below derive from the boosted scores,
+            # so WAND bounds stay exact
+            sc = sc * boost
         # ALWAYS recompute block uppers from the exact scores just
         # materialized (O(n) reduceat — free next to the decode).
         # Stored block_max was computed with BUILD-time N/avgdl; after
@@ -206,11 +249,11 @@ def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
                 break
         if cand.size == 0:
             return _empty_result()
-        top_d, top_s = _topk(cand, exact_scores(cand), k)
-        return _result_pdf(qid, top_d, top_s)
+        top_d, top_s = _topk(cand, exact_scores(cand), kk)
+        return _result_pdf(qid, top_d[off:], top_s[off:], start=off)
 
     n_total = sum(t["docs"].size for t in terms)
-    if not prune or n_total <= 4 * k or len(terms) == 1:
+    if not prune or n_total <= 4 * kk or len(terms) == 1:
         # exhaustive: concat contributions, segment-sum per doc
         all_docs = np.concatenate([t["docs"] for t in terms])
         all_sc = np.concatenate([t["scores"] for t in terms])
@@ -220,7 +263,7 @@ def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
         new[1:] = d[1:] != d[:-1]
         starts = np.flatnonzero(new)
         sums = np.add.reduceat(s, starts)
-        top_d, top_s = _topk(d[starts], sums, k)
+        top_d, top_s = _topk(d[starts], sums, kk)
     else:
         # phase 1: seed θ from the most selective terms' full lists
         by_df = sorted(range(len(terms)), key=lambda i: terms[i]["docs"].size)
@@ -229,12 +272,12 @@ def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
         for i in by_df:
             seed.append(terms[i]["docs"])
             n_seed += terms[i]["docs"].size
-            if n_seed >= max(k, 64):
+            if n_seed >= max(kk, 64):
                 break
         cand0 = np.unique(np.concatenate(seed))
         s0 = exact_scores(cand0)
-        if cand0.size >= k:
-            theta = np.partition(s0, cand0.size - k)[cand0.size - k]
+        if cand0.size >= kk:
+            theta = np.partition(s0, cand0.size - kk)[cand0.size - kk]
         else:
             theta = -np.inf
         # phase 2: block-max survivors
@@ -250,9 +293,9 @@ def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
             for b in np.flatnonzero(ok):
                 keep_docs.append(t["docs"][b * B : (b + 1) * B])
         cand = np.unique(np.concatenate(keep_docs))
-        top_d, top_s = _topk(cand, exact_scores(cand), k)
+        top_d, top_s = _topk(cand, exact_scores(cand), kk)
 
-    return _result_pdf(qid, top_d, top_s)
+    return _result_pdf(qid, top_d[off:], top_s[off:], start=off)
 
 
 def bm25_topk(
@@ -271,11 +314,24 @@ def bm25_topk(
     max_kernel_filter: int = 4_000_000,
     doc_exclude: DataFrame | None = None,
     collapse: DataFrame | None = None,
+    boosts: bool = False,
 ) -> DataFrame:
     """Top-k BM25 over the index for a batch of queries.
 
     queries: pandas (query_id, text, k). Returns a DataFrame
     (query_id, doc_id, score, rank), rank 1-based, ties by doc_id.
+
+    boosts=True parses Lucene query-parser term boosts in text: a
+    chunk `term^2.5` multiplies that term's score contribution by 2.5
+    (unboosted terms x1; duplicate occurrences keep the max boost —
+    terms stay deduplicated). WAND pruning stays exact: block uppers
+    are recomputed from the boosted contributions.
+
+    An optional `offset` queries column pages results (Lucene
+    searchAfter): each query returns hits (offset, offset + k] of its
+    global ranking, rank column holding the GLOBAL rank — page 2 of a
+    k=10 query is offset=10, ranks 11..20. Both paths fetch offset + k
+    then slice, so paging is rank-stable across pages.
     conjunctive=True restricts candidates to docs containing ALL query
     terms (posting-list intersection — AND semantics); scores are still
     full BM25 over the query terms.
@@ -320,7 +376,7 @@ def bm25_topk(
     cfg = cfg or BuildConfig()
     if collapse is not None:
         mode = "distributed"
-    qt = _query_terms_pdf(queries, cfg)
+    qt = _query_terms_pdf(queries, cfg, boosts=boosts)
     if qt.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
@@ -509,7 +565,12 @@ def _window_topk(scored: DataFrame) -> DataFrame:
     top-k row wins its own salt bucket, and both phases use the same
     (score desc, doc_id asc) order, so the result is identical to the
     single-window form (covered by the distributed-vs-oracle
-    rank-identity tests)."""
+    rank-identity tests).
+
+    An optional `off` column (pagination offset) widens both phases to
+    off + k rows and the final page keeps global ranks (off, off + k]
+    — ranks match the kernel path's sliced page exactly."""
+    off = F.col("off") if "off" in scored.columns else F.lit(0)
     w_local = Window.partitionBy("query_id", "salt").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
@@ -519,10 +580,11 @@ def _window_topk(scored: DataFrame) -> DataFrame:
     return (
         scored.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(_TOPK_SALT)))
         .withColumn("r1", F.row_number().over(w_local))
-        .where(F.col("r1") <= F.col("k"))
+        .where(F.col("r1") <= F.col("k") + off)
         .drop("salt", "r1")
         .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= F.col("k"))
+        .where((F.col("rank") <= F.col("k") + off)
+               & (F.col("rank") > off))
         .select("query_id", "doc_id", "score", F.col("rank").cast("int"))
     )
 
@@ -548,6 +610,9 @@ def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive,
                     tfs, dls, float(idf_fn(N, df_map[row.term])),
                     avgdl, cfg.k1, cfg.b,
                 )
+                boost = float(getattr(row, "boost", 1.0))
+                if boost != 1.0:
+                    sc = sc * boost  # query-time term boost (^boost)
                 yield pd.DataFrame(
                     {
                         "query_id": np.full(docs.size, row.query_id, np.int32),
@@ -558,13 +623,17 @@ def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive,
                         "n_query_terms": np.full(
                             docs.size, row.n_query_terms, np.int32
                         ),
+                        "off": np.full(
+                            docs.size, int(getattr(row, "off", 0)),
+                            np.int32
+                        ),
                     }
                 )
 
     c = matched.mapInPandas(
         contribs,
         schema="query_id int, term string, doc_id long, contrib double, "
-               "k int, n_query_terms int",
+               "k int, n_query_terms int, off int",
     )
     if doc_filter is not None:
         c = c.join(doc_filter.select("doc_id"), "doc_id", "semi")
@@ -577,6 +646,7 @@ def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive,
         F.first("k").alias("k"),
         F.count_distinct(F.col("term")).alias("n_matched"),
         F.first("n_query_terms").alias("nq"),
+        F.first("off").alias("off"),
     )
     if conjunctive:
         # AND semantics: doc must contain every distinct query term
@@ -610,6 +680,83 @@ def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive,
             .drop("_gr", "_grp", key)
         )
     return _window_topk(scored)
+
+
+EXPLAIN_SCHEMA = ("query_id int, term string, doc_id long, tf long, "
+                  "dl long, df long, idf double, contrib double")
+
+
+def explain_scores(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: pd.DataFrame,
+    N: int,
+    avgdl: float,
+    cfg: BuildConfig | None = None,
+) -> DataFrame:
+    """Score explanation (Lucene IndexSearcher.explain analog): for
+    each query and each doc in its `doc_ids` list, one row per matched
+    query term with the BM25 components — tf, dl, corpus-global df,
+    idf, and the term's score contribution (sum of contribs over a
+    doc's rows == its bm25_topk score; tested).
+
+    queries: pandas (query_id, text, doc_ids: list[int]). Rows exist
+    only for (term, doc) pairs that actually match — a query term
+    absent from a doc (or the index) explains as no row, like Lucene's
+    "no matching term" leaf omission.
+
+    Scale shape: the per-query doc list is user-sized (a page of hits,
+    shipped in the broadcast query frame); the postings scan stays
+    In(term)-pruned, each task decodes only its own rows and keeps the
+    requested docs via one sorted membership probe — no full-list
+    materialization, nothing collected."""
+    cfg = cfg or BuildConfig()
+    rows = []
+    for q in queries.itertuples(index=False):
+        want = np.unique(np.asarray(list(q.doc_ids), dtype=np.int64))
+        for t in sorted(set(tokenize_py(q.text, cfg))):
+            rows.append((int(q.query_id), t, want.tolist()))
+    if not rows:
+        return spark.createDataFrame([], EXPLAIN_SCHEMA)
+    qt = pd.DataFrame(rows, columns=["query_id", "term", "want"])
+    qdf = spark.createDataFrame(qt)
+    terms = sorted(qt["term"].unique().tolist())
+    filtered = postings.where(F.col("term").isin(terms))
+    if "pos" in filtered.columns:
+        filtered = filtered.drop("pos")
+    df_map = _term_df_map(filtered)
+    matched = filtered.join(F.broadcast(qdf), "term")
+
+    def explain(it):
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                docs, tfs, dls = _decode_posting(row)
+                want = np.asarray(row.want, dtype=np.int64)
+                keep = sorted_member_mask(want, docs)
+                docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+                if not docs.size:
+                    continue
+                df_total = df_map[row.term]
+                tidf = float(idf_fn(N, df_total))
+                sc = term_scores(tfs, dls, tidf, avgdl, cfg.k1, cfg.b)
+                yield pd.DataFrame(
+                    {"query_id": np.full(docs.size, row.query_id,
+                                         np.int32),
+                     "term": np.full(docs.size, row.term, dtype=object),
+                     "doc_id": docs.astype(np.int64),
+                     "tf": tfs.astype(np.int64),
+                     "dl": dls.astype(np.int64),
+                     "df": np.full(docs.size, df_total, np.int64),
+                     "idf": np.full(docs.size, tidf, np.float64),
+                     "contrib": sc}
+                )
+
+    # segments may split one term across rows: the same (query, term,
+    # doc) can surface from several segment rows only if a doc's term
+    # was re-ingested — df/idf are corpus-global either way, and the
+    # per-row tf rows stand as per-segment leaves (Lucene explains
+    # per-segment too)
+    return matched.mapInPandas(explain, schema=EXPLAIN_SCHEMA)
 
 
 def boolean_topk(

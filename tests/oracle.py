@@ -50,7 +50,8 @@ class OracleIndex:
         df = self.df(term)
         return math.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
 
-    def score_doc(self, terms: list[str], doc_id: int) -> float:
+    def score_doc(self, terms: list[str], doc_id: int,
+                  boosts: dict[str, float] | None = None) -> float:
         # fixed summation order (sorted unique terms) for bit-stable floats
         s = 0.0
         dl = self.dl[doc_id]
@@ -58,12 +59,17 @@ class OracleIndex:
         for t in sorted(set(terms)):
             tf = self.postings.get(t, {}).get(doc_id)
             if tf:
-                s += self.idf(t) * (tf * (self.k1 + 1.0)) / (tf + denom_norm)
+                c = self.idf(t) * (tf * (self.k1 + 1.0)) / (tf + denom_norm)
+                if boosts:
+                    c *= boosts.get(t, 1.0)
+                s += c
         return s
 
     def topk(
         self, query_text: str, k: int, conjunctive: bool = False,
         doc_filter: set[int] | None = None,
+        boosts: dict[str, float] | None = None,
+        offset: int = 0,
     ) -> list[tuple[int, float]]:
         terms = sorted(set(tokenize_py(query_text)))
         cand: set[int] = set()
@@ -80,9 +86,28 @@ class OracleIndex:
             # Lucene filter semantics: restricts candidates only —
             # scores (idf/avgdl/N) stay corpus-global
             cand &= doc_filter
-        scored = [(d, self.score_doc(terms, d)) for d in cand]
+        scored = [(d, self.score_doc(terms, d, boosts)) for d in cand]
         scored.sort(key=lambda x: (-x[1], x[0]))
-        return scored[:k]
+        return scored[offset:offset + k]
+
+    def explain(self, query_text: str, doc_ids: list[int]
+                ) -> list[tuple[int, str, int, int, int, int, float, float]]:
+        """(query_id-less) explain rows: (term, doc, tf, dl, df, idf,
+        contrib) for every matching (term, doc) pair — mirrors
+        query.explain_scores."""
+        out = []
+        for t in sorted(set(tokenize_py(query_text))):
+            post = self.postings.get(t, {})
+            for d in sorted(set(doc_ids)):
+                tf = post.get(d)
+                if not tf:
+                    continue
+                dl = self.dl[d]
+                denom = tf + self.k1 * (
+                    1.0 - self.b + self.b * dl / self.avgdl)
+                out.append((t, d, tf, dl, self.df(t), self.idf(t),
+                            self.idf(t) * tf * (self.k1 + 1.0) / denom))
+        return out
 
     def boolean_topk(self, must: str, should: str, must_not: str, k: int,
                      doc_filter: set[int] | None = None,

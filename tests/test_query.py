@@ -595,7 +595,7 @@ def test_bm25_collapse_by_conv(built_index, spark):
             # one doc per group, structurally
             assert len({grp_of(d) for d in g.doc_id}) == len(g), (
                 tag, q.query_id)
-        if tag == "mod5":
+        if tag == "shard":
             # the collapse must actually change some result
             assert binds > 0
 
@@ -612,3 +612,123 @@ def test_bm25_collapse_rejects_bad_map(built_index, spark):
     with pytest.raises(ValueError, match="collapse"):
         bm25_topk(spark, built_index["postings"], queries, res.N,
                   res.avgdl, cfg, collapse=bad).collect()
+
+
+def _probe_terms(oracle, n=3):
+    from collections import Counter
+
+    c = Counter(t for d in oracle.docs for t in d)
+    return [t for t, _ in c.most_common(40)][::5][:n]
+
+
+def test_bm25_term_boosts_all_modes(built_index, spark):
+    """Query-time term boosts (Lucene ^boost syntax): t0^2.0 t1 t2^0.5
+    must rank identically to the oracle scoring with those multipliers;
+    boosts must actually reorder vs the unboosted ranking somewhere."""
+    res, cfg, oracle = (built_index["res"], built_index["cfg"],
+                        built_index["oracle"])
+    t0, t1, t2 = _probe_terms(oracle)
+    text = f"{t0}^2.0 {t1} {t2}^0.5"
+    boosts = {t0: 2.0, t1: 1.0, t2: 0.5}
+    k = 15
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32), "text": [text],
+         "k": np.array([k], dtype=np.int32)})
+    want = oracle.topk(f"{t0} {t1} {t2}", k, boosts=boosts)
+    plain = oracle.topk(f"{t0} {t1} {t2}", k)
+    assert [d for d, _ in want] != [d for d, _ in plain]  # boost binds
+    for mode in ("kernel", "distributed", "auto"):
+        got = bm25_topk(
+            spark, built_index["postings"], queries, res.N, res.avgdl,
+            cfg, mode=mode, boosts=True,
+        ).toPandas().sort_values("rank")
+        assert list(got.doc_id) == [d for d, _ in want], mode
+        assert np.allclose(got.score, [s for _, s in want],
+                           atol=1e-9), mode
+    # boosts=False (default): '^' chunks tokenize as before — the flag
+    # is opt-in and cannot change existing query semantics
+    got = bm25_topk(
+        spark, built_index["postings"], queries, res.N, res.avgdl, cfg,
+        mode="kernel",
+    ).toPandas().sort_values("rank")
+    legacy = oracle.topk(text, k)  # tokenizer strips '^', keeps digits
+    assert list(got.doc_id) == [d for d, _ in legacy]
+
+
+def test_bm25_offset_pagination_all_modes(built_index, spark):
+    """searchAfter-style paging: pages (offset=0, k), (offset=k, k), ...
+    concatenate to exactly the unpaged top-3k with GLOBAL ranks, in
+    every mode; WAND pruning must stay exact with the widened target."""
+    res, cfg, oracle = (built_index["res"], built_index["cfg"],
+                        built_index["oracle"])
+    qtext = fx.queries_pdf(42).head(1)["text"].iloc[0]
+    k = 7
+    full = oracle.topk(qtext, 3 * k)
+    assert len(full) == 3 * k  # fixture corpus is big enough
+    queries = pd.DataFrame(
+        {"query_id": np.arange(3, dtype=np.int32),
+         "text": [qtext] * 3,
+         "k": np.array([k] * 3, dtype=np.int32),
+         "offset": np.array([0, k, 2 * k], dtype=np.int32)})
+    for mode in ("kernel", "distributed", "auto"):
+        got = bm25_topk(
+            spark, built_index["postings"], queries, res.N, res.avgdl,
+            cfg, mode=mode,
+        ).toPandas()
+        pages = []
+        for page in range(3):
+            g = got[got.query_id == page].sort_values("rank")
+            assert list(g["rank"]) == list(
+                range(page * k + 1, page * k + k + 1)), (mode, page)
+            pages.extend(zip(g.doc_id, g.score))
+        assert [d for d, _ in pages] == [d for d, _ in full], mode
+        assert np.allclose([s for _, s in pages],
+                           [s for _, s in full], atol=1e-9), mode
+
+
+def test_bm25_offset_rejects_negative(built_index, spark):
+    import pytest
+
+    res, cfg = built_index["res"], built_index["cfg"]
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32), "text": ["the"],
+         "k": np.array([5], dtype=np.int32),
+         "offset": np.array([-1], dtype=np.int32)})
+    with pytest.raises(ValueError, match="offset"):
+        bm25_topk(spark, built_index["postings"], queries, res.N,
+                  res.avgdl, cfg)
+
+
+def test_explain_scores_matches_oracle(built_index, spark):
+    """IndexSearcher.explain analog: per-(term, doc) BM25 components
+    match the oracle exactly, and per-doc contrib sums reproduce the
+    bm25_topk scores for the same docs."""
+    from capsbm25.query import explain_scores
+
+    res, cfg, oracle = (built_index["res"], built_index["cfg"],
+                        built_index["oracle"])
+    q = fx.queries_pdf(42).head(2)
+    # explain each query's top-4 docs plus one doc that matches nothing
+    qrows = []
+    for r in q.itertuples(index=False):
+        top = [d for d, _ in oracle.topk(r.text, 4)]
+        qrows.append((int(r.query_id), r.text, top + [oracle.N - 1]))
+    queries = pd.DataFrame(qrows, columns=["query_id", "text", "doc_ids"])
+    got = explain_scores(
+        spark, built_index["postings"], queries, res.N, res.avgdl, cfg,
+    ).toPandas().sort_values(["query_id", "term", "doc_id"],
+                             ignore_index=True)
+    n_checked = 0
+    for r in queries.itertuples(index=False):
+        want = oracle.explain(r.text, list(r.doc_ids))
+        g = got[got.query_id == r.query_id]
+        assert (list(zip(g.term, g.doc_id, g.tf, g.dl, g.df))
+                == [(t, d, tf, dl, df) for t, d, tf, dl, df, _, _ in want])
+        assert np.allclose(g.idf, [w[5] for w in want], atol=1e-12)
+        assert np.allclose(g.contrib, [w[6] for w in want], atol=1e-12)
+        # contrib sums == bm25 scores for those docs
+        by_doc = g.groupby("doc_id")["contrib"].sum()
+        for d, s in oracle.topk(r.text, 4):
+            assert abs(by_doc[d] - s) < 1e-9
+        n_checked += len(want)
+    assert n_checked > 0
