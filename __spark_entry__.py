@@ -773,6 +773,72 @@ def q_explain_scores(spark, sf_dir):
     )
 
 
+def _hit_count_queries():
+    import numpy as np
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"query_id": np.array([0, 1, 2], dtype=np.int32),
+         "text": [" ".join(BM25_QUERY_TERMS), BM25_QUERY_TERMS[0],
+                  "zzznotaterm"],
+         "k": np.array([1, 1, 1], dtype=np.int32)}
+    )
+
+
+def _q_hit_count(spark, sf_dir, conjunctive):
+    from capsbm25.query import hit_count
+
+    b = _index_for(spark, sf_dir)
+    return hit_count(
+        spark, load_postings(spark, b["out"]), _hit_count_queries(),
+        CFG, conjunctive=conjunctive,
+    )
+
+
+def q_hit_count(spark, sf_dir):
+    """Total hits (Lucene TotalHitCountCollector / IndexSearcher.count):
+    matching-doc count per query, OR semantics; OOV query counts 0
+    (query.hit_count — narrow 12-byte pass, no scores decoded)."""
+    return _q_hit_count(spark, sf_dir, conjunctive=False)
+
+
+def q_hit_count_and(spark, sf_dir):
+    """Total hits under AND semantics: docs containing every distinct
+    query term (query.hit_count conjunctive=True)."""
+    return _q_hit_count(spark, sf_dir, conjunctive=True)
+
+
+def q_synonym_topk(spark, sf_dir):
+    """Blended synonym scoring (Lucene SynonymQuery): `t0|t1 t2` — the
+    group scores as one pseudo-term with tf = tf_t0 + tf_t1 per doc
+    and df = max(df_t0, df_t1); BM25 saturation over the blended tf
+    (query.synonym_topk — scoring is a pure JVM column expression)."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.query import synonym_topk
+
+    b = _index_for(spark, sf_dir)
+    res = b["res"]
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [f"{BM25_QUERY_TERMS[0]}|{BM25_QUERY_TERMS[1]} "
+                  f"{BM25_QUERY_TERMS[2]}"],
+         "k": np.array([BM25_K], dtype=np.int32)}
+    )
+    got = synonym_topk(
+        spark, load_postings(spark, b["out"]), queries, res.N, res.avgdl,
+        CFG,
+    )
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.round("g.score", 6).alias("score_r"))
+    )
+
+
 def q_bm25_topk_dataframe(spark, sf_dir):
     """Same BM25 computed with pure built-in DataFrame ops (no index) —
     the minimum end-to-end slice of SURVEY §7.3 step 2."""
@@ -1298,6 +1364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boost_topk": q_bm25_boost_topk,
         "bm25_offset_topk": q_bm25_offset_topk,
         "explain_scores": q_explain_scores,
+        "hit_count": q_hit_count,
+        "hit_count_and": q_hit_count_and,
+        "synonym_topk": q_synonym_topk,
         "near_topk": q_near_topk,
         "fuzzy_topk": q_fuzzy_topk,
         "wildcard_topk": q_wildcard_topk,
@@ -1775,6 +1844,82 @@ FROM tf JOIN top3 USING (doc_id) JOIN dl USING (doc_id)
      JOIN dft USING (term) CROSS JOIN corpus c
 """
 
+_HIT_COUNT_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+SELECT 0::INT AS query_id,
+       (SELECT count(DISTINCT doc_id) FROM toks
+        WHERE term IN {BM25_QUERY_TERMS!r})::BIGINT AS n_hits
+UNION ALL
+SELECT 1::INT,
+       (SELECT count(DISTINCT doc_id) FROM toks
+        WHERE term = '{BM25_QUERY_TERMS[0]}')::BIGINT
+UNION ALL
+SELECT 2::INT, 0::BIGINT
+"""
+
+_HIT_COUNT_AND_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+SELECT 0::INT AS query_id,
+       (SELECT count(*) FROM (
+          SELECT doc_id FROM toks
+          WHERE term IN {BM25_QUERY_TERMS!r}
+          GROUP BY doc_id
+          HAVING count(DISTINCT term) = {len(BM25_QUERY_TERMS)}
+        ))::BIGINT AS n_hits
+UNION ALL
+SELECT 1::INT,
+       (SELECT count(DISTINCT doc_id) FROM toks
+        WHERE term = '{BM25_QUERY_TERMS[0]}')::BIGINT
+UNION ALL
+SELECT 2::INT, 0::BIGINT
+"""
+
+# SynonymQuery: group (t0|t1) blends as one pseudo-term — tf summed
+# per doc, df = max member df — plus the t2 singleton; groups sum
+_SYNONYM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN {BM25_QUERY_TERMS!r}
+  GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+groups AS (
+  SELECT 0 AS gid, unnest(
+    ['{BM25_QUERY_TERMS[0]}', '{BM25_QUERY_TERMS[1]}']) AS term
+  UNION ALL SELECT 1, '{BM25_QUERY_TERMS[2]}'
+),
+gtf AS (
+  SELECT g.gid, tf.doc_id, sum(tf.tf)::BIGINT AS tf
+  FROM tf JOIN groups g USING (term) GROUP BY 1, 2
+),
+gdf AS (
+  SELECT g.gid, max(dft.df)::BIGINT AS df
+  FROM dft JOIN groups g USING (term) GROUP BY 1
+),
+scores AS (
+  SELECT gtf.doc_id,
+         sum(
+           ln(1 + (c.n - gdf.df + 0.5) / (gdf.df + 0.5))
+           * gtf.tf * ({_K1} + 1)
+           / (gtf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / c.avgdl))
+         ) AS score
+  FROM gtf JOIN gdf USING (gid) JOIN dl USING (doc_id)
+       CROSS JOIN corpus c
+  GROUP BY gtf.doc_id
+)
+SELECT s.doc_id, round(s.score, 6) AS score_r
+FROM scores s JOIN documents d USING (doc_id)
+ORDER BY s.score DESC, d.source, d.doc_id LIMIT {BM25_K}
+"""
+
 # minimumNumberShouldMatch: pure-OR over three SHOULD terms, msm=2 —
 # candidates are docs containing >= 2 distinct of the three; scoring
 # stays corpus-global BM25 over every matched term
@@ -2074,6 +2219,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_boost_topk": _BM25_BOOST_SQL,
         "bm25_offset_topk": _BM25_OFFSET_SQL,
         "explain_scores": _EXPLAIN_SQL,
+        "hit_count": _HIT_COUNT_SQL,
+        "hit_count_and": _HIT_COUNT_AND_SQL,
+        "synonym_topk": _SYNONYM_SQL,
         "near_topk": _NEAR_SQL,
         "fuzzy_topk": _FUZZY_SQL,
         "wildcard_topk": _WILDCARD_SQL,

@@ -759,6 +759,175 @@ def explain_scores(
     return matched.mapInPandas(explain, schema=EXPLAIN_SCHEMA)
 
 
+def hit_count(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: pd.DataFrame,
+    cfg: BuildConfig | None = None,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """Total hits per query (Lucene TotalHitCountCollector / the
+    IndexSearcher.count fast path): the NUMBER of matching docs, no
+    scoring, no top-k. OR semantics by default (docs containing any
+    query term); conjunctive=True counts docs containing ALL distinct
+    query terms. Returns (query_id, n_hits) with a 0 row for every
+    query in the batch — including empty/OOV queries.
+
+    Scale shape: one In(term)-pruned scan, a narrow 12-byte
+    (query, doc) pass (no scores, no positions, tf never decoded),
+    distinct-doc aggregation, then a per-query count — the same
+    two-shuffle plan at any corpus size; nothing is collected and no
+    task holds a posting list (the decode streams per row)."""
+    cfg = cfg or BuildConfig()
+    if not len(queries):
+        return spark.createDataFrame([], "query_id int, n_hits long")
+    qt = _query_terms_pdf(queries, cfg)
+    qids = pd.DataFrame({
+        "query_id": queries["query_id"].astype(np.int32)})
+    # createDataFrame's pandas inference widens int32 -> long; the
+    # result contract is int query_id (matches every other surface)
+    base = spark.createDataFrame(qids).select(
+        F.col("query_id").cast("int"))
+    if qt.empty:
+        return base.withColumn("n_hits", F.lit(0).cast("long"))
+    qdf = spark.createDataFrame(qt[["query_id", "term", "n_query_terms"]])
+    terms = sorted(qt["term"].unique().tolist())
+    filtered = postings.where(F.col("term").isin(terms))
+    # ReadSchema prunes to the two columns the count needs — tf/dl/pos
+    # payloads never leave the parquet scan
+    matched = filtered.select("term", "doc_ids").join(
+        F.broadcast(qdf), "term")
+
+    def doc_rows(it):
+        for row, docs, _ in _iter_decoded_postings(it):
+            yield pd.DataFrame(
+                {"query_id": np.full(docs.size, row.query_id, np.int32),
+                 "term": np.full(docs.size, row.term, dtype=object),
+                 "doc_id": docs,
+                 "nq": np.full(docs.size, row.n_query_terms, np.int32)}
+            )
+
+    pairs = matched.mapInPandas(
+        doc_rows, schema="query_id int, term string, doc_id long, nq int"
+    )
+    per_doc = pairs.groupBy("query_id", "doc_id").agg(
+        F.count_distinct("term").alias("nm"), F.first("nq").alias("nq"))
+    if conjunctive:
+        # AND: only docs matching every distinct query term count; an
+        # OOV term makes nm < nq for every doc — count drops to 0
+        per_doc = per_doc.where(F.col("nm") >= F.col("nq"))
+    counts = per_doc.groupBy("query_id").agg(
+        F.count("*").alias("n_hits"))
+    # every query in the batch gets a row — 0 when nothing matched
+    return (
+        base.join(counts, "query_id", "left")
+        .select("query_id",
+                F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"))
+    )
+
+
+def _synonym_groups_pdf(queries: pd.DataFrame, cfg: BuildConfig):
+    """Parse the synonym-group query syntax: groups separated by
+    whitespace, members by '|' — `car|auto engine` is two groups.
+    Members tokenize individually (a member tokenizing to several
+    terms contributes each). Returns one row per (query, group,
+    member term), deduplicated within a group."""
+    rows = []
+    for q in queries.itertuples(index=False):
+        gid = 0
+        for chunk in str(q.text).split():
+            members: set[str] = set()
+            for m in chunk.split("|"):
+                members.update(tokenize_py(m, cfg))
+            if not members:
+                continue
+            for t in sorted(members):
+                rows.append((int(q.query_id), gid, t, int(q.k)))
+            gid += 1
+    return pd.DataFrame(rows, columns=["query_id", "gid", "term", "k"])
+
+
+def synonym_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: pd.DataFrame,
+    N: int,
+    avgdl: float,
+    cfg: BuildConfig | None = None,
+) -> DataFrame:
+    """Blended synonym scoring (Lucene SynonymQuery): each
+    '|'-separated group in a query's text scores as ONE pseudo-term —
+    per doc, tf = Σ member tfs; df = MAX member df (Lucene
+    SynonymWeight's docFreq = max, so the group's idf equals its most
+    common member's); idf and the BM25 saturation apply to the
+    blended tf. Groups sum like ordinary query terms. `car|auto
+    engine` ranks docs by score(tf_car + tf_auto, df=max) +
+    score(tf_engine).
+
+    Scale shape: In(term)-pruned scan; a narrow (query, gid, doc, tf,
+    dl) Arrow pass; per-(query, gid, doc) tf sum; scoring is a pure
+    JVM column expression (whole-stage codegen — the blended score
+    never touches Python); per-(query, doc) sum; salted two-phase
+    top-k. Group df maxes are driver-side over the per-term df rows
+    (#distinct query terms — tiny)."""
+    cfg = cfg or BuildConfig()
+    qt = _synonym_groups_pdf(queries, cfg)
+    if qt.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qdf = spark.createDataFrame(qt)
+    terms = sorted(qt["term"].unique().tolist())
+    filtered = postings.where(F.col("term").isin(terms))
+    if "pos" in filtered.columns:
+        filtered = filtered.drop("pos")
+    df_map = _term_df_map(filtered)
+    # blended df per (query, group) = max member df; groups with every
+    # member OOV never produce rows (correct: no posting, no match)
+    gdf = (
+        qt.assign(tdf=qt["term"].map(df_map).fillna(0).astype(np.int64))
+        .groupby(["query_id", "gid"], as_index=False)["tdf"].max()
+    )
+    gidf = spark.createDataFrame(
+        gdf.assign(idf=[float(idf_fn(N, int(d))) for d in gdf["tdf"]])
+        [["query_id", "gid", "idf"]]
+    )
+    matched = filtered.join(F.broadcast(qdf), "term")
+
+    def tf_rows(it):
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                docs, tfs, dls = _decode_posting(row)
+                yield pd.DataFrame(
+                    {"query_id": np.full(docs.size, row.query_id,
+                                         np.int32),
+                     "gid": np.full(docs.size, row.gid, np.int32),
+                     "doc_id": docs.astype(np.int64),
+                     "tf": tfs,
+                     "dl": dls,
+                     "k": np.full(docs.size, row.k, np.int32)}
+                )
+
+    narrow = matched.mapInPandas(
+        tf_rows,
+        schema="query_id int, gid int, doc_id long, tf long, dl long, "
+               "k int",
+    )
+    blended = narrow.groupBy("query_id", "gid", "doc_id").agg(
+        F.sum("tf").alias("tf"), F.first("dl").alias("dl"),
+        F.first("k").alias("k"))
+    # BM25 over the blended tf — pure codegen expression
+    tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
+    denom = tf + F.lit(cfg.k1) * (
+        F.lit(1.0 - cfg.b) + F.lit(cfg.b) * dl / F.lit(float(avgdl)))
+    contrib = F.col("idf") * tf * F.lit(cfg.k1 + 1.0) / denom
+    scored = (
+        blended.join(F.broadcast(gidf), ["query_id", "gid"])
+        .withColumn("contrib", contrib)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"), F.first("k").alias("k"))
+    )
+    return _window_topk(scored)
+
+
 def boolean_topk(
     spark: SparkSession,
     postings: DataFrame,

@@ -90,6 +90,52 @@ class OracleIndex:
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[offset:offset + k]
 
+    def hit_count(self, query_text: str, conjunctive: bool = False) -> int:
+        """Total matching docs (mirrors query.hit_count): OR = any
+        term, AND = all distinct terms; OOV term under AND -> 0."""
+        terms = sorted(set(tokenize_py(query_text)))
+        if not terms:
+            return 0
+        if conjunctive:
+            if any(t not in self.postings for t in terms):
+                return 0
+            cand = set(self.postings[terms[0]].keys())
+            for t in terms[1:]:
+                cand &= self.postings[t].keys()
+            return len(cand)
+        cand: set[int] = set()
+        for t in terms:
+            cand |= self.postings.get(t, {}).keys()
+        return len(cand)
+
+    def synonym_topk(self, query_text: str, k: int
+                     ) -> list[tuple[int, float]]:
+        """Lucene SynonymQuery semantics (mirrors query.synonym_topk):
+        per '|'-group, tf = sum of member tfs per doc, df = max member
+        df, BM25 saturation over the blended tf; groups sum."""
+        groups = []
+        for chunk in query_text.split():
+            members: set[str] = set()
+            for m in chunk.split("|"):
+                members.update(tokenize_py(m))
+            if members:
+                groups.append(sorted(members))
+        per_doc: dict[int, float] = defaultdict(float)
+        for members in groups:
+            df_g = max((self.df(t) for t in members), default=0)
+            idf_g = math.log(
+                1.0 + (self.N - df_g + 0.5) / (df_g + 0.5))
+            tf_g: dict[int, int] = defaultdict(int)
+            for t in members:
+                for d, tf in self.postings.get(t, {}).items():
+                    tf_g[d] += tf
+            for d, tf in tf_g.items():
+                denom = tf + self.k1 * (
+                    1.0 - self.b + self.b * self.dl[d] / self.avgdl)
+                per_doc[d] += idf_g * tf * (self.k1 + 1.0) / denom
+        scored = sorted(per_doc.items(), key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
     def explain(self, query_text: str, doc_ids: list[int]
                 ) -> list[tuple[int, str, int, int, int, int, float, float]]:
         """(query_id-less) explain rows: (term, doc, tf, dl, df, idf,

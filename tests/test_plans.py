@@ -159,3 +159,52 @@ def test_postings_rowgroup_stats_support_term_pruning(built_index, spark):
         f"term row-group coverage {dict(zip(probes, cover))} of "
         f"{len(ranges)} groups — postings layout no longer prunable"
     )
+
+
+def test_hit_count_plan_prunes_payload_columns(built_index, spark):
+    """hit_count's scan must read only (term, doc_ids) — tf/dl
+    payloads (and pos on positional indexes) stay in the parquet
+    footer (ReadSchema pruning), and the term In-filter is pushed."""
+    from capsbm25.query import hit_count
+
+    cfg = built_index["cfg"]
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": ["w0001 w0002"], "k": np.array([1], dtype=np.int32)}
+    )
+    df = hit_count(spark, built_index["postings"], queries, cfg)
+    flat = _plan(df).replace("\n", " ")
+    assert "In(term" in flat, flat
+    # the scan's ReadSchema carries doc_ids but neither tfs nor dls
+    rs = [seg for seg in flat.split("ReadSchema: ")[1:]
+          if "doc_ids" in seg]
+    assert rs, flat
+    assert all("tfs" not in seg.split("]")[0] and
+               "dls" not in seg.split("]")[0] for seg in rs), flat
+
+
+def test_synonym_scoring_stays_in_codegen(built_index, spark):
+    """synonym_topk's blended BM25 scoring is a pure column expression:
+    the plan between the tf aggregate and the top-k window contains a
+    WholeStageCodegen project with the ln/idf math — no Python
+    evaluation node other than the narrow Arrow decode."""
+    from capsbm25.query import synonym_topk
+
+    res, cfg = built_index["res"], built_index["cfg"]
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": ["w0001|w0002 w0003"],
+         "k": np.array([5], dtype=np.int32)}
+    )
+    df = synonym_topk(
+        spark, built_index["postings"], queries, res.N, res.avgdl, cfg)
+    flat = _plan(df).replace("\n", " ")
+    # exactly one Python stage: the narrow posting decode
+    assert flat.count("MapInPandas") == 1, flat
+    assert "ArrowEvalPython" not in flat and "BatchEvalPython" not in flat, flat
+    # the blended-BM25 math is a JVM Project expression (codegen-
+    # eligible), not a Python stage: idf * tf * (k1+1) / saturation
+    assert "AS contrib#" in flat and "idf#" in flat, flat
+    # query side + group-idf side both broadcast; In(term) pushed
+    assert flat.count("BroadcastExchange") >= 2, flat
+    assert "In(term" in flat, flat

@@ -732,3 +732,72 @@ def test_explain_scores_matches_oracle(built_index, spark):
             assert abs(by_doc[d] - s) < 1e-9
         n_checked += len(want)
     assert n_checked > 0
+
+
+def test_hit_count_or_and(built_index, spark):
+    """TotalHitCountCollector analog: n_hits per query vs the oracle,
+    OR and AND; empty/OOV queries still get a 0 row."""
+    from capsbm25.query import hit_count
+
+    cfg, oracle = built_index["cfg"], built_index["oracle"]
+    t0, t1, t2 = _probe_terms(oracle)
+    base = pd.DataFrame(
+        {"query_id": np.arange(3, dtype=np.int32),
+         "text": [f"{t0} {t1} {t2}", f"{t0} {t2}", t1],
+         "k": np.array([5, 5, 5], dtype=np.int32)})
+    queries = pd.concat([base, pd.DataFrame(
+        {"query_id": np.array([90, 91], dtype=np.int32),
+         "text": [fx.OOV_TERM, ""],
+         "k": np.array([5, 5], dtype=np.int32)})], ignore_index=True)
+    for conj in (False, True):
+        got = hit_count(
+            spark, built_index["postings"], queries, cfg,
+            conjunctive=conj,
+        ).toPandas().set_index("query_id")["n_hits"]
+        assert len(got) == len(queries), conj
+        for q in queries.itertuples(index=False):
+            want = oracle.hit_count(q.text, conjunctive=conj)
+            assert got[q.query_id] == want, (conj, q.query_id)
+        assert got[90] == 0 and got[91] == 0, conj
+    # the OR counts must exceed AND somewhere (sanity: conj binds)
+    or_c = sum(oracle.hit_count(q.text) for q in base.itertuples(index=False))
+    and_c = sum(oracle.hit_count(q.text, conjunctive=True)
+                for q in base.itertuples(index=False))
+    assert or_c > and_c > 0
+
+
+def test_synonym_topk_blended(built_index, spark):
+    """SynonymQuery semantics: tf sums across group members, df = max
+    member df — differential vs the oracle; the blend must differ from
+    both plain-OR scoring and each member alone."""
+    from capsbm25.query import synonym_topk
+
+    res, cfg, oracle = (built_index["res"], built_index["cfg"],
+                        built_index["oracle"])
+    t0, t1, t2 = _probe_terms(oracle)
+    k = 12
+    texts = [
+        f"{t0}|{t1} {t2}",      # one 2-member group + a singleton
+        f"{t0}|{fx.OOV_TERM}",  # OOV member is a no-op within a group
+        f"{t0}|{t1}|{t2}",      # one 3-member group
+    ]
+    queries = pd.DataFrame(
+        {"query_id": np.arange(len(texts), dtype=np.int32),
+         "text": texts,
+         "k": np.array([k] * len(texts), dtype=np.int32)})
+    got = synonym_topk(
+        spark, built_index["postings"], queries, res.N, res.avgdl, cfg,
+    ).toPandas()
+    for q in queries.itertuples(index=False):
+        want = oracle.synonym_topk(q.text, k)
+        g = got[got.query_id == q.query_id].sort_values("rank")
+        assert list(g.doc_id) == [d for d, _ in want], q.query_id
+        assert np.allclose(g.score, [s for _, s in want],
+                           atol=1e-9), q.query_id
+    # blend binds: group scoring != plain OR scoring over same terms
+    blended = [d for d, _ in oracle.synonym_topk(f"{t0}|{t1}", k)]
+    plain = [d for d, _ in oracle.topk(f"{t0} {t1}", k)]
+    assert blended != plain
+    # OOV member changes nothing vs the bare term
+    assert (oracle.synonym_topk(f"{t0}|{fx.OOV_TERM}", k)
+            == oracle.synonym_topk(t0, k))
