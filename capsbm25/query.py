@@ -60,15 +60,20 @@ _logger = logging.getLogger("capsbm25.query")
 # rows (module-level so tests can force the fallbacks)
 MAX_CAND_COLLECT = 200_000
 # ... and beyond the collect cap the candidate set stays distributed,
-# CHUNKED by doc-id range: chunk = doc_id // CAND_CHUNK_SPAN, so every
-# per-(query, chunk) collect_list row holds at most CAND_CHUNK_SPAN
-# int64s (~32 MB) no matter how many candidates exist — the map-side
-# mask stays O(cand x tf) at ANY candidate cardinality and no row can
-# approach Spark's 2GB limit (the pre-round-5 design degraded to an
-# unmasked O(cf x tf) join past 2x10^7 candidates). Range chunking
-# needs no count, no window, no global sort: it is one floor-divide,
-# chunks are disjoint doc ranges, and the bound is structural
-# (<= span distinct doc_ids fit a span-sized range).
+# CHUNKED by doc-id range (chunk = doc_id // CAND_CHUNK_SPAN), then
+# consecutive SPARSE chunks merge into ~span-candidate groups via a
+# per-query running sum over the chunk-count frame (round 6): every
+# per-(query, group) collect_list row holds < 2 x CAND_CHUNK_SPAN
+# int64s (~64 MB) no matter how many candidates exist OR how thinly
+# they spread across the id space, a posting row replicates at most
+# ncand/span + 1 times, and the map-side mask stays O(cand x tf) at
+# ANY candidate cardinality — no row can approach Spark's 2GB limit
+# (the pre-round-5 design degraded to an unmasked O(cf x tf) join past
+# 2x10^7 candidates; the pre-merge round-5 design replicated posting
+# payloads once per NON-EMPTY chunk, unbounded for spread-out sets).
+# Groups are runs of consecutive chunks = disjoint doc ranges, so
+# emitted rows union duplicate-free; the grouping window runs over
+# chunk-count rows (<= id_range/span), never candidate rows.
 CAND_CHUNK_SPAN = 4_000_000
 
 
@@ -87,7 +92,10 @@ def _query_terms_pdf(queries: pd.DataFrame, cfg: BuildConfig,
     rows = []
     has_off = "offset" in queries.columns
     for q in queries.itertuples(index=False):
-        off = int(getattr(q, "offset", 0) or 0) if has_off else 0
+        off = getattr(q, "offset", 0) if has_off else 0
+        # a partially-set offset column is float64 with NaN for the
+        # unset rows — NaN is truthy, so `or 0` won't default it
+        off = 0 if off is None or pd.isna(off) else int(off)
         if off < 0:
             raise ValueError("offset must be >= 0")
         if boosts:
@@ -1679,13 +1687,41 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
         )
         qterm = F.broadcast(session.createDataFrame(
             qt[["query_id", "term"]].drop_duplicates()))
-        cand_lists = (
-            and_docs.select("query_id", "doc_id")
+        chunked = and_docs.select("query_id", "doc_id").withColumn(
+            "cand_chunk",
+            F.floor(F.col("doc_id") / F.lit(int(CAND_CHUNK_SPAN))),
+        )
+        # merge ADJACENT SPARSE chunks (round-6 review): fixed
+        # doc-range chunks bound the ENTRIES per chunk (ids in a span
+        # fit the span) but not the NUMBER of non-empty chunks — at a
+        # 10^12-id space, 200k+ candidates spread thin occupy up to one
+        # chunk each, and every posting row's positional payload would
+        # replicate (and re-decode) once per non-empty chunk. A
+        # per-query running sum over the CHUNK-COUNT frame re-groups
+        # consecutive chunks to ~span candidates each. The window
+        # partitions by query over chunk rows, which are structurally
+        # <= id_range/span (250k at 10^12 ids, span 4M) — never over
+        # candidate rows. Bounds: entries per group row < 2 x span
+        # (< span carried from preceding chunks at the floor boundary
+        # + <= span from its own chunk); posting-row replication <=
+        # ncand/span + 1 at ANY candidate spread. Groups are runs of
+        # consecutive chunks, so group doc-ranges stay disjoint and
+        # the emitted rows still union duplicate-free.
+        wq = Window.partitionBy("query_id").orderBy("cand_chunk")
+        groups = (
+            chunked.groupBy("query_id", "cand_chunk").count()
             .withColumn(
-                "cand_chunk",
-                F.floor(F.col("doc_id") / F.lit(int(CAND_CHUNK_SPAN))),
+                "grp",
+                F.floor(
+                    (F.sum("count").over(wq) - F.col("count"))
+                    / F.lit(int(CAND_CHUNK_SPAN))
+                ),
             )
-            .groupBy("query_id", "cand_chunk")
+            .drop("count")
+        )
+        cand_lists = (
+            chunked.join(groups, ["query_id", "cand_chunk"])
+            .groupBy("query_id", "grp")
             .agg(F.sort_array(F.collect_list("doc_id")).alias("cand_docs"))
             .join(qterm, "query_id")
             .select("term", "query_id", "cand_docs")
@@ -2102,21 +2138,35 @@ def _expansion_matched(
         rank_cols = rank_cols or [F.desc("df"), F.asc("term")]
         w1 = Window.partitionBy("query_id", "_salt").orderBy(*rank_cols)
         w2 = Window.partitionBy("query_id").orderBy(*rank_cols)
+        # the bound counts TERMS, not dictionary rows: a term can span
+        # several rows (salted hot terms hold one dictionary row per
+        # part; dictionary-less segmented indexes one per segment), so
+        # (a) rank by the PER-TERM total df — a per-row df would both
+        # misorder split terms and make the cutoff arbitrary — and
+        # (b) cut with dense_rank over the term-unique ordering
+        # (rank_cols end in term), which keeps or drops every row of a
+        # term TOGETHER: a row_number cutoff mid-term would silently
+        # drop some of its part_ids from the In(part_id) prune and
+        # lose postings. The salted phase groups by xxhash64(term), so
+        # all rows of a term share a bucket and its dense_rank bound
+        # is a superset of the global top-N terms.
+        wt = Window.partitionBy("query_id", "term")
         pairs_pdf = (
             dm.select(*sel_cols)
+            .withColumn("df", F.sum("df").over(wt))
             .withColumn("_salt",
                         F.pmod(F.xxhash64("term"), F.lit(_EXPANSION_SALT)))
-            .withColumn("_r1", F.row_number().over(w1))
+            .withColumn("_r1", F.dense_rank().over(w1))
             .where(F.col("_r1") <= int(max_expansions))
             .drop("_salt", "_r1")
-            .withColumn("_rn", F.row_number().over(w2))
+            .withColumn("_rn", F.dense_rank().over(w2))
             .where(F.col("_rn") <= int(max_expansions))
             .drop("_rn")
             .toPandas()
         )
         if pairs_pdf.empty:
             return None
-        hit = pairs_pdf.groupby("query_id").size()
+        hit = pairs_pdf.groupby("query_id")["term"].nunique()
         capped = hit[hit >= int(max_expansions)]
         if len(capped):  # no silent caps: say when the bound truncated
             _logger.info(
@@ -2195,7 +2245,8 @@ def _term_expansion_topk(matched, doc_filter, doc_exclude) -> DataFrame:
     Then filter joins -> built-in agg -> two-phase salted top-k; no
     task ever holds more than one chunk of raw pairs."""
     def doc_rows(it):
-        acc: dict = {}  # (query_id, k) -> [docs_chunks, tf_chunks, n]
+        # (query_id, k) -> [docs_chunks, tf_chunks, n_raw_since_compress]
+        acc: dict = {}
 
         def compress(ent):
             docs = np.concatenate(ent[0])
@@ -2206,7 +2257,11 @@ def _term_expansion_topk(matched, doc_filter, doc_exclude) -> DataFrame:
             sums = np.bincount(inv, weights=tfs.astype(np.float64))
             ent[0] = [uniq]
             ent[1] = [sums.astype(np.int64)]
-            ent[2] = uniq.size
+            # counter = raw pairs APPENDED since the last compress, not
+            # the compressed size: re-using uniq.size would re-trigger
+            # a full unique+bincount on every subsequent row once a
+            # task accumulates >= chunk DISTINCT docs (quadratic)
+            ent[2] = 0
 
         for row, docs, tfs in _iter_decoded_postings(it, with_tf=True):
             ent = acc.setdefault((row.query_id, row.k), [[], [], 0])
@@ -2565,8 +2620,24 @@ def regexp_topk(
     )
     if empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    lead = sorted({re.split(r"[.*+?|()\[\]{},]", p)[0].rstrip("-")
-                   for p in qpdf["pat"]})
+    def _lead(p: str) -> str:
+        """Longest literal prefix every match must start with — SOUND,
+        possibly empty. Any '|' disables the pushdown ('sort|row'
+        offers an alternative start; scoping is not parsed, so parens
+        don't rescue it). The literal run stops at the first metachar,
+        and when that metachar is an optionalizing/repeating
+        quantifier (?, *, {) the character it governs may be absent
+        from a match — drop it from the lead ('so?rt' matches 'srt':
+        lead 's', not 'so'). '+' keeps the full run (its char is
+        mandatory)."""
+        if "|" in p:
+            return ""
+        run = re.match(r"[a-z0-9\-]*", p).group(0)
+        if p[len(run):][:1] in ("?", "*", "{"):
+            run = run[:-1]
+        return run
+
+    lead = sorted({_lead(p) for p in qpdf["pat"]})
     scan_cond = None
     if all(lead):  # every pattern starts with a literal run -> pushdown
         scan_cond = F.col("term").startswith(lead[0])
@@ -2655,10 +2726,16 @@ def term_range_topk(
         | F.when(F.col("inc_hi"), F.col("term") <= F.col("hi"))
            .otherwise(F.col("term") < F.col("hi"))
     )
+    # explicit schema: a batch open on the same side everywhere makes
+    # lo/hi an all-None column, which createDataFrame's inference
+    # rejects (CANNOT_DETERMINE_TYPE)
+    qdf = spark.createDataFrame(
+        qpdf.astype({"lo": object, "hi": object}),
+        schema="query_id long, lo string, hi string, inc_lo boolean, "
+               "inc_hi boolean, k long",
+    )
     matched = _expansion_matched(
-        spark, postings, dictionary,
-        spark.createDataFrame(
-            qpdf.astype({"lo": object, "hi": object})),
+        spark, postings, dictionary, qdf,
         join_cond, scan_cond=scan_cond,
         max_expansions=max_expansions,
     )

@@ -430,3 +430,144 @@ def test_term_range_requires_a_bound(built_index, spark):
     with pytest.raises(ValueError, match="at least one bound"):
         term_range_topk(spark, built_index["postings"], q,
                         built_index["cfg"])
+
+
+# ---------------------------------------------------------- round-6 review
+
+
+def test_regexp_optional_quantifier_lead_is_sound(spark, tmp_path):
+    """Review fix: 'so?rt'-shaped patterns — a leading literal run
+    followed by ?, * or {0,n} must NOT prune terms missing the
+    governed char, and alternation disables the pushdown entirely.
+    Crafted corpus: 'srt' docs exist that 'so?rt' must find even
+    though the naive lead 'so' would prune them; 'row' docs exist
+    that 'sort|row' must find despite the naive lead 'sort'."""
+    from capsbm25.build import build_index, load_postings
+    from capsbm25.query import regexp_topk
+
+    cfg = BuildConfig(num_part_ids=4, shuffle_partitions=4, num_waves=1,
+                      max_salt_buckets=2)
+    texts = (["sort merge"] * 3 + ["srt only here"] * 2
+             + ["row another"] * 2 + ["noise term"] * 2)
+    pdf = pd.DataFrame(
+        {"conv_id": [f"c{i:03d}" for i in range(len(texts))],
+         "turn_idx": np.zeros(len(texts), dtype=np.int32),
+         "role": ["user"] * len(texts),
+         "text": texts,
+         "tool": ["none"] * len(texts),
+         "ts": pd.Timestamp("2026-01-01")})
+    res = build_index(spark, spark.createDataFrame(pdf),
+                      str(tmp_path / "rx"), cfg)
+    posts = load_postings(spark, res.out_dir)
+    queries = pd.DataFrame(
+        {"query_id": np.array([0, 1, 2], dtype=np.int32),
+         "text": ["so?rt", "sort|row", "s(o|r)rt"],
+         "k": np.array([20, 20, 20], dtype=np.int32)})
+    got = regexp_topk(spark, posts, queries, cfg).toPandas()
+    # docs are dense by (conv_id, turn_idx): doc i == row i here
+    sort_docs, srt_docs, row_docs = {0, 1, 2}, {3, 4}, {5, 6}
+    assert set(got[got.query_id == 0].doc_id) == sort_docs | srt_docs
+    assert set(got[got.query_id == 1].doc_id) == sort_docs | row_docs
+    # s(o|r)rt = 'sort' | 'srrt'; only 'sort' exists — scoped
+    # alternation also rides the no-pushdown path
+    assert set(got[got.query_id == 2].doc_id) == sort_docs
+
+
+def test_term_range_open_sides_whole_batch(built_index, spark):
+    """Review fix: a batch open on the SAME side everywhere (all-None
+    lo or hi column) must run, not crash on schema inference."""
+    from capsbm25.query import term_range_topk
+
+    cfg, oracle = built_index["cfg"], built_index["oracle"]
+    vocab = sorted(oracle.postings)
+    mid = vocab[len(vocab) // 2]
+    for lo, hi in ((None, mid), (mid, None)):
+        queries = pd.DataFrame(
+            {"query_id": np.array([0], dtype=np.int32),
+             "lo": [lo], "hi": [hi],
+             "k": np.array([25], dtype=np.int32)})
+        got = term_range_topk(
+            spark, built_index["postings"], queries, cfg,
+            max_expansions=None,
+        ).toPandas()
+        want = _expansion_want(
+            oracle,
+            lambda t: (lo is None or t >= lo) and (hi is None or t <= hi),
+            25)
+        _check_one(got, 0, want)
+
+
+def test_max_expansions_bounds_terms_not_rows_on_segments(spark, tmp_path):
+    """Review fix: on a dictionary-less SEGMENTED index a term spans
+    one posting row per segment; the bound must keep/drop whole TERMS
+    (dense_rank over per-term total df) — a row cutoff would silently
+    drop part of a term's postings."""
+    from capsbm25.query import wildcard_topk
+    from capsbm25.streaming import (
+        load_segment_postings,
+        process_batch,
+        stream_corpus_stats,
+    )
+
+    cfg = BuildConfig(num_part_ids=4, shuffle_partitions=4, num_waves=1,
+                      max_salt_buckets=2)
+    out = str(tmp_path / "seg")
+    pdf = fx.gen_transcripts_pdf(60, 7)
+    halves = np.array_split(np.arange(len(pdf)), 2)
+    for b, ix in enumerate(halves):
+        process_batch(spark, spark.createDataFrame(pdf.iloc[ix]), b, out,
+                      cfg, auto_compact=False)
+    posts = load_segment_postings(spark, out)
+    # the corpus straddles 2 segments: common terms hold 2 rows each
+    from pyspark.sql import functions as F
+    multi = (posts.groupBy("term").count().where(F.col("count") > 1)
+             .count())
+    assert multi > 0, "fixture must split terms across segments"
+    q = pd.DataFrame({"query_id": np.array([0], dtype=np.int32),
+                      "text": ["w*"],
+                      "k": np.array([10**6], dtype=np.int32)})
+    # unbounded = ground truth over this index; bound=3 must equal the
+    # truth restricted to the top-3 terms by TOTAL df with ALL their
+    # segment rows present
+    full = wildcard_topk(spark, posts, q, cfg, max_expansions=None,
+                         ).toPandas()
+    got = wildcard_topk(spark, posts, q, cfg, max_expansions=3,
+                        ).toPandas()
+    tdf = (posts.where(F.col("term").startswith("w"))
+           .groupBy("term").agg(F.sum("df").alias("df"))
+           .toPandas().sort_values(["df", "term"],
+                                   ascending=[False, True]))
+    top3 = list(tdf["term"].head(3))
+    # recompute expected summed-tf ranking from raw postings of top3
+    from capsbm25.codec import decode_varints, delta_decode
+    rows = posts.where(F.col("term").isin(top3)).collect()
+    per_doc: dict[int, int] = {}
+    for r in rows:
+        docs = delta_decode(r.doc_ids)
+        tfs = decode_varints(r.tfs)
+        for d, tf in zip(docs.tolist(), tfs.tolist()):
+            per_doc[d] = per_doc.get(d, 0) + int(tf)
+    want = sorted(per_doc.items(), key=lambda x: (-x[1], x[0]))
+    assert list(got.sort_values("rank").doc_id) == [d for d, _ in want]
+    assert np.allclose(got.sort_values("rank").score,
+                       [float(s) for _, s in want])
+    assert len(got) <= len(full)
+
+
+def test_offset_nan_defaults_to_zero(built_index, spark):
+    """Review fix: a partially-set offset column (NaN for unset rows)
+    defaults those rows to 0 instead of raising."""
+    from capsbm25.query import bm25_topk
+
+    res, cfg, oracle = (built_index["res"], built_index["cfg"],
+                        built_index["oracle"])
+    base = fx.queries_pdf(42).head(2).reset_index(drop=True)
+    queries = base.assign(offset=[5.0, None])
+    got = bm25_topk(
+        spark, built_index["postings"], queries, res.N, res.avgdl, cfg,
+    ).toPandas()
+    for q, off in ((base.iloc[0], 5), (base.iloc[1], 0)):
+        want = oracle.topk(q.text, int(q.k), offset=off)
+        g = got[got.query_id == q.query_id].sort_values("rank")
+        assert list(g.doc_id) == [d for d, _ in want]
+        assert list(g["rank"]) == list(range(off + 1, off + 1 + len(want)))
