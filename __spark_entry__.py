@@ -1171,6 +1171,87 @@ def q_prefix_topk(spark, sf_dir):
     )
 
 
+SUGGEST_PREFIX = "s"    # completes to scan/small/slow/sort/spark/stream
+SUGGEST_K = 5           # < the 6 matches: the df-rank cutoff binds
+SPELL_WORD = "sor"      # sort @1 edit; slow/row @2 — both tiers rank
+SPELL_K = 10
+SORTED_K = 15
+
+
+def q_suggest_terms(spark, sf_dir):
+    """Prefix autocomplete (Lucene suggest / TermSuggester analog):
+    top-k completion terms ranked by df DESC — a dictionary-only
+    query, the suggestion never touches posting payloads."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.suggest import suggest_terms
+
+    b = _index_for(spark, sf_dir)
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [SUGGEST_PREFIX],
+         "k": np.array([SUGGEST_K], dtype=np.int32)}
+    )
+    got = suggest_terms(
+        spark, load_postings(spark, b["out"]), queries, CFG,
+        dictionary=load_dictionary(spark, b["out"]),
+    )
+    return got.select("term", "df", "rank")
+
+
+def q_suggest_spelling(spark, sf_dir):
+    """Did-you-mean (Lucene DirectSpellChecker): dictionary terms
+    within 2 edits of a typo, ranked dist ASC then df DESC — Spark's
+    banded levenshtein vs DuckDB's levenshtein() in the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.suggest import suggest_spelling
+
+    b = _index_for(spark, sf_dir)
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [SPELL_WORD],
+         "k": np.array([SPELL_K], dtype=np.int32)}
+    )
+    got = suggest_spelling(
+        spark, load_postings(spark, b["out"]), queries, CFG,
+        dictionary=load_dictionary(spark, b["out"]), max_edits=2,
+    )
+    return got.select("term", "dist", "df", "rank")
+
+
+def q_sorted_topk(spark, sf_dir):
+    """Field-sorted retrieval (Lucene Sort / SortField): docs matching
+    the reference BM25 query ordered by document LENGTH (dl DESC)
+    instead of relevance; ties break by the engine dense-id order."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import sorted_topk
+
+    b = _index_for(spark, sf_dir)
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [" ".join(BM25_QUERY_TERMS)],
+         "k": np.array([SORTED_K], dtype=np.int32)}
+    )
+    got = sorted_topk(
+        spark, load_postings(spark, b["out"]), queries,
+        load_doc_stats(spark, b["out"]), "dl", CFG, ascending=False,
+    )
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.col("g.sort_key").cast("long").alias("sort_key"),
+                F.col("g.rank"))
+    )
+
+
 def q_facet_counts(spark, sf_dir):
     """Facet counts (Lucene faceting analog): matching docs per source
     for the reference BM25 query — narrow (query, term, doc) pass,
@@ -1383,6 +1464,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic_snippets": q_kwic_snippets,
         "facet_counts": q_facet_counts,
         "prefix_topk": q_prefix_topk,
+        "suggest_terms": q_suggest_terms,
+        "suggest_spelling": q_suggest_spelling,
+        "sorted_topk": q_sorted_topk,
         "bm25_topk_must_not": q_bm25_topk_must_not,
         "more_like_this": q_more_like_this,
         "bm25_topk_dataframe": q_bm25_topk_dataframe,
@@ -2250,6 +2334,60 @@ def oracle_sql() -> dict[str, str]:
             -- LIMIT ties break by the ENGINE dense-id order
             ORDER BY s.n_tf DESC, d.source ASC, d.doc_id ASC
             LIMIT {PREFIX_K}""",
+        "suggest_terms": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            matched AS (
+              SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+              FROM toks WHERE term LIKE '{SUGGEST_PREFIX}%'
+              GROUP BY term
+            )
+            SELECT term, df,
+                   row_number() OVER (ORDER BY df DESC, term ASC)::INT
+                     AS rank
+            FROM matched
+            ORDER BY df DESC, term ASC LIMIT {SUGGEST_K}""",
+        "suggest_spelling": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            matched AS (
+              SELECT term,
+                     levenshtein(term, '{SPELL_WORD}')::INT AS dist,
+                     count(DISTINCT doc_id)::BIGINT AS df
+              FROM toks GROUP BY term
+              HAVING levenshtein(term, '{SPELL_WORD}') BETWEEN 1 AND 2
+            )
+            SELECT term, dist, df,
+                   row_number() OVER
+                     (ORDER BY dist ASC, df DESC, term ASC)::INT AS rank
+            FROM matched
+            ORDER BY dist ASC, df DESC, term ASC LIMIT {SPELL_K}""",
+        "sorted_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            dl AS (
+              SELECT doc_id, count(*)::BIGINT AS dl FROM toks
+              GROUP BY doc_id
+            ),
+            hits AS (
+              SELECT DISTINCT doc_id FROM toks
+              WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+            ),
+            ranked AS (
+              SELECT h.doc_id, l.dl AS sort_key,
+                     -- ties break by the ENGINE dense-id order
+                     row_number() OVER
+                       (ORDER BY l.dl DESC, d.source ASC, d.doc_id ASC
+                       )::INT AS rank
+              FROM hits h
+              JOIN dl l USING (doc_id)
+              JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, sort_key, rank FROM ranked
+            WHERE rank <= {SORTED_K}""",
         "more_like_this": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOK}) AS term FROM documents

@@ -834,6 +834,98 @@ def hit_count(
     )
 
 
+def sorted_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: pd.DataFrame,
+    doc_stats: DataFrame,
+    sort_field: str,
+    cfg: BuildConfig | None = None,
+    ascending: bool = False,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """Field-sorted retrieval (Lucene Sort / SortField): the top-k
+    MATCHING docs per query ordered by a document attribute instead of
+    relevance — newest-first, shortest-first, etc. OR semantics by
+    default (docs containing any query term); conjunctive=True
+    requires all distinct query terms. Ties break doc_id ASC; NULL
+    field values sort last in either direction (they are the least
+    interesting hits, not the first page).
+
+    queries: pandas (query_id, text, k). doc_stats: a per-doc metadata
+    frame (build.load_doc_stats, or any frame with doc_id + the
+    field); sort_field names the column to order by. Returns
+    (query_id, doc_id, sort_key, rank) with sort_key carrying the
+    field's own type.
+
+    Scale shape: the match pass is hit_count's narrow pipeline — one
+    In(term)-pruned scan, 12-byte (query, doc) rows (tf/dl/pos never
+    decoded), distinct-doc aggregate; matched docs then join doc_stats
+    on doc_id (both sides shuffle on the same key; the field column is
+    all that's read from the stats parquet) and the per-query top-k is
+    the two-phase salted window, so no task sorts a stopword query's
+    full match set. Nothing is collected."""
+    cfg = cfg or BuildConfig()
+    if sort_field not in doc_stats.columns:
+        raise ValueError(
+            f"sort_field {sort_field!r} is not a doc_stats column "
+            f"(have: {doc_stats.columns})"
+        )
+    key_t = doc_stats.schema[sort_field].dataType.simpleString()
+    schema = f"query_id int, doc_id long, sort_key {key_t}, rank int"
+    if not len(queries):
+        return spark.createDataFrame([], schema)
+    qt = _query_terms_pdf(queries, cfg)
+    if qt.empty:
+        return spark.createDataFrame([], schema)
+    qdf = spark.createDataFrame(
+        qt[["query_id", "term", "k", "n_query_terms"]])
+    terms = sorted(qt["term"].unique().tolist())
+    filtered = postings.where(F.col("term").isin(terms))
+    matched = filtered.select("term", "doc_ids").join(
+        F.broadcast(qdf), "term")
+
+    def doc_rows(it):
+        for row, docs, _ in _iter_decoded_postings(it):
+            yield pd.DataFrame(
+                {"query_id": np.full(docs.size, row.query_id, np.int32),
+                 "term": np.full(docs.size, row.term, dtype=object),
+                 "doc_id": docs,
+                 "nq": np.full(docs.size, row.n_query_terms, np.int32),
+                 "k": np.full(docs.size, row.k, np.int32)}
+            )
+
+    pairs = matched.mapInPandas(
+        doc_rows,
+        schema="query_id int, term string, doc_id long, nq int, k int",
+    )
+    per_doc = pairs.groupBy("query_id", "doc_id").agg(
+        F.count_distinct("term").alias("nm"), F.first("nq").alias("nq"),
+        F.first("k").alias("k"))
+    if conjunctive:
+        per_doc = per_doc.where(F.col("nm") >= F.col("nq"))
+    key = F.col("sort_key")
+    order = [key.asc_nulls_last() if ascending else key.desc_nulls_last(),
+             F.asc("doc_id")]
+    hits = per_doc.join(
+        doc_stats.select("doc_id", F.col(sort_field).alias("sort_key")),
+        "doc_id",
+    )
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        hits
+        .withColumn("_salt",
+                    F.pmod(F.xxhash64("doc_id"), F.lit(_EXPANSION_SALT)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= F.col("k"))
+        .drop("_salt", "_r1")
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= F.col("k"))
+        .select("query_id", "doc_id", "sort_key", "rank")
+    )
+
+
 def _synonym_groups_pdf(queries: pd.DataFrame, cfg: BuildConfig):
     """Parse the synonym-group query syntax: groups separated by
     whitespace, members by '|' — `car|auto engine` is two groups.
