@@ -136,6 +136,31 @@ def main() -> None:
         timed("synonym_30q", lambda: synonym_topk(
             spark, postings, qsyn, res.N, res.avgdl, cfg).count())
 
+        # suggest family + field-sorted retrieval (dictionary-only /
+        # narrow-match surfaces)
+        from capsbm25.build import load_dictionary
+        from capsbm25.query import sorted_topk
+        from capsbm25.suggest import suggest_spelling, suggest_terms
+
+        dic = load_dictionary(spark, res.out_dir)
+        qsug = pd.DataFrame(
+            {"query_id": np.arange(30, dtype=np.int32),
+             "text": [t.split()[0][: 2 + i % 2]
+                      for i, t in enumerate(queries["text"].head(30))],
+             "k": np.full(30, 10, dtype=np.int32)})
+        timed("suggest_terms_30q", lambda: suggest_terms(
+            spark, postings, qsug, cfg, dictionary=dic).count())
+        qspell = pd.DataFrame(
+            {"query_id": np.arange(30, dtype=np.int32),
+             "text": ["x" + t.split()[0][1:]
+                      for t in queries["text"].head(30)],
+             "k": np.full(30, 10, dtype=np.int32)})
+        timed("suggest_spelling_30q", lambda: suggest_spelling(
+            spark, postings, qspell, cfg, dictionary=dic).count())
+        stats = load_doc_stats(spark, res.out_dir)
+        timed("sorted_topk_30q", lambda: sorted_topk(
+            spark, postings, queries, stats, "dl", cfg).count())
+
         out = {
             "metric": "round6_surface_latency",
             "value": round(sum(timings.values()), 3),
