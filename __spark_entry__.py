@@ -1252,6 +1252,41 @@ def q_sorted_topk(spark, sf_dir):
     )
 
 
+QS_QUERY = '+hash "hash join" sor~1 merg* -vector'
+QS_K = 15
+
+
+def q_query_string(spark, sf_dir):
+    """Query-string parser (Lucene classic QueryParser subset): one
+    string composes a MUST term, an exact phrase, a fuzzy clause and a
+    wildcard clause (both constant-score, Lucene's default multi-term
+    rewrite) and a MUST_NOT term. Scored as the sum of clause
+    contributions over the surviving docs."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.parser import query_string_topk
+
+    b = _pos_index_for(spark, sf_dir)
+    res = b["res"]
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [QS_QUERY],
+         "k": np.array([QS_K], dtype=np.int32)}
+    )
+    got = query_string_topk(
+        spark, load_postings(spark, b["out"]), queries, res.N,
+        res.avgdl, b["cfg"],
+    )
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.round("g.score", 6).alias("score_r"))
+    )
+
+
 def q_facet_counts(spark, sf_dir):
     """Facet counts (Lucene faceting analog): matching docs per source
     for the reference BM25 query — narrow (query, term, doc) pass,
@@ -1464,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic_snippets": q_kwic_snippets,
         "facet_counts": q_facet_counts,
         "prefix_topk": q_prefix_topk,
+        "query_string": q_query_string,
         "suggest_terms": q_suggest_terms,
         "suggest_spelling": q_suggest_spelling,
         "sorted_topk": q_sorted_topk,
@@ -2334,6 +2370,69 @@ def oracle_sql() -> dict[str, str]:
             -- LIMIT ties break by the ENGINE dense-id order
             ORDER BY s.n_tf DESC, d.source ASC, d.doc_id ASC
             LIMIT {PREFIX_K}""",
+        "query_string": f"""
+            WITH tl AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            flat AS (SELECT doc_id, unnest(t) AS term FROM tl),
+            dl AS (
+              SELECT doc_id, count(*) AS dl FROM flat GROUP BY doc_id
+            ),
+            corpus AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl)::DOUBLE
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            tf AS (
+              SELECT term, doc_id, count(*) AS tf FROM flat
+              WHERE term IN ('hash', 'join') GROUP BY 1, 2
+            ),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            bm25 AS (
+              SELECT tf.term, tf.doc_id,
+                     ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+                     * tf.tf * ({_K1} + 1)
+                     / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / c.avgdl))
+                       AS contrib
+              FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN corpus c
+            ),
+            -- "hash join" consecutive
+            phrase_match AS (
+              SELECT doc_id FROM tl
+              WHERE len(t) >= 2
+                AND len(list_filter(range(1, len(t) - 1),
+                        i -> t[i] = 'hash' AND t[i + 1] = 'join')) > 0
+            ),
+            contribs AS (
+              SELECT doc_id, contrib FROM bm25 WHERE term = 'hash'
+              UNION ALL
+              SELECT b.doc_id, b.contrib FROM bm25 b
+              JOIN phrase_match USING (doc_id)
+              UNION ALL  -- fuzzy sor~1: constant-score rewrite
+              SELECT DISTINCT doc_id, 1.0 FROM flat
+              WHERE levenshtein(term, 'sor') <= 1
+              UNION ALL  -- wildcard merg*: constant-score rewrite
+              SELECT DISTINCT doc_id, 1.0 FROM flat
+              WHERE term LIKE 'merg%'
+            ),
+            combined AS (
+              SELECT doc_id, sum(contrib) AS score FROM contribs
+              GROUP BY doc_id
+            ),
+            must_hash AS (
+              SELECT DISTINCT doc_id FROM flat WHERE term = 'hash'
+            ),
+            not_vector AS (
+              SELECT DISTINCT doc_id FROM flat WHERE term = 'vector'
+            )
+            SELECT c.doc_id, round(c.score, 6) AS score_r
+            FROM combined c
+            JOIN must_hash USING (doc_id)
+            LEFT JOIN not_vector n ON n.doc_id = c.doc_id
+            JOIN documents d ON d.doc_id = c.doc_id
+            WHERE n.doc_id IS NULL
+            -- ties break by the ENGINE dense-id order
+            ORDER BY c.score DESC, d.source ASC, d.doc_id ASC
+            LIMIT {QS_K}""",
         "suggest_terms": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOK}) AS term FROM documents

@@ -1,0 +1,367 @@
+"""Query-string parser: one user-facing string per query, composed
+over the engine's clause surfaces (the Lucene classic-QueryParser
++/- prefix subset).
+
+Syntax (whitespace-separated clauses):
+
+  term            bare term            -> SHOULD (default_operator="or")
+  +term           required             -> MUST
+  -term           prohibited           -> MUST_NOT
+  term^2.5        boosted term (Lucene ^boost)
+  "a b c"         exact phrase (positional index required)
+  "a b c"~2       proximity phrase: tokens in ORDER within
+                  len(phrase)+slop positions (ordered-NEAR analog of
+                  Lucene's sloppy PhraseQuery; equal at slop=0, and a
+                  documented deviation above it — Lucene's slop counts
+                  move operations, this counts span slack)
+  wild*  w?ld     wildcard / prefix expansion
+  term~  term~1   fuzzy (Levenshtein <= N; ~ alone = 2, Lucene's default)
+
+A multi-token bare chunk contributes one clause PER TOKEN (same
+role/boost). Unsupported classic-parser syntax raises ValueError
+rather than silently mis-parsing: ( ) grouping, field: prefixes,
+AND/OR/NOT/TO operator keywords, | [ ] { } (ranges and synonym groups
+have dedicated surfaces: term_range_topk, synonym_topk).
+
+SCORING (per doc): sum over its matching positive clauses of
+  term clause    -> BM25 contribution x boost (corpus-global stats)
+  phrase clause  -> BM25 over the phrase's distinct terms x boost
+                    (phrase_topk's scoring), for docs containing it
+  fuzzy/wildcard -> boost as a CONSTANT (Lucene's default
+                    CONSTANT_SCORE_REWRITE for multi-term queries:
+                    per-expanded-term idf is unstable, so an expansion
+                    clause scores flat)
+Docs must match every MUST clause, no MUST_NOT clause, and at least
+one positive clause. Ties break doc_id ASC. Returns the engine-wide
+(query_id, doc_id, score, rank) result shape.
+
+Scale shape: one In(term)-pruned narrow pass scores ALL term clauses
+of the batch (decode streams per posting row; nothing collected);
+phrase / NEAR / fuzzy / wildcard clauses batch into their existing
+surfaces (one call per kind — per distinct window for proximity, per
+distinct max_edits for fuzzy) with the full-match k, so each inherits
+its surface's scale path (chunked candidate masks, bounded expansion
+rewrite, dictionary pruning); the combine is one groupBy over
+(query, doc) contribution rows plus the two-phase salted top-k. A
+clause kind absent from the batch costs nothing.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from capsbm25.config import BuildConfig
+from capsbm25.query import (
+    _EXPANSION_SALT,
+    MAX_EXPANSIONS_DEFAULT,
+    RESULT_SCHEMA,
+    _decode_posting,
+    _term_df_map,
+    fuzzy_topk,
+    near_topk,
+    phrase_topk,
+    wildcard_topk,
+)
+from capsbm25.scoring import idf as idf_fn
+from capsbm25.scoring import term_scores
+from capsbm25.tokenize import tokenize_py
+
+# full-match k for clause sub-calls: every surface's top-k clamps, so
+# int32-max returns the entire match set ranked
+_ALL_MATCHES_K = (1 << 31) - 1
+
+_CHUNK_RE = re.compile(r'([+-]?)("[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?|\S+)')
+_BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$", re.S)
+_FUZZ_RE = re.compile(r"^(.+?)~(\d*)$", re.S)
+_PHRASE_RE = re.compile(r'^"([^"]*)"(?:~(\d+))?$', re.S)
+_REJECT_RE = re.compile(r"[()\[\]{}|:]")
+_KEYWORDS = {"AND", "OR", "NOT", "TO"}
+
+
+def parse_query_string(
+    text: str, cfg: BuildConfig, default_operator: str = "or",
+) -> list[dict]:
+    """One query string -> clause list. Each clause: dict(role, kind,
+    value, boost, extra) with role in {must, should, not}, kind in
+    {term, phrase, fuzzy, wildcard}; extra = slop (phrase) or edits
+    (fuzzy). Pure function — unit-testable without Spark."""
+    if default_operator not in ("or", "and"):
+        raise ValueError("default_operator must be 'or' or 'and'")
+    text = text or ""
+    if text.count('"') % 2:
+        raise ValueError(f"unbalanced quote in query string {text!r}")
+    default_role = "should" if default_operator == "or" else "must"
+    clauses: list[dict] = []
+    for sign, chunk in _CHUNK_RE.findall(text):
+        role = {"+": "must", "-": "not"}.get(sign, default_role)
+        if not chunk.startswith('"'):
+            if chunk in _KEYWORDS:
+                raise ValueError(
+                    f"operator keyword {chunk!r} is not supported — "
+                    "use +/- clause prefixes"
+                )
+            if _REJECT_RE.search(chunk):
+                raise ValueError(
+                    f"unsupported syntax in {chunk!r}: grouping, "
+                    "fields, ranges and synonym groups have dedicated "
+                    "surfaces (boolean_topk, term_range_topk, "
+                    "synonym_topk)"
+                )
+        m = _BOOST_RE.match(chunk)
+        body, boost = (m.group(1), float(m.group(2))) if m and m.group(2) \
+            else (chunk, 1.0)
+        if boost <= 0:
+            raise ValueError(f"boost must be > 0 in {chunk!r}")
+        pm = _PHRASE_RE.match(body)
+        if pm:
+            toks = tokenize_py(pm.group(1), cfg)
+            slop = int(pm.group(2) or 0)
+            if not toks:
+                continue
+            if len(toks) == 1:  # 1-token phrase degrades to a term
+                clauses.append({"role": role, "kind": "term",
+                                "value": toks[0], "boost": boost,
+                                "extra": 0})
+                continue
+            clauses.append({"role": role, "kind": "phrase",
+                            "value": " ".join(toks), "boost": boost,
+                            "extra": slop})
+            continue
+        if "*" in body or "?" in body:
+            if "~" in body:
+                raise ValueError(
+                    f"{chunk!r}: a clause cannot be both wildcard "
+                    "and fuzzy"
+                )
+            clauses.append({"role": role, "kind": "wildcard",
+                            "value": body.lower(), "boost": boost,
+                            "extra": 0})
+            continue
+        fm = _FUZZ_RE.match(body)
+        if fm:
+            edits = int(fm.group(2)) if fm.group(2) else 2
+            if not 0 <= edits <= 2:
+                raise ValueError(
+                    f"{chunk!r}: fuzzy edits must be 0..2 (the Lucene "
+                    "bound)"
+                )
+            toks = tokenize_py(fm.group(1), cfg)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"fuzzy clause {chunk!r} must be a single term"
+                )
+            if edits == 0:  # ~0 is an exact term (Lucene)
+                clauses.append({"role": role, "kind": "term",
+                                "value": toks[0], "boost": boost,
+                                "extra": 0})
+            else:
+                clauses.append({"role": role, "kind": "fuzzy",
+                                "value": toks[0], "boost": boost,
+                                "extra": edits})
+            continue
+        for t in tokenize_py(body, cfg):
+            clauses.append({"role": role, "kind": "term", "value": t,
+                            "boost": boost, "extra": 0})
+    return clauses
+
+
+_CONTRIB_SCHEMA = ("query_id int, clause_id int, role string, "
+                   "doc_id long, contrib double")
+
+
+def _term_contribs(spark, postings, rows: pd.DataFrame, N, avgdl, cfg):
+    """One narrow pass scoring every term clause of the batch:
+    In(term)-pruned scan, broadcast clause join, per-row decode ->
+    BM25 x boost (0 for MUST_NOT rows — only membership matters)."""
+    qdf = spark.createDataFrame(rows)
+    terms = sorted(rows["term"].unique().tolist())
+    filtered = postings.where(F.col("term").isin(terms))
+    if "pos" in filtered.columns:
+        filtered = filtered.drop("pos")
+    df_map = _term_df_map(filtered)
+    matched = filtered.join(F.broadcast(qdf), "term")
+    k1, b = cfg.k1, cfg.b
+
+    def gen(it):
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                docs, tfs, dls = _decode_posting(row)
+                if not docs.size:
+                    continue
+                if row.role == "not":
+                    contrib = np.zeros(docs.size, np.float64)
+                else:
+                    tidf = float(idf_fn(N, df_map[row.term]))
+                    contrib = term_scores(
+                        tfs, dls, tidf, avgdl, k1, b) * float(row.boost)
+                yield pd.DataFrame(
+                    {"query_id": np.full(docs.size, row.query_id,
+                                         np.int32),
+                     "clause_id": np.full(docs.size, row.clause_id,
+                                          np.int32),
+                     "role": np.full(docs.size, row.role, dtype=object),
+                     "doc_id": docs.astype(np.int64),
+                     "contrib": contrib})
+
+    return matched.mapInPandas(gen, schema=_CONTRIB_SCHEMA)
+
+
+def _subcall_contribs(spark, result: DataFrame, sid_map: pd.DataFrame,
+                      constant: bool) -> DataFrame:
+    """Map a clause sub-call's (sid, doc_id, score) back to the parent
+    (query_id, clause_id, role, contrib): score x boost for scoring
+    clauses (phrase), flat boost for constant-score ones (expansion)."""
+    mdf = F.broadcast(spark.createDataFrame(sid_map).select(
+        F.col("sid").cast("int"), F.col("orig_qid").cast("int"),
+        F.col("clause_id").cast("int"), "role",
+        F.col("boost").cast("double")))
+    contrib = (F.col("boost") if constant
+               else F.col("score") * F.col("boost"))
+    return (
+        result.withColumnRenamed("query_id", "sid")
+        .join(mdf, "sid")
+        .select(F.col("orig_qid").alias("query_id"), "clause_id", "role",
+                "doc_id", contrib.cast("double").alias("contrib"))
+    )
+
+
+def query_string_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: pd.DataFrame,
+    N: int,
+    avgdl: float,
+    cfg: BuildConfig | None = None,
+    default_operator: str = "or",
+    doc_filter: DataFrame | None = None,
+    doc_exclude: DataFrame | None = None,
+    dictionary: DataFrame | None = None,
+    max_expansions: int | None = MAX_EXPANSIONS_DEFAULT,
+) -> DataFrame:
+    """Top-k over user-facing query STRINGS (see the module docstring
+    for syntax and scoring). queries: pandas (query_id, text, k);
+    returns (query_id, doc_id, score, rank), ties by doc_id.
+
+    doc_filter / doc_exclude apply batch-globally at the combine stage
+    (Lucene filter + liveDocs: candidates restricted, scoring stats
+    stay corpus-global). Phrase clauses need a positional index;
+    expansion clauses accept the persisted `dictionary` and the
+    bounded `max_expansions` rewrite like their dedicated surfaces."""
+    cfg = cfg or BuildConfig()
+    term_rows, phrase_cl, fuzzy_cl, wild_cl, meta = [], [], [], [], []
+    for q in queries.itertuples(index=False):
+        qid, k = int(q.query_id), int(q.k)
+        clauses = parse_query_string(q.text, cfg, default_operator)
+        n_must = sum(c["role"] == "must" for c in clauses)
+        meta.append((qid, n_must, k))
+        for cid, c in enumerate(clauses):
+            rec = (qid, cid, c["role"], c["value"], c["boost"],
+                   c["extra"])
+            {"term": term_rows, "phrase": phrase_cl, "fuzzy": fuzzy_cl,
+             "wildcard": wild_cl}[c["kind"]].append(rec)
+    if not (term_rows or phrase_cl or fuzzy_cl or wild_cl):
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
+    cols = ["orig_qid", "clause_id", "role", "value", "boost", "extra"]
+    parts: list[DataFrame] = []
+    if term_rows:
+        tpdf = pd.DataFrame(term_rows, columns=cols).rename(
+            columns={"orig_qid": "query_id", "value": "term"})
+        parts.append(_term_contribs(
+            spark, postings,
+            tpdf[["query_id", "clause_id", "role", "term", "boost"]],
+            N, avgdl, cfg))
+
+    def run_group(cl, key_fn, call):
+        """Batch one clause kind through its surface, one call per
+        distinct key (window / max_edits), synthetic sequential ids."""
+        pdf = pd.DataFrame(cl, columns=cols)
+        pdf["sid"] = np.arange(len(pdf), dtype=np.int32)
+        for key, grp in pdf.groupby(pdf.apply(key_fn, axis=1)):
+            sub = pd.DataFrame(
+                {"query_id": grp["sid"].to_numpy(np.int32),
+                 "text": grp["value"].tolist(),
+                 "k": np.full(len(grp), _ALL_MATCHES_K, np.int32)})
+            res, constant = call(key, sub)
+            parts.append(_subcall_contribs(
+                spark, res.select("query_id", "doc_id", "score"),
+                grp[["sid", "orig_qid", "clause_id", "role", "boost"]],
+                constant))
+
+    if phrase_cl:
+        # slop=0 -> exact phrase; slop>0 -> ordered NEAR with window =
+        # len(phrase)+slop (grouped by window so each distinct slack
+        # is one call)
+        def phrase_key(r):
+            return 0 if r["extra"] == 0 \
+                else len(r["value"].split()) + int(r["extra"])
+
+        def phrase_call(key, sub):
+            if key == 0:
+                return phrase_topk(spark, postings, sub, N, avgdl, cfg,
+                                   ), False
+            return near_topk(spark, postings, sub, N, avgdl, cfg,
+                             window=int(key), ordered=True), False
+
+        run_group(phrase_cl, phrase_key, phrase_call)
+    if fuzzy_cl:
+        run_group(
+            fuzzy_cl, lambda r: int(r["extra"]),
+            lambda key, sub: (fuzzy_topk(
+                spark, postings, sub, cfg, max_edits=int(key),
+                dictionary=dictionary, max_expansions=max_expansions,
+            ), True))
+    if wild_cl:
+        run_group(
+            wild_cl, lambda r: 0,
+            lambda key, sub: (wildcard_topk(
+                spark, postings, sub, cfg, dictionary=dictionary,
+                max_expansions=max_expansions,
+            ), True))
+
+    contribs = parts[0]
+    for p in parts[1:]:
+        contribs = contribs.unionByName(p)
+    qmeta = F.broadcast(spark.createDataFrame(
+        pd.DataFrame(meta, columns=["query_id", "n_must", "k"])
+    ).select(F.col("query_id").cast("int"), "n_must", "k"))
+    per_doc = contribs.groupBy("query_id", "doc_id").agg(
+        F.sum(F.when(F.col("role") != "not", F.col("contrib")))
+         .alias("score"),
+        F.count_distinct(
+            F.when(F.col("role") == "must", F.col("clause_id")))
+         .alias("nm"),
+        F.max(F.when(F.col("role") == "not", F.lit(1)).otherwise(0))
+         .alias("xnot"),
+    )
+    hits = (
+        per_doc.join(qmeta, "query_id")
+        .where((F.col("xnot") == 0) & (F.col("nm") == F.col("n_must"))
+               & F.col("score").isNotNull())
+    )
+    if doc_filter is not None:
+        hits = hits.join(doc_filter.select("doc_id"), "doc_id",
+                         "left_semi")
+    if doc_exclude is not None:
+        hits = hits.join(doc_exclude.select("doc_id"), "doc_id",
+                         "left_anti")
+    order = [F.desc("score"), F.asc("doc_id")]
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        hits
+        .withColumn("_salt",
+                    F.pmod(F.xxhash64("doc_id"), F.lit(_EXPANSION_SALT)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= F.col("k"))
+        .drop("_salt", "_r1")
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= F.col("k"))
+        .select("query_id", "doc_id", F.col("score").cast("double"),
+                F.col("rank").cast("int"))
+    )

@@ -1,0 +1,205 @@
+"""Query-string parser (Lucene classic-QueryParser subset):
+parse-shape unit tests plus end-to-end differential tests of
+query_string_topk against naive recomputation from the pure-Python
+oracle on a positional index."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from capsbm25 import fixtures as fx
+from capsbm25.build import build_index, load_postings
+from capsbm25.config import BuildConfig
+from capsbm25.parser import parse_query_string, query_string_topk
+from oracle import OracleIndex
+
+CFG = BuildConfig()
+
+
+@pytest.fixture(scope="module")
+def ps_index(spark, tmp_path_factory):
+    pdf = fx.gen_transcripts_pdf(120, 42)
+    cfg = BuildConfig(num_part_ids=32, shuffle_partitions=8, num_waves=2,
+                      hot_share_threshold=0.004, max_salt_buckets=8,
+                      index_positions=True)
+    out = str(tmp_path_factory.mktemp("psidx") / "t1")
+    res = build_index(spark, spark.createDataFrame(pdf), out, cfg)
+    return {"pdf": pdf, "cfg": cfg, "res": res,
+            "postings": load_postings(spark, out),
+            "oracle": OracleIndex(pdf)}
+
+
+def _q(texts, k=30):
+    return pd.DataFrame(
+        {"query_id": np.arange(len(texts), dtype=np.int32),
+         "text": texts,
+         "k": np.full(len(texts), k, dtype=np.int32)})
+
+
+def _run(ps, texts, k=30, **kw):
+    return query_string_topk(
+        ps["postings"].sparkSession, ps["postings"], _q(texts, k),
+        ps["res"].N, ps["res"].avgdl, ps["cfg"], **kw,
+    ).toPandas()
+
+
+def _check(got, qid, want):
+    g = got[got.query_id == qid].sort_values("rank")
+    assert list(g.doc_id) == [d for d, _ in want]
+    assert np.allclose(list(g.score), [s for _, s in want])
+
+
+def _rank(scored, k):
+    return sorted(scored, key=lambda x: (-x[1], x[0]))[:k]
+
+
+# ------------------------------------------------------------- parse shape
+
+
+def test_parse_shapes():
+    p = parse_query_string('+alpha -beta gamma^2 "one two"~3 pre* w~1',
+                           CFG)
+    assert [c["role"] for c in p] == ["must", "not", "should", "should",
+                                      "should", "should"]
+    assert [c["kind"] for c in p] == ["term", "term", "term", "phrase",
+                                      "wildcard", "fuzzy"]
+    assert p[2]["boost"] == 2.0 and p[3]["extra"] == 3
+    assert p[5]["extra"] == 1
+    # ~ alone = 2 edits (Lucene default); ~0 = exact term;
+    # 1-token phrase degrades to a term; multi-token chunk splits
+    assert parse_query_string("w~", CFG)[0]["extra"] == 2
+    assert parse_query_string("w~0", CFG)[0]["kind"] == "term"
+    assert parse_query_string('"solo"', CFG)[0]["kind"] == "term"
+    assert [c["value"] for c in parse_query_string("a.b", CFG)] == \
+        ["a", "b"]
+    # default_operator="and" makes bare clauses MUST
+    assert parse_query_string("x y", CFG, "and")[0]["role"] == "must"
+
+
+def test_parse_rejects_unsupported():
+    for bad in ('a AND b', '(a b)', 'field:x', 'a|b', '[a TO b]',
+                'a^0', 'w*~1', 'x~3', '"open quote'):
+        with pytest.raises(ValueError):
+            parse_query_string(bad, CFG)
+
+
+def test_parse_two_word_fuzzy_raises():
+    with pytest.raises(ValueError, match="single term"):
+        parse_query_string("don't~1", CFG)
+
+
+# --------------------------------------------------------------- end-to-end
+
+
+def test_terms_only_matches_bm25_oracle(ps_index):
+    oracle = ps_index["oracle"]
+    texts = [" ".join(q.text.split()[:3])
+             for q in fx.queries_pdf(42).head(3).itertuples(index=False)]
+    got = _run(ps_index, texts, k=20)
+    for qid, t in enumerate(texts):
+        _check(got, qid, oracle.topk(t, 20))
+
+
+def test_must_not_matches_boolean_oracle(ps_index):
+    oracle = ps_index["oracle"]
+    toks = sorted(oracle.postings, key=oracle.df, reverse=True)[:4]
+    a, b, c, d = toks
+    got = _run(ps_index, [f"+{a} {b} -{c}"], k=25)
+    want = oracle.boolean_topk(a, b, c, 25)
+    _check(got, 0, want)
+
+
+def test_boosts_match_oracle(ps_index):
+    oracle = ps_index["oracle"]
+    toks = sorted(oracle.postings, key=oracle.df, reverse=True)[:2]
+    a, b = toks
+    got = _run(ps_index, [f"{a}^2.5 {b}^0.5"], k=20)
+    want = oracle.topk(f"{a} {b}", 20, boosts={a: 2.5, b: 0.5})
+    _check(got, 0, want)
+
+
+def test_phrase_plus_term_contributions(ps_index):
+    oracle = ps_index["oracle"]
+    doc0 = oracle.docs[7]
+    phrase = " ".join(doc0[1:3])
+    extra = max(oracle.postings, key=oracle.df)
+    got = _run(ps_index, [f'"{phrase}" {extra}'], k=40)
+    phrase_hits = dict(oracle.phrase_topk(phrase, oracle.N))
+    term_hits = {d: oracle.score_doc([extra], d)
+                 for d in oracle.postings.get(extra, {})}
+    combined = {}
+    for d, s in phrase_hits.items():
+        combined[d] = combined.get(d, 0.0) + s
+    for d, s in term_hits.items():
+        combined[d] = combined.get(d, 0.0) + s
+    want = _rank(list(combined.items()), 40)
+    _check(got, 0, want)
+
+
+def test_wildcard_constant_score(ps_index):
+    oracle = ps_index["oracle"]
+    vocab = sorted(oracle.postings)
+    pfx = vocab[len(vocab) // 3][:2]
+    term = max(oracle.postings, key=oracle.df)
+    got = _run(ps_index, [f"{pfx}* {term}^1.5"], k=40)
+    wild_docs = set()
+    for t in vocab:
+        if t.startswith(pfx):
+            wild_docs |= oracle.postings[t].keys()
+    combined = {d: 1.0 for d in wild_docs}  # constant-score rewrite
+    for d in oracle.postings.get(term, {}):
+        combined[d] = combined.get(d, 0.0) + 1.5 * oracle.score_doc(
+            [term], d)
+    want = _rank(list(combined.items()), 40)
+    _check(got, 0, want)
+
+
+def test_fuzzy_must_doc_set(ps_index):
+    oracle = ps_index["oracle"]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    base = max((t for t in oracle.postings if len(t) >= 5),
+               key=oracle.df)
+    typo = "x" + base[1:]
+    got = _run(ps_index, [f"+{typo}~1"], k=oracle.N)
+    want_docs = set()
+    for t in oracle.postings:
+        if lev(t, typo) <= 1:
+            want_docs |= oracle.postings[t].keys()
+    assert set(got[got.query_id == 0].doc_id) == want_docs
+    assert (got[got.query_id == 0].score == 1.0).all()
+
+
+def test_slop_matches_ordered_near_oracle(ps_index):
+    oracle = ps_index["oracle"]
+    toks = oracle.docs[31]
+    # two tokens 2 apart in doc 31: "a b"~1 must find it via window 3
+    a, b = toks[0], toks[2]
+    if a == b:
+        a, b = toks[0], toks[3]
+    got = _run(ps_index, [f'"{a} {b}"~1'], k=40)
+    want = oracle.near_topk(f"{a} {b}", window=3, k=40, ordered=True)
+    _check(got, 0, want)
+
+
+def test_pure_negative_and_empty_queries(ps_index):
+    got = _run(ps_index, ["-onlynot", "", "   "], k=10)
+    assert got.empty
+
+
+def test_default_operator_and(ps_index):
+    oracle = ps_index["oracle"]
+    toks = sorted(oracle.postings, key=oracle.df, reverse=True)[:2]
+    got = _run(ps_index, [f"{toks[0]} {toks[1]}"], k=25,
+               default_operator="and")
+    want = oracle.topk(f"{toks[0]} {toks[1]}", 25, conjunctive=True)
+    _check(got, 0, want)
