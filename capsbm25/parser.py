@@ -213,9 +213,10 @@ def _term_contribs(spark, postings, rows: pd.DataFrame, N, avgdl, cfg):
 
 def _subcall_contribs(spark, result: DataFrame, sid_map: pd.DataFrame,
                       constant: bool) -> DataFrame:
-    """Map a clause sub-call's (sid, doc_id, score) back to the parent
-    (query_id, clause_id, role, contrib): score x boost for scoring
-    clauses (phrase), flat boost for constant-score ones (expansion)."""
+    """Map a clause sub-call's rows back to the parent (query_id,
+    clause_id, role, contrib): score x boost for scoring clauses
+    (phrase — result carries a score), flat boost for constant-score
+    ones (expansion — result is the docs_only membership frame)."""
     mdf = F.broadcast(spark.createDataFrame(sid_map).select(
         F.col("sid").cast("int"), F.col("orig_qid").cast("int"),
         F.col("clause_id").cast("int"), "role",
@@ -288,8 +289,10 @@ def query_string_topk(
                  "text": grp["value"].tolist(),
                  "k": np.full(len(grp), _ALL_MATCHES_K, np.int32)})
             res, constant = call(key, sub)
+            res = res.select("query_id", "doc_id") if constant \
+                else res.select("query_id", "doc_id", "score")
             parts.append(_subcall_contribs(
-                spark, res.select("query_id", "doc_id", "score"),
+                spark, res,
                 grp[["sid", "orig_qid", "clause_id", "role", "boost"]],
                 constant))
 
@@ -310,18 +313,22 @@ def query_string_topk(
 
         run_group(phrase_cl, phrase_key, phrase_call)
     if fuzzy_cl:
+        # docs_only: constant-score clauses need MEMBERSHIP, not the
+        # summed-tf ranking — skips the expansion aggregate and both
+        # top-k windows per sub-call
         run_group(
             fuzzy_cl, lambda r: int(r["extra"]),
             lambda key, sub: (fuzzy_topk(
                 spark, postings, sub, cfg, max_edits=int(key),
                 dictionary=dictionary, max_expansions=max_expansions,
+                docs_only=True,
             ), True))
     if wild_cl:
         run_group(
             wild_cl, lambda r: 0,
             lambda key, sub: (wildcard_topk(
                 spark, postings, sub, cfg, dictionary=dictionary,
-                max_expansions=max_expansions,
+                max_expansions=max_expansions, docs_only=True,
             ), True))
 
     contribs = parts[0]

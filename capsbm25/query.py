@@ -2386,6 +2386,30 @@ def _term_expansion_topk(matched, doc_filter, doc_exclude) -> DataFrame:
     return _window_topk(scored).orderBy("query_id", "rank")
 
 
+_EXPANSION_DOCS_SCHEMA = "query_id int, doc_id long"
+
+
+def _expansion_doc_ids(matched) -> DataFrame:
+    """MEMBERSHIP of an expansion match — distinct (query_id, doc_id)
+    over the matched posting rows, no tf decode, no ranking. This is
+    what a CONSTANT-SCORE rewrite consumer (the query-string parser's
+    wildcard/fuzzy clauses; Lucene's multi-term default) actually
+    needs: the summed-tf aggregation and the per-query top-k windows
+    of _term_expansion_topk are pure waste when every matching doc
+    scores flat."""
+    def gen(it):
+        for row, docs, _ in _iter_decoded_postings(it):
+            yield pd.DataFrame(
+                {"query_id": np.full(docs.size, row.query_id, np.int32),
+                 "doc_id": docs})
+
+    return (
+        matched.select("term", "query_id", "doc_ids")
+        .mapInPandas(gen, schema=_EXPANSION_DOCS_SCHEMA)
+        .dropDuplicates(["query_id", "doc_id"])
+    )
+
+
 def _damerau_levenshtein(a: str, b: str) -> int:
     """TRUE Damerau-Levenshtein (Lowrance-Wagner, unrestricted): edits
     = insert/delete/substitute/transpose-adjacent, and a transposed
@@ -2460,11 +2484,15 @@ def fuzzy_topk(
     dictionary: DataFrame | None = None,
     max_expansions: int | None = MAX_EXPANSIONS_DEFAULT,
     transpositions: bool = False,
+    docs_only: bool = False,
 ) -> DataFrame:
     """Fuzzy term query (Lucene FuzzyQuery): docs containing ANY
     dictionary term within `max_edits` Levenshtein edits of the query
     term, ranked by summed tf of the matching terms (the expansion
-    family's deterministic scoring), ties by doc_id.
+    family's deterministic scoring), ties by doc_id. docs_only=True
+    returns the distinct (query_id, doc_id) MEMBERSHIP instead (no
+    scoring, no top-k) — the constant-score rewrite's input; k is
+    ignored.
 
     queries: pandas (query_id, text, k) — text must tokenize to ONE
     term (FuzzyQuery is single-term, like Lucene). max_edits is capped
@@ -2525,13 +2553,14 @@ def fuzzy_topk(
                      toks[0][:prefix_len] if prefix_len > 0 else "",
                      int(q.k)))
     qpdf = pd.DataFrame(rows, columns=["query_id", "qterm", "pfx", "k"])
+    empty_schema = _EXPANSION_DOCS_SCHEMA if docs_only else RESULT_SCHEMA
     if qpdf.empty:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return spark.createDataFrame([], empty_schema)
     _, doc_filter, doc_exclude, _, _, empty = _prep_doc_sets(
         spark, "distributed", doc_filter, doc_exclude, 0
     )
     if empty:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return spark.createDataFrame([], empty_schema)
     me = int(max_edits)
     scan_cond = _fuzzy_scan_cond(
         [len(t) for t in qpdf["qterm"]], me,
@@ -2568,7 +2597,9 @@ def fuzzy_topk(
         post_cols={"dist": dist_col},
     )
     if matched is None:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return spark.createDataFrame([], empty_schema)
+    if docs_only:
+        return _expansion_doc_ids(matched)
     return _term_expansion_topk(matched, doc_filter, doc_exclude)
 
 
@@ -2581,10 +2612,14 @@ def wildcard_topk(
     doc_exclude: DataFrame | None = None,
     dictionary: DataFrame | None = None,
     max_expansions: int | None = MAX_EXPANSIONS_DEFAULT,
+    docs_only: bool = False,
 ) -> DataFrame:
     """Wildcard term query (Lucene WildcardQuery): `*` matches any run
     of characters, `?` exactly one; docs containing ANY matching
     dictionary term, ranked by summed tf, ties by doc_id.
+    docs_only=True returns the distinct (query_id, doc_id) MEMBERSHIP
+    instead (no scoring, no top-k) — the constant-score rewrite's
+    input; k is ignored.
 
     queries: pandas (query_id, text, k) — text is the raw pattern,
     lowercased against the normalized dictionary; characters outside
@@ -2620,13 +2655,14 @@ def wildcard_topk(
         rows.append((int(q.query_id), pat,
                      pat.replace("*", "%").replace("?", "_"), int(q.k)))
     qpdf = pd.DataFrame(rows, columns=["query_id", "pat", "like_pat", "k"])
+    empty_schema = _EXPANSION_DOCS_SCHEMA if docs_only else RESULT_SCHEMA
     if qpdf.empty:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return spark.createDataFrame([], empty_schema)
     _, doc_filter, doc_exclude, _, _, empty = _prep_doc_sets(
         spark, "distributed", doc_filter, doc_exclude, 0
     )
     if empty:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return spark.createDataFrame([], empty_schema)
     lead = sorted({re.split(r"[*?]", p)[0] for p in qpdf["pat"]})
     scan_cond = None
     if all(lead):  # every pattern has a literal prefix -> pushdown
@@ -2642,7 +2678,9 @@ def wildcard_topk(
         max_expansions=max_expansions,
     )
     if matched is None:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return spark.createDataFrame([], empty_schema)
+    if docs_only:
+        return _expansion_doc_ids(matched)
     return _term_expansion_topk(matched, doc_filter, doc_exclude)
 
 

@@ -161,6 +161,25 @@ def main() -> None:
         timed("sorted_topk_30q", lambda: sorted_topk(
             spark, postings, queries, stats, "dl", cfg).count())
 
+        # query-string parser: +must should wild* fuzzy~1 -not per
+        # query (no phrase clause — this shared index is
+        # non-positional; the phrase path is timed by phrase_30q
+        # benches and the entry)
+        from capsbm25.parser import query_string_topk
+
+        def qs_text(t):
+            w = t.split()
+            parts = [f"+{w[0]}"] + w[1:3]
+            parts.append(w[0][:3] + "*")
+            if len(w) > 3:
+                parts.append(f"-{w[3]}")
+            return " ".join(parts)
+
+        qqs = queries.assign(text=[qs_text(t) for t in queries["text"]])
+        timed("query_string_30q", lambda: query_string_topk(
+            spark, postings, qqs, res.N, res.avgdl, cfg,
+            dictionary=dic).count())
+
         out = {
             "metric": "round6_surface_latency",
             "value": round(sum(timings.values()), 3),

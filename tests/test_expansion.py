@@ -554,6 +554,34 @@ def test_max_expansions_bounds_terms_not_rows_on_segments(spark, tmp_path):
     assert len(got) <= len(full)
 
 
+def test_expansion_docs_only_membership(built_index, spark):
+    """docs_only=True returns exactly the distinct doc membership of
+    the (bounded) expansion — the constant-score rewrite's input."""
+    from capsbm25.query import fuzzy_topk, wildcard_topk
+
+    cfg, oracle = built_index["cfg"], built_index["oracle"]
+    vocab = sorted(oracle.postings)
+    pat = vocab[len(vocab) // 2][:2] + "*"
+    q = pd.DataFrame({"query_id": np.array([0], dtype=np.int32),
+                      "text": [pat],
+                      "k": np.array([10**6], dtype=np.int32)})
+    ranked = wildcard_topk(spark, built_index["postings"], q, cfg,
+                           max_expansions=None).toPandas()
+    docs = wildcard_topk(spark, built_index["postings"], q, cfg,
+                         max_expansions=None, docs_only=True).toPandas()
+    assert set(docs.doc_id) == set(ranked.doc_id)
+    assert len(docs) == docs.doc_id.nunique()  # distinct
+    assert sorted(docs.columns) == ["doc_id", "query_id"]
+    qf = pd.DataFrame({"query_id": np.array([0], dtype=np.int32),
+                       "text": ["x" + vocab[0]],
+                       "k": np.array([10**6], dtype=np.int32)})
+    rf = fuzzy_topk(spark, built_index["postings"], qf, cfg,
+                    max_edits=2).toPandas()
+    df_ = fuzzy_topk(spark, built_index["postings"], qf, cfg,
+                     max_edits=2, docs_only=True).toPandas()
+    assert set(df_.doc_id) == set(rf.doc_id)
+
+
 def test_offset_nan_defaults_to_zero(built_index, spark):
     """Review fix: a partially-set offset column (NaN for unset rows)
     defaults those rows to 0 instead of raising."""
