@@ -95,6 +95,24 @@ for n_convs in SIZES:
                        "text": first_terms,
                        "k": [10] * len(first_terms)})
     qw = qf.assign(text=[t[:3] + "*" for t in first_terms])
+    # round-6 surfaces: parser (mixed-clause strings), suggesters,
+    # field-sorted retrieval
+    from capsbm25.build import load_doc_stats
+    from capsbm25.parser import query_string_topk
+    from capsbm25.query import sorted_topk
+    from capsbm25.suggest import suggest_spelling, suggest_terms
+
+    def qs_text(t):
+        w = t.split()
+        qs = [f"+{w[0]}"] + w[1:3] + [w[0][:3] + "*"]
+        if len(w) > 3:
+            qs.append(f"-{w[3]}")
+        return " ".join(qs)
+
+    qqs = queries.assign(text=[qs_text(t) for t in queries["text"]])
+    qsug = qf.assign(text=[t[:3] for t in first_terms])
+    qsp = qf.assign(text=["x" + t[1:] for t in first_terms])
+    stats = load_doc_stats(spark, out)
     surfaces = {
         "boolean": lambda: boolean_topk(
             spark, postings, qb, res.N, res.avgdl, cfg).count(),
@@ -105,6 +123,15 @@ for n_convs in SIZES:
             dictionary=dictionary).count(),
         "wildcard": lambda: wildcard_topk(
             spark, postings, qw, cfg, dictionary=dictionary).count(),
+        "query_string": lambda: query_string_topk(
+            spark, postings, qqs, res.N, res.avgdl, cfg,
+            dictionary=dictionary).count(),
+        "suggest_terms": lambda: suggest_terms(
+            spark, postings, qsug, cfg, dictionary=dictionary).count(),
+        "suggest_spelling": lambda: suggest_spelling(
+            spark, postings, qsp, cfg, dictionary=dictionary).count(),
+        "sorted": lambda: sorted_topk(
+            spark, postings, queries, stats, "dl", cfg).count(),
     }
     for name, fn in surfaces.items():
         for _ in range(REPS):
