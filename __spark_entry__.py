@@ -2399,7 +2399,9 @@ def oracle_sql() -> dict[str, str]:
             phrase_match AS (
               SELECT doc_id FROM tl
               WHERE len(t) >= 2
-                AND len(list_filter(range(1, len(t) - 1),
+                -- start positions 1..len-1: range's exclusive bound is
+                -- len(t), so the FINAL token pair (len-1, len) is tested
+                AND len(list_filter(range(1, len(t)),
                         i -> t[i] = 'hash' AND t[i + 1] = 'join')) > 0
             ),
             contribs AS (

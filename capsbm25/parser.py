@@ -21,7 +21,12 @@ A multi-token bare chunk contributes one clause PER TOKEN (same
 role/boost). Unsupported classic-parser syntax raises ValueError
 rather than silently mis-parsing: ( ) grouping, field: prefixes,
 AND/OR/NOT/TO operator keywords, | [ ] { } (ranges and synonym groups
-have dedicated surfaces: term_range_topk, synonym_topk).
+have dedicated surfaces: term_range_topk, synonym_topk), malformed
+quote/suffix shapes (a quote inside a bare chunk, anything but
+~slop^boost glued to a closing quote, a second ^boost), a sloppy
+phrase repeating a token (the proximity engine needs distinct terms
+— slop=0 exact phrases support repeats), and any query string on a
+chargram index (word tokenizers only).
 
 SCORING (per doc): sum over its matching positive clauses of
   term clause    -> BM25 contribution x boost (corpus-global stats)
@@ -52,15 +57,16 @@ import re
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from capsbm25.codec import delta_decode
 from capsbm25.config import BuildConfig
 from capsbm25.query import (
-    _EXPANSION_SALT,
     MAX_EXPANSIONS_DEFAULT,
     RESULT_SCHEMA,
     _decode_posting,
+    _salted_topk,
     _term_df_map,
     fuzzy_topk,
     near_topk,
@@ -75,7 +81,15 @@ from capsbm25.tokenize import tokenize_py
 # int32-max returns the entire match set ranked
 _ALL_MATCHES_K = (1 << 31) - 1
 
-_CHUNK_RE = re.compile(r'([+-]?)("[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?|\S+)')
+# a chunk is either a quoted phrase plus WHATEVER is glued to the
+# closing quote (validated against _QUOTED_RE below — anything else
+# raises instead of re-matching as spurious bare terms), or a bare
+# \S+ run; every non-space character lands in exactly one chunk, so
+# nothing is silently skipped
+_CHUNK_RE = re.compile(r'([+-]?)("[^"]*"\S*|\S+)')
+# legal glued suffix after a closing quote: ~slop then ^boost, each
+# optional, in that order (Lucene's "a b"~2^3)
+_QUOTED_RE = re.compile(r'^"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?$')
 _BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$", re.S)
 _FUZZ_RE = re.compile(r"^(.+?)~(\d*)$", re.S)
 _PHRASE_RE = re.compile(r'^"([^"]*)"(?:~(\d+))?$', re.S)
@@ -92,6 +106,12 @@ def parse_query_string(
     (fuzzy). Pure function — unit-testable without Spark."""
     if default_operator not in ("or", "and"):
         raise ValueError("default_operator must be 'or' or 'and'")
+    if cfg.tokenizer == "chargram":
+        raise ValueError(
+            "query strings require a word-tokenizer index — a phrase "
+            "clause re-tokenized over chargrams silently spans the "
+            "joining spaces; use substring_topk on chargram indexes"
+        )
     text = text or ""
     if text.count('"') % 2:
         raise ValueError(f"unbalanced quote in query string {text!r}")
@@ -99,7 +119,18 @@ def parse_query_string(
     clauses: list[dict] = []
     for sign, chunk in _CHUNK_RE.findall(text):
         role = {"+": "must", "-": "not"}.get(sign, default_role)
-        if not chunk.startswith('"'):
+        if chunk.startswith('"'):
+            if not _QUOTED_RE.match(chunk):
+                raise ValueError(
+                    f"malformed phrase clause {chunk!r}: after the "
+                    "closing quote only ~slop then ^boost may follow"
+                )
+        else:
+            if '"' in chunk:
+                raise ValueError(
+                    f"quote inside bare clause {chunk!r}: a phrase "
+                    "must be its own whitespace-separated chunk"
+                )
             if chunk in _KEYWORDS:
                 raise ValueError(
                     f"operator keyword {chunk!r} is not supported — "
@@ -117,12 +148,28 @@ def parse_query_string(
             else (chunk, 1.0)
         if boost <= 0:
             raise ValueError(f"boost must be > 0 in {chunk!r}")
+        if "^" in body and not body.startswith('"'):
+            # 'foo^2.5^3' et al: after one boost strip a bare body may
+            # not still contain ^ — tokenizing it would emit the boost
+            # digits as spurious terms
+            raise ValueError(
+                f"malformed boost in {chunk!r}: one ^boost suffix per "
+                "clause"
+            )
         pm = _PHRASE_RE.match(body)
         if pm:
             toks = tokenize_py(pm.group(1), cfg)
             slop = int(pm.group(2) or 0)
             if not toks:
                 continue
+            if slop > 0 and len(set(toks)) != len(toks):
+                raise ValueError(
+                    f"sloppy phrase {chunk!r} repeats a token: the "
+                    "proximity engine (ordered NEAR) needs distinct "
+                    "terms — a documented deviation from Lucene's "
+                    "sloppy PhraseQuery; slop=0 exact phrases support "
+                    "repeats"
+                )
             if len(toks) == 1:  # 1-token phrase degrades to a term
                 clauses.append({"role": role, "kind": "term",
                                 "value": toks[0], "boost": boost,
@@ -190,12 +237,18 @@ def _term_contribs(spark, postings, rows: pd.DataFrame, N, avgdl, cfg):
     def gen(it):
         for pdf in it:
             for row in pdf.itertuples(index=False):
-                docs, tfs, dls = _decode_posting(row)
-                if not docs.size:
-                    continue
                 if row.role == "not":
+                    # membership only — skip the tf/dl varint decodes
+                    # (a MUST_NOT stopword is the largest posting in
+                    # the batch and its contribution is hardcoded 0)
+                    docs = delta_decode(row.doc_ids)
+                    if not docs.size:
+                        continue
                     contrib = np.zeros(docs.size, np.float64)
                 else:
+                    docs, tfs, dls = _decode_posting(row)
+                    if not docs.size:
+                        continue
                     tidf = float(idf_fn(N, df_map[row.term]))
                     contrib = term_scores(
                         tfs, dls, tidf, avgdl, k1, b) * float(row.boost)
@@ -357,18 +410,8 @@ def query_string_topk(
     if doc_exclude is not None:
         hits = hits.join(doc_exclude.select("doc_id"), "doc_id",
                          "left_anti")
-    order = [F.desc("score"), F.asc("doc_id")]
-    w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
-    w2 = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        hits
-        .withColumn("_salt",
-                    F.pmod(F.xxhash64("doc_id"), F.lit(_EXPANSION_SALT)))
-        .withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= F.col("k"))
-        .drop("_salt", "_r1")
-        .withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= F.col("k"))
-        .select("query_id", "doc_id", F.col("score").cast("double"),
-                F.col("rank").cast("int"))
+    return _salted_topk(
+        hits, [F.desc("score"), F.asc("doc_id")],
+        ["query_id", "doc_id", F.col("score").cast("double"),
+         F.col("rank").cast("int")],
     )

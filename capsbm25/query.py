@@ -597,6 +597,32 @@ def _window_topk(scored: DataFrame) -> DataFrame:
     )
 
 
+def _salted_topk(df: DataFrame, rank_cols, out_cols,
+                 salt_col: str = "doc_id") -> DataFrame:
+    """Generic two-phase salted per-query top-k (the one idiom behind
+    sorted_topk, the suggest family, and the query-string combine):
+    phase 1 cuts each (query_id, salt-bucket) to k rows by row_number,
+    phase 2 ranks the <= _EXPANSION_SALT * k survivors globally with
+    the SAME order, so the result is identical to a single window —
+    without any task sorting one query's full match set. Input rows
+    must carry query_id and k; the final `rank` column is the global
+    row_number. (_window_topk remains the score-shaped variant with
+    pagination-offset support.)"""
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(*rank_cols)
+    w2 = Window.partitionBy("query_id").orderBy(*rank_cols)
+    return (
+        df
+        .withColumn("_salt",
+                    F.pmod(F.xxhash64(salt_col), F.lit(_EXPANSION_SALT)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= F.col("k"))
+        .drop("_salt", "_r1")
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= F.col("k"))
+        .select(*out_cols)
+    )
+
+
 def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive,
                      doc_filter: DataFrame | None = None,
                      doc_exclude: DataFrame | None = None,
@@ -911,19 +937,8 @@ def sorted_topk(
         doc_stats.select("doc_id", F.col(sort_field).alias("sort_key")),
         "doc_id",
     )
-    w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
-    w2 = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        hits
-        .withColumn("_salt",
-                    F.pmod(F.xxhash64("doc_id"), F.lit(_EXPANSION_SALT)))
-        .withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= F.col("k"))
-        .drop("_salt", "_r1")
-        .withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= F.col("k"))
-        .select("query_id", "doc_id", "sort_key", "rank")
-    )
+    return _salted_topk(
+        hits, order, ["query_id", "doc_id", "sort_key", "rank"])
 
 
 def _synonym_groups_pdf(queries: pd.DataFrame, cfg: BuildConfig):
@@ -2389,25 +2404,31 @@ def _term_expansion_topk(matched, doc_filter, doc_exclude) -> DataFrame:
 _EXPANSION_DOCS_SCHEMA = "query_id int, doc_id long"
 
 
-def _expansion_doc_ids(matched) -> DataFrame:
+def _expansion_doc_ids(matched, doc_filter=None,
+                       doc_exclude=None) -> DataFrame:
     """MEMBERSHIP of an expansion match — distinct (query_id, doc_id)
     over the matched posting rows, no tf decode, no ranking. This is
     what a CONSTANT-SCORE rewrite consumer (the query-string parser's
     wildcard/fuzzy clauses; Lucene's multi-term default) actually
     needs: the summed-tf aggregation and the per-query top-k windows
     of _term_expansion_topk are pure waste when every matching doc
-    scores flat."""
+    scores flat. doc_filter/doc_exclude apply the same semi/anti
+    joins as the ranked path — membership must respect liveDocs and
+    filters identically (a constant-score consumer composing the set
+    into MUST clauses would otherwise resurrect excluded docs)."""
     def gen(it):
         for row, docs, _ in _iter_decoded_postings(it):
             yield pd.DataFrame(
                 {"query_id": np.full(docs.size, row.query_id, np.int32),
                  "doc_id": docs})
 
-    return (
-        matched.select("term", "query_id", "doc_ids")
-        .mapInPandas(gen, schema=_EXPANSION_DOCS_SCHEMA)
-        .dropDuplicates(["query_id", "doc_id"])
-    )
+    out = matched.select("term", "query_id", "doc_ids").mapInPandas(
+        gen, schema=_EXPANSION_DOCS_SCHEMA)
+    if doc_filter is not None:
+        out = out.join(doc_filter, "doc_id", "semi")
+    if doc_exclude is not None:
+        out = out.join(doc_exclude, "doc_id", "anti")
+    return out.dropDuplicates(["query_id", "doc_id"])
 
 
 def _damerau_levenshtein(a: str, b: str) -> int:
@@ -2599,7 +2620,7 @@ def fuzzy_topk(
     if matched is None:
         return spark.createDataFrame([], empty_schema)
     if docs_only:
-        return _expansion_doc_ids(matched)
+        return _expansion_doc_ids(matched, doc_filter, doc_exclude)
     return _term_expansion_topk(matched, doc_filter, doc_exclude)
 
 
@@ -2680,7 +2701,7 @@ def wildcard_topk(
     if matched is None:
         return spark.createDataFrame([], empty_schema)
     if docs_only:
-        return _expansion_doc_ids(matched)
+        return _expansion_doc_ids(matched, doc_filter, doc_exclude)
     return _term_expansion_topk(matched, doc_filter, doc_exclude)
 
 

@@ -22,11 +22,11 @@ buckets before the k-bounded global phase).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from capsbm25.config import BuildConfig
-from capsbm25.query import _EXPANSION_SALT, _fuzzy_scan_cond
+from capsbm25.query import _fuzzy_scan_cond, _salted_topk
 from capsbm25.tokenize import tokenize_py
 
 SUGGEST_SCHEMA = "query_id int, term string, df long, rank int"
@@ -36,40 +36,34 @@ SPELL_SCHEMA = "query_id int, term string, dist int, df long, rank int"
 def _dictionary_terms(postings: DataFrame,
                       dictionary: DataFrame | None) -> DataFrame:
     """(term, df, tlen) rows from the persisted dictionary when
-    available, else a 2-column projection of the postings (pre-round-5
-    indexes, streaming segment unions). Multi-row terms (salted hot
-    terms: one dictionary row per part; segments: one per segment) are
-    the caller's concern — suggestion surfaces aggregate per-term
-    total df before ranking."""
+    available, else a 3-column projection of the postings (pre-round-5
+    indexes, streaming segment unions — POSTINGS_SCHEMA always carries
+    df). Multi-row terms (salted hot terms: one dictionary row per
+    part; segments: one per segment) are the caller's concern —
+    suggestion surfaces aggregate per-term total df before ranking.
+    A frame with no df column raises: popularity ranking and the
+    min_df threshold would silently degrade (df=0 + the default
+    min_df=1 used to return ZERO corrections with no error)."""
     dic = dictionary if dictionary is not None else postings
-    cols = ["term"] + [c for c in ("df", "tlen") if c in dic.columns]
-    dic = dic.select(*cols)
     if "df" not in dic.columns:
-        dic = dic.withColumn("df", F.lit(0).cast("long"))
+        raise ValueError(
+            "suggest surfaces need a df column (term popularity); got "
+            f"columns {dic.columns} — pass the index postings or the "
+            "persisted dictionary, not a projection without df"
+        )
+    cols = ["term", "df"] + (["tlen"] if "tlen" in dic.columns else [])
+    dic = dic.select(*cols)
     if "tlen" not in dic.columns:
         dic = dic.withColumn("tlen", F.length("term"))
     return dic
 
 
-def _ranked_topk(grouped: DataFrame, rank_cols, out_cols,
-                 ) -> DataFrame:
+def _ranked_topk(grouped: DataFrame, rank_cols, out_cols) -> DataFrame:
     """Per-query top-k over per-TERM rows (post-aggregation: one row
-    per (query, term)), two-phase salted: phase 1 cuts each salt
-    bucket to k by row_number, phase 2 ranks the survivors globally.
-    No task sorts more than one bucket of one query's matches."""
-    w1 = Window.partitionBy("query_id", "_salt").orderBy(*rank_cols)
-    w2 = Window.partitionBy("query_id").orderBy(*rank_cols)
-    return (
-        grouped
-        .withColumn("_salt",
-                    F.pmod(F.xxhash64("term"), F.lit(_EXPANSION_SALT)))
-        .withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= F.col("k"))
-        .drop("_salt", "_r1")
-        .withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= F.col("k"))
-        .select(*out_cols)
-    )
+    per (query, term)) via the engine's shared two-phase salted
+    window, salted on term. No task sorts more than one bucket of one
+    query's matches."""
+    return _salted_topk(grouped, rank_cols, out_cols, salt_col="term")
 
 
 def suggest_terms(
@@ -189,15 +183,21 @@ def suggest_spelling(
     me = int(max_edits)
     qdf = spark.createDataFrame(qpdf).select(
         F.col("query_id").cast("int"), "qterm", F.col("k").cast("int"))
+    # join on the cheap per-pair length band; the banded levenshtein
+    # (the expensive predicate) is evaluated ONCE per in-band pair and
+    # filtered on its materialized value — dist >= 1 excludes both the
+    # word itself (0) and over-threshold rows (-1, the threshold
+    # form's sentinel)
     matched = (
         _dictionary_terms(postings, dictionary)
         .where(_fuzzy_scan_cond([len(t) for t in qpdf["qterm"]], me))
         .join(
             F.broadcast(qdf),
-            F.levenshtein(F.col("term"), F.col("qterm"), me) >= 1,
+            F.abs(F.col("tlen") - F.length(F.col("qterm"))) <= me,
         )
         .withColumn(
             "dist", F.levenshtein(F.col("term"), F.col("qterm"), me))
+        .where(F.col("dist") >= 1)
     )
     grouped = (
         matched.groupBy("query_id", "term", "dist")

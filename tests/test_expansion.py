@@ -599,3 +599,44 @@ def test_offset_nan_defaults_to_zero(built_index, spark):
         g = got[got.query_id == q.query_id].sort_values("rank")
         assert list(g.doc_id) == [d for d, _ in want]
         assert list(g["rank"]) == list(range(off + 1, off + 1 + len(want)))
+
+
+def test_expansion_docs_only_respects_filters(built_index, spark):
+    """Round-6 review: docs_only membership must apply doc_filter /
+    doc_exclude like the ranked path — a constant-score consumer
+    composing the set would otherwise resurrect excluded docs."""
+    cfg, oracle = built_index["cfg"], built_index["oracle"]
+    vocab = sorted(oracle.postings)
+    pat = vocab[len(vocab) // 2][:2] + "*"
+    q = pd.DataFrame({"query_id": np.array([0], dtype=np.int32),
+                      "text": [pat],
+                      "k": np.array([10**6], dtype=np.int32)})
+    full = wildcard_topk(spark, built_index["postings"], q, cfg,
+                         max_expansions=None, docs_only=True).toPandas()
+    docs = sorted(full.doc_id)
+    assert len(docs) >= 2
+    half = docs[: len(docs) // 2]
+    half_df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.array(half, dtype=np.int64)}))
+    kept = wildcard_topk(spark, built_index["postings"], q, cfg,
+                         max_expansions=None, docs_only=True,
+                         doc_filter=half_df).toPandas()
+    assert sorted(kept.doc_id) == half
+    rest = wildcard_topk(spark, built_index["postings"], q, cfg,
+                         max_expansions=None, docs_only=True,
+                         doc_exclude=half_df).toPandas()
+    assert sorted(rest.doc_id) == docs[len(docs) // 2:]
+    # fuzzy side: exclusion drops the excluded ids from membership
+    qf = pd.DataFrame({"query_id": np.array([0], dtype=np.int32),
+                       "text": ["x" + vocab[0]],
+                       "k": np.array([10**6], dtype=np.int32)})
+    fl = fuzzy_topk(spark, built_index["postings"], qf, cfg,
+                    max_edits=2, docs_only=True).toPandas()
+    fdocs = sorted(fl.doc_id)
+    assert len(fdocs) >= 2
+    fex = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.array(fdocs[:1], dtype=np.int64)}))
+    fr = fuzzy_topk(spark, built_index["postings"], qf, cfg,
+                    max_edits=2, docs_only=True,
+                    doc_exclude=fex).toPandas()
+    assert sorted(fr.doc_id) == fdocs[1:]

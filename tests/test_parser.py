@@ -203,3 +203,28 @@ def test_default_operator_and(ps_index):
                default_operator="and")
     want = oracle.topk(f"{toks[0]} {toks[1]}", 25, conjunctive=True)
     _check(got, 0, want)
+
+
+def test_parse_rejects_silent_misparse_shapes():
+    """Round-6 review: these shapes previously produced WRONG clause
+    sets with no error (leftover ~N re-matched as a bare term; a
+    mid-chunk quoted phrase split into bare terms; a double boost
+    tokenizing its digits as terms)."""
+    for bad in ('"a b"^2~3', 'foo"bar baz"qux', 'foo^2.5^3', 'x"y'):
+        with pytest.raises(ValueError):
+            parse_query_string(bad, CFG)
+    # the legal glued suffix order still parses: ~slop then ^boost
+    p = parse_query_string('"one two"~2^3', CFG)
+    assert p[0]["kind"] == "phrase"
+    assert p[0]["extra"] == 2 and p[0]["boost"] == 3.0
+
+
+def test_parse_sloppy_repeat_and_chargram_guard():
+    # slop>0 + repeated token would crash near_topk mid-batch with an
+    # error naming neither the query nor the parser — raise up front
+    with pytest.raises(ValueError, match="repeats a token"):
+        parse_query_string('"big data big"~2', CFG)
+    # exact phrases (slop=0) accept repeats — phrase_topk handles them
+    assert parse_query_string('"big data big"', CFG)[0]["kind"] == "phrase"
+    with pytest.raises(ValueError, match="word-tokenizer"):
+        parse_query_string("abc", BuildConfig(tokenizer="chargram"))

@@ -201,3 +201,22 @@ def test_sorted_topk_validates_field(built_index, spark):
         sorted_topk(spark, built_index["postings"],
                     fx.queries_pdf(42).head(1), stats, "nope",
                     built_index["cfg"])
+
+
+def test_suggest_rejects_df_less_frame(built_index, spark):
+    """Round-6 review: a frame without df used to get df=lit(0), and
+    suggest_spelling's default min_df=1 then silently returned ZERO
+    corrections; suggest_terms silently degraded its popularity
+    ranking. Both now raise up front."""
+    import pytest as _pytest
+
+    from capsbm25.suggest import suggest_spelling, suggest_terms
+
+    cfg = built_index["cfg"]
+    bare = built_index["postings"].select("term")
+    q = pd.DataFrame({"query_id": np.array([0], dtype=np.int32),
+                      "text": ["w0"], "k": np.array([5], dtype=np.int32)})
+    with _pytest.raises(ValueError, match="df column"):
+        suggest_terms(spark, bare, q, cfg)
+    with _pytest.raises(ValueError, match="df column"):
+        suggest_spelling(spark, bare, q, cfg)
