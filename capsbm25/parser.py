@@ -231,7 +231,10 @@ def _term_contribs(spark, postings, rows: pd.DataFrame, N, avgdl, cfg):
     if "pos" in filtered.columns:
         filtered = filtered.drop("pos")
     df_map = _term_df_map(filtered)
-    matched = filtered.join(F.broadcast(qdf), "term")
+    # explicit projection (Catalyst cannot prune through mapInPandas):
+    # block_max/cf/df would otherwise ride the Arrow transfer unused
+    matched = filtered.select("term", "doc_ids", "tfs", "dls").join(
+        F.broadcast(qdf), "term")
     k1, b = cfg.k1, cfg.b
 
     def gen(it):

@@ -664,7 +664,13 @@ def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive,
                     }
                 )
 
-    c = matched.mapInPandas(
+    # explicit projection: Catalyst cannot prune through mapInPandas,
+    # so without it block_max/cf/df ride the Arrow transfer unused
+    # (block_max is an array<struct> — the widest non-payload column)
+    need = (["term", "query_id", "k", "n_query_terms",
+             "doc_ids", "tfs", "dls"]
+            + [c_ for c_ in ("boost", "off") if c_ in matched.columns])
+    c = matched.select(*need).mapInPandas(
         contribs,
         schema="query_id int, term string, doc_id long, contrib double, "
                "k int, n_query_terms int, off int",
@@ -790,7 +796,9 @@ def explain_scores(
     # was re-ingested — df/idf are corpus-global either way, and the
     # per-row tf rows stand as per-segment leaves (Lucene explains
     # per-segment too)
-    return matched.mapInPandas(explain, schema=EXPLAIN_SCHEMA)
+    return matched.select(
+        "term", "query_id", "want", "doc_ids", "tfs", "dls"
+    ).mapInPandas(explain, schema=EXPLAIN_SCHEMA)
 
 
 def hit_count(
@@ -1021,7 +1029,9 @@ def synonym_topk(
                      "k": np.full(docs.size, row.k, np.int32)}
                 )
 
-    narrow = matched.mapInPandas(
+    narrow = matched.select(
+        "query_id", "gid", "k", "doc_ids", "tfs", "dls"
+    ).mapInPandas(
         tf_rows,
         schema="query_id int, gid int, doc_id long, tf long, dl long, "
                "k int",
@@ -1244,10 +1254,13 @@ def _run_boolean_distributed(matched, df_map, N, avgdl, cfg,
     def contribs(it):
         for pdf in it:
             for row in pdf.itertuples(index=False):
-                docs, tfs, dls = _decode_posting(row)
                 if row.role == "not":
+                    # membership only — skip the tf/dl varint decodes
+                    # (MUST_NOT stopwords are the largest postings)
+                    docs = delta_decode(row.doc_ids).astype(np.int64)
                     sc = np.zeros(docs.size, dtype=np.float64)
                 else:
+                    docs, tfs, dls = _decode_posting(row)
                     sc = term_scores(
                         tfs, dls, float(idf_fn(N, df_map[row.term])),
                         avgdl, cfg.k1, cfg.b,
@@ -1266,7 +1279,10 @@ def _run_boolean_distributed(matched, df_map, N, avgdl, cfg,
                     }
                 )
 
-    c = matched.mapInPandas(
+    need = (["term", "role", "query_id", "k", "n_must",
+             "doc_ids", "tfs", "dls"]
+            + (["msm"] if "msm" in matched.columns else []))
+    c = matched.select(*need).mapInPandas(
         contribs,
         schema="query_id int, term string, role string, doc_id long, "
                "contrib double, k int, n_must int, msm int",
@@ -1692,7 +1708,7 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
     def narrow_rows(it):
         for pdf in it:
             for row in pdf.itertuples(index=False):
-                if len(row.pos) == 0:
+                if row.pos_len == 0:
                     raise ValueError(
                         "phrase_topk requires an index built with "
                         "index_positions=True (pos payload is empty)"
@@ -1717,7 +1733,15 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
                     }
                 )
 
-    n1 = matched.mapInPandas(
+    # the narrow pass never reads positions — ship a JVM-computed
+    # byte length instead of the pos binary itself (the WIDEST payload
+    # column on a positional index; only the validation needs it, and
+    # Catalyst cannot prune through mapInPandas). block_max/cf/df are
+    # dropped the same way.
+    n1 = matched.select(
+        "term", "query_id", "doc_ids", "tfs", "dls",
+        F.coalesce(F.length("pos"), F.lit(0)).alias("pos_len"),
+    ).mapInPandas(
         narrow_rows,
         schema="query_id int, term string, doc_id long, contrib double",
     )
@@ -2078,9 +2102,7 @@ def term_doc_ids(postings: DataFrame, terms: list[str]) -> DataFrame:
     bm25_topk(..., doc_exclude=term_doc_ids(postings, ["spam"]))
     is Lucene's MUST_NOT clause (candidates drop, scoring stats stay
     global). Pushdown-pruned scan, narrow decode, distinct."""
-    f = postings.where(F.col("term").isin(list(terms)))
-    if "pos" in f.columns:
-        f = f.drop("pos")
+    f = postings.where(F.col("term").isin(list(terms))).select("doc_ids")
 
     def rows(it):
         for _, docs, _ in _iter_decoded_postings(it):
@@ -2387,7 +2409,11 @@ def _term_expansion_topk(matched, doc_filter, doc_exclude) -> DataFrame:
                  "k": np.full(uniq.size, k, np.int32)}
             )
 
-    c = matched.mapInPandas(
+    # explicit projection: Catalyst cannot prune columns through the
+    # mapInPandas black box, so without this the dls/block_max/cf
+    # payload columns are read from parquet AND shipped through Arrow
+    # just to be ignored (~1/3 of expansion payload bytes)
+    c = matched.select("query_id", "k", "doc_ids", "tfs").mapInPandas(
         doc_rows, schema="query_id int, doc_id long, tf long, k int"
     )
     if doc_filter is not None:
