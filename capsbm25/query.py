@@ -548,7 +548,15 @@ def _run_kernel(matched, N, avgdl, cfg, prune, conjunctive,
         return _score_query_kernel(pdf, N, avgdl, cfg, prune, conjunctive,
                                    filt, excl)
 
-    return matched.groupBy("query_id").applyInPandas(
+    # explicit projection (Catalyst cannot prune through applyInPandas):
+    # stored block_max is NEVER read by the kernel — uppers are always
+    # recomputed from the exact scores (see _score_query_kernel) — and
+    # cf is unused, so both would ride the Arrow transfer for nothing
+    # (block_max is an array<struct>, the widest non-payload column)
+    need = (["query_id", "term", "df", "doc_ids", "tfs", "dls",
+             "k", "n_query_terms"]
+            + [c for c in ("boost", "off") if c in matched.columns])
+    return matched.select(*need).groupBy("query_id").applyInPandas(
         kernel, schema=RESULT_SCHEMA
     )
 
@@ -1172,11 +1180,14 @@ def _run_boolean_kernel(matched, N, avgdl, cfg,
         not_docs = []
         for term, grp in pdf.groupby("term", sort=True):
             role = grp["role"].iloc[0]
+            if role == "not":
+                # membership only — skip the tf/dl varint decodes
+                # (MUST_NOT stopwords are the largest postings)
+                not_docs.append(np.concatenate(
+                    [delta_decode(b) for b in grp["doc_ids"]]))
+                continue
             parts = [_decode_posting(r) for r in grp.itertuples(index=False)]
             docs = np.concatenate([p[0] for p in parts])
-            if role == "not":
-                not_docs.append(docs)  # order irrelevant for a union
-                continue
             tfs = np.concatenate([p[1] for p in parts])
             dls = np.concatenate([p[2] for p in parts])
             if len(parts) > 1:
@@ -1238,7 +1249,12 @@ def _run_boolean_kernel(matched, N, avgdl, cfg,
         top_d, top_s = _topk(cand, total, k)
         return _result_pdf(qid, top_d, top_s)
 
-    return matched.groupBy("query_id").applyInPandas(
+    # explicit projection: block_max/cf would ride Arrow unused (the
+    # kernel recomputes nothing from them; see _run_kernel's note)
+    need = (["query_id", "term", "role", "df", "doc_ids", "tfs", "dls",
+             "k", "n_must"]
+            + (["msm"] if "msm" in matched.columns else []))
+    return matched.select(*need).groupBy("query_id").applyInPandas(
         kernel, schema=RESULT_SCHEMA
     )
 
@@ -1662,7 +1678,12 @@ def _run_phrase_kernel(matched, N, avgdl, cfg,
         top_d, top_s = _topk(hit_arr, total, k)
         return _result_pdf(qid, top_d, top_s)
 
-    return matched.groupBy("query_id").applyInPandas(
+    # explicit projection: block_max/cf ride Arrow unused otherwise
+    # (pos IS needed here — this kernel verifies positions)
+    return matched.select(
+        "query_id", "term", "phrase", "df", "doc_ids", "tfs", "dls",
+        "pos", "k",
+    ).groupBy("query_id").applyInPandas(
         kernel, schema=RESULT_SCHEMA
     )
 
