@@ -81,7 +81,8 @@ _BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
 
 
 def _query_terms_pdf(queries: pd.DataFrame, cfg: BuildConfig,
-                     boosts: bool = False) -> pd.DataFrame:
+                     boosts: bool = False,
+                     require_k: bool = True) -> pd.DataFrame:
     """One row per (query, distinct term). With boosts=True, a chunk
     `term^2.5` (Lucene query-parser boost syntax) assigns that term a
     per-query boost; unboosted terms get 1.0, and when a term appears
@@ -98,9 +99,23 @@ def _query_terms_pdf(queries: pd.DataFrame, cfg: BuildConfig,
         off = 0 if off is None or pd.isna(off) else int(off)
         if off < 0:
             raise ValueError("offset must be >= 0")
+        # None/NaN text is an empty query, not the literal "None"/"nan"
+        # (str(NaN) would tokenize to a real searchable term)
+        text = q.text if isinstance(q.text, str) else ""
+        k = getattr(q, "k", None)
+        if k is None or pd.isna(k):
+            if require_k:
+                # top-k surfaces: a missing k must not silently return
+                # zero rows
+                raise ValueError(
+                    "queries must carry an integer k column"
+                )
+            k = 0  # surfaces documenting k as ignored (facets, counts)
+        else:
+            k = int(k)
         if boosts:
             bmap: dict[str, float] = {}
-            for chunk in str(q.text).split():
+            for chunk in text.split():
                 m = _BOOST_RE.match(chunk)
                 body, b = (m.group(1), float(m.group(2))) if m \
                     else (chunk, 1.0)
@@ -108,10 +123,10 @@ def _query_terms_pdf(queries: pd.DataFrame, cfg: BuildConfig,
                     bmap[t] = max(bmap.get(t, 0.0), b)
             terms = sorted(bmap)
         else:
-            terms = sorted(set(tokenize_py(q.text, cfg)))
+            terms = sorted(set(tokenize_py(text, cfg)))
             bmap = {t: 1.0 for t in terms}
         for t in terms:
-            rows.append((int(q.query_id), t, int(q.k), len(terms),
+            rows.append((int(q.query_id), t, k, len(terms),
                          float(bmap[t]), off))
     return pd.DataFrame(
         rows, columns=["query_id", "term", "k", "n_query_terms",
@@ -831,7 +846,7 @@ def hit_count(
     cfg = cfg or BuildConfig()
     if not len(queries):
         return spark.createDataFrame([], "query_id int, n_hits long")
-    qt = _query_terms_pdf(queries, cfg)
+    qt = _query_terms_pdf(queries, cfg, require_k=False)
     qids = pd.DataFrame({
         "query_id": queries["query_id"].astype(np.int32)})
     # createDataFrame's pandas inference widens int32 -> long; the
@@ -949,9 +964,12 @@ def sorted_topk(
     key = F.col("sort_key")
     order = [key.asc_nulls_last() if ascending else key.desc_nulls_last(),
              F.asc("doc_id")]
+    # LEFT join: a matching doc absent from the supplied stats frame
+    # keeps a NULL sort_key and sorts last (the docstring's NULL
+    # contract) instead of silently vanishing from the result page
     hits = per_doc.join(
         doc_stats.select("doc_id", F.col(sort_field).alias("sort_key")),
-        "doc_id",
+        "doc_id", "left",
     )
     return _salted_topk(
         hits, order, ["query_id", "doc_id", "sort_key", "rank"])
@@ -1117,17 +1135,24 @@ def boolean_topk(
             "pass empty strings for unused clauses"
         )
     rows = []
+    def _clause(v):
+        # "empty/None = no clause" includes pandas NaN (the normal
+        # missing-string representation — NaN is truthy, so `or ""`
+        # alone would pass a float into the tokenizer)
+        return v if isinstance(v, str) else ""
+
     for q in queries.itertuples(index=False):
-        must = sorted(set(tokenize_py(q.must or "", cfg)))
-        nots = set(tokenize_py(q.must_not or "", cfg))
+        must = sorted(set(tokenize_py(_clause(q.must), cfg)))
+        nots = set(tokenize_py(_clause(q.must_not), cfg))
         if set(must) & nots:
             continue  # required AND prohibited — provably empty
         should = sorted(
-            set(tokenize_py(q.should or "", cfg)) - set(must) - nots
+            set(tokenize_py(_clause(q.should), cfg)) - set(must) - nots
         )
         if not must and not should:
             continue  # no positive clause
-        msm = int(getattr(q, "min_should_match", 0) or 0)
+        msm = getattr(q, "min_should_match", 0)
+        msm = 0 if msm is None or pd.isna(msm) else int(msm)
         if msm < 0:
             raise ValueError("min_should_match must be >= 0")
         if msm > len(should):
@@ -2469,7 +2494,7 @@ def _expansion_doc_ids(matched, doc_filter=None,
                 {"query_id": np.full(docs.size, row.query_id, np.int32),
                  "doc_id": docs})
 
-    out = matched.select("term", "query_id", "doc_ids").mapInPandas(
+    out = matched.select("query_id", "doc_ids").mapInPandas(
         gen, schema=_EXPANSION_DOCS_SCHEMA)
     if doc_filter is not None:
         out = out.join(doc_filter, "doc_id", "semi")
@@ -2704,8 +2729,6 @@ def wildcard_topk(
     pushed In(term)/In(part_id) (_expansion_matched) — payload columns
     are only read for row groups containing matches.
     """
-    import re
-
     cfg = cfg or BuildConfig()
     if cfg.tokenizer == "chargram":
         raise ValueError(
@@ -2788,8 +2811,6 @@ def regexp_topk(
     match, bounded top-N-by-df rewrite (max_expansions), pushed
     In(term)/In(part_id) postings prune.
     """
-    import re
-
     cfg = cfg or BuildConfig()
     if cfg.tokenizer == "chargram":
         raise ValueError(
@@ -2809,6 +2830,18 @@ def regexp_topk(
             re.compile(pat)
         except re.error as e:
             raise ValueError(f"invalid regexp {q.text!r}: {e}") from e
+        # Python/RE2 treat a stray brace as a literal ('a{2' matches
+        # "a{2") where Java throws PatternSyntaxException at RLIKE
+        # time, and '{,n}' is a Java error but an RE2 literal — so the
+        # upfront-error and oracle-parity guarantees both require every
+        # brace to be part of a canonical {m} / {m,} / {m,n} quantifier
+        depat = re.sub(r"\{\d+(?:,\d*)?\}", "", pat)
+        if "{" in depat or "}" in depat:
+            raise ValueError(
+                "braces must form {m}, {m,} or {m,n} quantifiers "
+                "(stray braces are Java/RE2-divergent): "
+                f"{q.text!r}"
+            )
         rows.append((int(q.query_id), pat, f"^(?:{pat})$", int(q.k)))
     qpdf = pd.DataFrame(rows, columns=["query_id", "pat", "rx", "k"])
     if qpdf.empty:
@@ -2966,7 +2999,7 @@ def facet_counts(
     into a broadcast when the matched set is small. No task ever holds
     a whole posting list and nothing is collected."""
     cfg = cfg or BuildConfig()
-    qt = _query_terms_pdf(queries, cfg)
+    qt = _query_terms_pdf(queries, cfg, require_k=False)
     if qt.empty:
         from pyspark.sql import types as T
 
@@ -2979,12 +3012,16 @@ def facet_counts(
             T.StructField("n_docs", T.LongType()),
         ])
         return spark.createDataFrame([], schema)
-    qdf = spark.createDataFrame(qt)
+    qdf = spark.createDataFrame(
+        qt[["query_id", "term", "n_query_terms"]])
     terms = sorted(qt["term"].unique().tolist())
+    # narrow membership pass like hit_count/sorted_topk: select BEFORE
+    # the join so ReadSchema prunes to (term, doc_ids) — tf/dl/pos/
+    # block_max are never read for a facet count (and Catalyst cannot
+    # prune through mapInPandas)
     filtered = postings.where(F.col("term").isin(terms))
-    if "pos" in filtered.columns:
-        filtered = filtered.drop("pos")
-    matched = filtered.join(F.broadcast(qdf), "term")
+    matched = filtered.select("term", "doc_ids").join(
+        F.broadcast(qdf), "term")
 
     def doc_rows(it):
         for row, docs, _ in _iter_decoded_postings(it):

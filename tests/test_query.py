@@ -801,3 +801,97 @@ def test_synonym_topk_blended(built_index, spark):
     # OOV member changes nothing vs the bare term
     assert (oracle.synonym_topk(f"{t0}|{fx.OOV_TERM}", k)
             == oracle.synonym_topk(t0, k))
+
+
+def test_missing_and_nan_query_fields(built_index, spark):
+    """Round-6 review hardening: (a) facet_counts/hit_count work
+    without a k column as their docstrings promise; (b) bm25_topk
+    raises a clear error for a missing k instead of silently returning
+    nothing; (c) NaN/None query text is an empty query, not the
+    literal 'nan'/'None' term; (d) a NaN boolean clause is an absent
+    clause."""
+    import pytest as _pytest
+
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import boolean_topk, facet_counts, hit_count
+
+    res, cfg, oracle = (built_index["res"], built_index["cfg"],
+                        built_index["oracle"])
+    base = fx.queries_pdf(42).head(2).reset_index(drop=True)
+    no_k = base[["query_id", "text"]]
+    doc_map = load_doc_stats(spark, res.out_dir)
+    fc = facet_counts(spark, built_index["postings"], no_k, doc_map,
+                      "conv_id", cfg).toPandas()
+    assert len(fc) > 0
+    hc = hit_count(spark, built_index["postings"], no_k, cfg).toPandas()
+    assert len(hc) == 2
+    with _pytest.raises(ValueError, match="k column"):
+        bm25_topk(spark, built_index["postings"], no_k, res.N,
+                  res.avgdl, cfg)
+    # NaN/None text: no terms, no result rows — for both boost modes
+    qnan = pd.DataFrame({"query_id": np.array([0, 1], dtype=np.int32),
+                         "text": [None, np.nan],
+                         "k": np.array([5, 5], dtype=np.int32)})
+    for boosts in (False, True):
+        got = bm25_topk(spark, built_index["postings"], qnan, res.N,
+                        res.avgdl, cfg, boosts=boosts).toPandas()
+        assert len(got) == 0, f"boosts={boosts}"
+    # NaN boolean clause == no clause
+    toks = sorted(oracle.postings, key=oracle.df, reverse=True)[:2]
+    qb = pd.DataFrame({"query_id": np.array([0], dtype=np.int32),
+                       "must": [toks[0]], "should": [np.nan],
+                       "must_not": [None],
+                       "k": np.array([10], dtype=np.int32)})
+    got = boolean_topk(spark, built_index["postings"], qb, res.N,
+                       res.avgdl, cfg).toPandas()
+    want = oracle.topk(toks[0], 10)
+    assert list(got.sort_values("rank").doc_id) == [d for d, _ in want]
+
+
+def test_regexp_rejects_stray_braces(built_index, spark):
+    """Stray braces are Java/RE2-divergent ('a{2' is a Python/RE2
+    literal but a Java PatternSyntaxException at RLIKE time) — the
+    validator must raise upfront; canonical quantifiers still pass."""
+    import pytest as _pytest
+
+    from capsbm25.query import regexp_topk
+
+    cfg = built_index["cfg"]
+
+    def q(pat):
+        return pd.DataFrame({"query_id": np.array([0], dtype=np.int32),
+                             "text": [pat],
+                             "k": np.array([5], dtype=np.int32)})
+
+    for bad in ("a{2", "a{,2}", "a}b", "a{2}{"):
+        with _pytest.raises(ValueError, match="brace"):
+            regexp_topk(spark, built_index["postings"], q(bad), cfg)
+    got = regexp_topk(spark, built_index["postings"], q("w[0-9]{4}"),
+                      cfg, max_expansions=None).toPandas()
+    assert len(got) > 0
+
+
+def test_sorted_topk_missing_stats_sort_last(built_index, spark):
+    """A matching doc absent from doc_stats keeps a NULL sort_key and
+    sorts LAST (the NULL contract) instead of silently vanishing."""
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import sorted_topk
+
+    res, cfg, oracle = (built_index["res"], built_index["cfg"],
+                        built_index["oracle"])
+    term = sorted(oracle.postings, key=oracle.df, reverse=True)[0]
+    q = pd.DataFrame({"query_id": np.array([0], dtype=np.int32),
+                      "text": [term],
+                      "k": np.array([10 ** 6], dtype=np.int32)})
+    stats = load_doc_stats(spark, res.out_dir)
+    full = sorted_topk(spark, built_index["postings"], q, stats, "dl",
+                       cfg).toPandas()
+    assert len(full) > 2
+    drop_ids = set(full.doc_id.head(2))
+    part = stats.where(~F.col("doc_id").isin([int(d) for d in drop_ids]))
+    got = sorted_topk(spark, built_index["postings"], q, part, "dl",
+                      cfg).toPandas().sort_values("rank")
+    assert set(got.doc_id) == set(full.doc_id)  # nothing vanished
+    tail = got.tail(2)
+    assert set(tail.doc_id) == drop_ids  # NULL keys sort last
+    assert tail.sort_key.isna().all()
