@@ -68,10 +68,22 @@ def _stats_lock(out_dir: str):
 
 
 def _write_stats(out_dir: str, stats: dict) -> None:
+    # fsync BEFORE the rename and fsync the directory after: without
+    # them an OS crash can journal the rename ahead of the tmp file's
+    # data blocks, leaving a 0-byte stats.json that makes the whole
+    # index unloadable (the one file the durable-segment design cannot
+    # reconstruct)
     tmp = _stats_path(out_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(stats, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, _stats_path(out_dir))
+    dfd = os.open(out_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def load_stream_stats(out_dir: str) -> dict:
@@ -148,22 +160,30 @@ def process_batch(
         out_dir, "segments",
         f".ingesting-{os.getpid()}-{uuid.uuid4().hex[:8]}",
     )
-    docs.write.mode("overwrite").parquet(os.path.join(tmp_seg, "docs"))
-    docs = spark.read.parquet(os.path.join(tmp_seg, "docs"))
+    try:
+        docs.write.mode("overwrite").parquet(os.path.join(tmp_seg, "docs"))
+        docs = spark.read.parquet(os.path.join(tmp_seg, "docs"))
 
-    sample = extract_pairs(
-        docs.sample(fraction=min(1.0, 20000 / max(n_rows, 1)), seed=cfg.seed), cfg
-    )
-    plan = plan_from_sample(sample.select("term", "tf").toPandas(), cfg)
+        sample = extract_pairs(
+            docs.sample(fraction=min(1.0, 20000 / max(n_rows, 1)),
+                        seed=cfg.seed), cfg
+        )
+        plan = plan_from_sample(sample.select("term", "tf").toPandas(), cfg)
 
-    # block maxima inside a segment use segment-local stats; the query
-    # kernel recomputes bounds when merging segments (see query.py)
-    seg_dl = docs.agg(F.sum("dl").alias("s")).collect()[0]["s"] or 0
-    seg_avgdl = (seg_dl / n_rows) if n_rows else 0.0
-    postings = assemble_postings(
-        extract_runs(docs, cfg, plan=plan), plan, n_rows, seg_avgdl, cfg
-    )
-    postings.write.mode("overwrite").parquet(os.path.join(tmp_seg, "postings"))
+        # block maxima inside a segment use segment-local stats; the
+        # query kernel recomputes bounds when merging segments (query.py)
+        seg_dl = docs.agg(F.sum("dl").alias("s")).collect()[0]["s"] or 0
+        seg_avgdl = (seg_dl / n_rows) if n_rows else 0.0
+        postings = assemble_postings(
+            extract_runs(docs, cfg, plan=plan), plan, n_rows, seg_avgdl, cfg
+        )
+        postings.write.mode("overwrite").parquet(
+            os.path.join(tmp_seg, "postings"))
+    except BaseException:
+        # a failed build must not leak its private .ingesting-* dir —
+        # foreachBatch retries would accumulate one per failure
+        shutil.rmtree(tmp_seg, ignore_errors=True)
+        raise
 
     # COMMIT under the write lock: re-load stats so a compaction that
     # swapped the segment list mid-batch is merged with, not clobbered
@@ -276,6 +296,7 @@ def streaming_term_counts(
     input_path: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    cfg: BuildConfig | None = None,
 ) -> DataFrame:
     """Watermarked, windowed streaming aggregation: term arrival counts
     per event-time window over the live transcript stream — the
@@ -286,6 +307,11 @@ def streaming_term_counts(
 
     Late turns older than the watermark are dropped from state —
     bounded state at 10^12-turn ingest rates.
+
+    cfg: the index's BuildConfig, so the monitor's tokenization
+    matches the index it runs beside (a custom token_pattern or
+    chargram index would otherwise count terms that don't exist in
+    the index).
     """
     from capsbm25.fixtures import TRANSCRIPT_SCHEMA
     from capsbm25.tokenize import tokens_expr
@@ -293,7 +319,8 @@ def streaming_term_counts(
     stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_path)
     return (
         stream.withWatermark("ts", watermark)
-        .select(F.col("ts"), F.explode(tokens_expr(F.col("text"))).alias("term"))
+        .select(F.col("ts"),
+                F.explode(tokens_expr(F.col("text"), cfg)).alias("term"))
         .groupBy(F.window("ts", window).alias("w"), F.col("term"))
         .agg(F.count("*").alias("n"))
         .select(
@@ -304,12 +331,32 @@ def streaming_term_counts(
     )
 
 
-def load_segment_postings(spark: SparkSession, out_dir: str) -> DataFrame:
+def load_index_snapshot(
+    spark: SparkSession, out_dir: str,
+) -> tuple[DataFrame, DataFrame | None]:
+    """ONE consistent (postings, tombstones) view from a SINGLE stats
+    snapshot. Calling load_segment_postings and load_tombstones
+    separately can straddle a compaction: the postings resolve from
+    pre-compaction stats (old segment dirs stay on disk for async GC)
+    while the second call sees the post-compaction stats where the
+    tombstones are already applied — doc_exclude comes back None and
+    queries over the OLD postings resurrect deleted docs. Readers that
+    mask deletes at query time should take both frames from here."""
+    stats = load_stream_stats(out_dir)
+    return (load_segment_postings(spark, out_dir, stats=stats),
+            load_tombstones(spark, out_dir, stats=stats))
+
+
+def load_segment_postings(spark: SparkSession, out_dir: str,
+                          stats: dict | None = None) -> DataFrame:
     """All live segments' postings (multiple rows per term possible —
     the query kernels merge them; salted partials are merged here too
     since segments skip the hot-merge pass: the kernel handles any
-    number of partial rows per term)."""
-    stats = load_stream_stats(out_dir)
+    number of partial rows per term). When pairing with
+    load_tombstones for delete-masked queries, use load_index_snapshot
+    (or pass the same `stats` to both) — independent snapshots can
+    straddle a compaction."""
+    stats = stats if stats is not None else load_stream_stats(out_dir)
     paths = [
         os.path.join(out_dir, "segments", f"seg={s['id']}", "postings")
         for s in stats["segments"]
@@ -343,11 +390,14 @@ def _tombstone_files(out_dir: str, stats: dict | None = None) -> list[str]:
     )
 
 
-def load_tombstones(spark: SparkSession, out_dir: str) -> DataFrame | None:
+def load_tombstones(spark: SparkSession, out_dir: str,
+                    stats: dict | None = None) -> DataFrame | None:
     """Deleted docs as (doc_id, dl) rows, deduped; None if no deletes.
     Pass .select("doc_id") as bm25_topk(doc_exclude=...) to mask
-    deleted docs at query time before a compaction applies them."""
-    files = _tombstone_files(out_dir)
+    deleted docs at query time before a compaction applies them.
+    Pair with load_segment_postings via load_index_snapshot (or a
+    shared `stats`) — see its docstring for the straddle race."""
+    files = _tombstone_files(out_dir, stats=stats)
     if not files:
         return None
     return (
@@ -584,28 +634,41 @@ def _compact_full(spark, out_dir, cfg, stats, max_tombstone_collect) -> dict:
     tmp_seg_dir = os.path.join(
         out_dir, "segments", f".compacting-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     )
-    if not rebuild:
-        allp = load_segment_postings(spark, out_dir)
-        # merge_hot_partials merges ANY multi-row term (sort by doc,
-        # global block_max) — exactly the per-term stitch compaction
-        # needs; single-row terms pass through it too so every row gets
-        # global bounds
-        merged = merge_hot_partials(allp, N, avgdl, cfg, drop=drop_bc)
-        merged.write.mode("overwrite").parquet(
-            os.path.join(tmp_seg_dir, "postings"))
-        # doc metadata survives compaction (minus deleted docs) —
-        # without it, later delete-by-conversation calls could not
-        # resolve ids and snippet fetches could not map keys (Lucene
-        # rewrites stored fields on merge for the same reason)
-        live_docs = segment_docs(spark, out_dir)
+    try:
+        if not rebuild:
+            allp = load_segment_postings(spark, out_dir)
+            # merge_hot_partials merges ANY multi-row term (sort by doc,
+            # global block_max) — exactly the per-term stitch compaction
+            # needs; single-row terms pass through it too so every row
+            # gets global bounds
+            merged = merge_hot_partials(allp, N, avgdl, cfg, drop=drop_bc)
+            merged.write.mode("overwrite").parquet(
+                os.path.join(tmp_seg_dir, "postings"))
+            # doc metadata survives compaction (minus deleted docs) —
+            # without it, later delete-by-conversation calls could not
+            # resolve ids and snippet fetches could not map keys (Lucene
+            # rewrites stored fields on merge for the same reason)
+            live_docs = segment_docs(spark, out_dir)
+            if drop_bc is not None:
+                tomb = spark.read.parquet(
+                    *tomb_files_at_start).select("doc_id")
+                live_docs = live_docs.join(tomb, "doc_id", "anti")
+            live_docs.write.mode("overwrite").parquet(
+                os.path.join(tmp_seg_dir, "docs"))
+        else:
+            _rebuild_from_live_docs(
+                spark, out_dir, cfg, tomb_files_at_start, tmp_seg_dir,
+                N, avgdl)
+    except BaseException:
+        # a failed merge/rebuild must not leak its private temp dir —
+        # for full compaction it holds up to a whole copy of the index
+        shutil.rmtree(tmp_seg_dir, ignore_errors=True)
+        raise
+    finally:
         if drop_bc is not None:
-            tomb = spark.read.parquet(*tomb_files_at_start).select("doc_id")
-            live_docs = live_docs.join(tomb, "doc_id", "anti")
-        live_docs.write.mode("overwrite").parquet(
-            os.path.join(tmp_seg_dir, "docs"))
-    else:
-        _rebuild_from_live_docs(
-            spark, out_dir, cfg, tomb_files_at_start, tmp_seg_dir, N, avgdl)
+            # the writes above ran eagerly — free the executor copies
+            # now instead of waiting for GC + ContextCleaner
+            drop_bc.destroy()
 
     # staleness re-check + rename + swap ATOMICALLY under the write
     # lock: batch commits also serialize on it, so none can land between
@@ -752,14 +815,18 @@ def _compact_tiered(spark, out_dir, cfg, stats, merge_factor,
 
     tomb_all = None
     if tomb_files_at_start:
+        # cache: every merge group semi-joins against this frame and
+        # the remainder consolidation reads it once more — without the
+        # cache each of those re-reads and re-dedups EVERY pending file
         tomb_all = spark.read.parquet(*tomb_files_at_start).dropDuplicates(
-            ["doc_id"])
+            ["doc_id"]).cache()
         if len(tomb_all.limit(max_tombstone_collect + 1).toPandas()) \
                 > max_tombstone_collect:
             # a mass delete is pending: leave ALL tombstones to the
             # full policy's distributed rebuild (applying per-tier
             # subsets would still need a driver-sized remainder
             # consolidation below)
+            tomb_all.unpersist()
             tomb_all = None
 
     def _merge_group(g):
@@ -813,6 +880,10 @@ def _compact_tiered(spark, out_dir, cfg, stats, merge_factor,
             # hidden dirs are never referenced by stats)
             shutil.rmtree(tmp, ignore_errors=True)
             raise
+        finally:
+            if drop_bc is not None:
+                # both writes ran eagerly — free the executor copies
+                drop_bc.destroy()
         return ({
             "members": [s["id"] for s in g],
             "tmp": tmp,
@@ -852,23 +923,34 @@ def _compact_tiered(spark, out_dir, cfg, stats, merge_factor,
                     shutil.rmtree(m["tmp"], ignore_errors=True)
                 raise err
     merges = [r[0] for r in results]
-    applied_frames = [r[1] for r in results if r[1] is not None]
-    applied = (pd.concat(applied_frames, ignore_index=True)
-               if applied_frames else None)
     # the consolidated pending REMAINDER is computed BEFORE the lock —
     # it depends only on the start-snapshot tombstone files (validated
     # unchanged under the lock) and the applied set, and running Spark
     # jobs inside the critical section both stretches the lock hold and
-    # widens the crash window between the renames and the stats swap
-    rem = None
-    if applied is not None:
-        rem = (
-            spark.read.parquet(*tomb_files_at_start)
-            .dropDuplicates(["doc_id"])
-            .join(spark.createDataFrame(applied[["doc_id"]]),
-                  "doc_id", "anti")
-            .toPandas()
-        )
+    # widens the crash window between the renames and the stats swap.
+    # Any failure from here until commit must drop the finished groups'
+    # temp dirs (the 'no stray segments' invariant) — _auto_compact
+    # swallows and retries, so a persistent failure would otherwise
+    # accumulate tier-sized .tiering-* dirs indefinitely.
+    try:
+        applied_frames = [r[1] for r in results if r[1] is not None]
+        applied = (pd.concat(applied_frames, ignore_index=True)
+                   if applied_frames else None)
+        rem = None
+        if applied is not None:
+            rem = (
+                tomb_all
+                .join(spark.createDataFrame(applied[["doc_id"]]),
+                      "doc_id", "anti")
+                .toPandas()
+            )
+    except BaseException:
+        for m in merges:
+            shutil.rmtree(m["tmp"], ignore_errors=True)
+        raise
+    finally:
+        if tomb_all is not None:
+            tomb_all.unpersist()
 
     def _abort(reason: str) -> dict:
         for m in merges:
@@ -919,6 +1001,11 @@ def _compact_tiered(spark, out_dir, cfg, stats, merge_factor,
         n_applied = sum(m["deleted_applied"] for m in merges)
         dl_applied = sum(m["deleted_dl"] for m in merges)
         now["segments"] = new_segments
+        # pin the id allocator to the PRE-shrink N on legacy stats that
+        # predate next_doc_id (mirrors _compact_full): shrinking N with
+        # no allocator record would let the next batch reuse doc-id
+        # ranges that surviving docs still own
+        now["next_doc_id"] = now.get("next_doc_id", now["N"])
         now["N"] -= n_applied
         now["total_dl"] -= dl_applied
         now["tier_gen"] = gen

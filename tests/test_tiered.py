@@ -431,3 +431,116 @@ def test_tiered_multi_group_single_call(spark, tmp_path):
     assert len(stats["segments"]) == 2
     assert stats["N"] == len(pdf)
     _assert_rank_identical_by_key(spark, out, cfg, pdf)
+
+
+def test_tiered_delete_apply_backfills_next_doc_id(spark, tmp_path):
+    """Round-6 review: on legacy stats (pre-next_doc_id engine
+    versions) a delete-applying tiered compaction shrank N without
+    pinning the id allocator — the next batch would reuse doc-id
+    ranges surviving docs still own. The allocator must backfill from
+    the PRE-shrink N, mirroring _compact_full."""
+    out = str(tmp_path / "idx")
+    cfg = BuildConfig(num_part_ids=16, shuffle_partitions=4)
+    pdf = fx.gen_transcripts_pdf(80, 23)
+    chunks = _chunks(pdf, 4)
+    for i in range(3):
+        _ingest(spark, out, cfg, chunks[i], i)
+    # simulate a legacy stats.json with no allocator record
+    stats = sm.load_stream_stats(out)
+    stats.pop("next_doc_id")
+    sm._write_stats(out, stats)
+    n_pre = stats["N"]
+    victims = sorted(chunks[0]["conv_id"].unique())[:3]
+    assert sm.delete_docs(spark, out, victims)["deleted"] > 0
+    rc = sm.compact_segments(spark, out, cfg, policy="tiered",
+                             merge_factor=3)
+    assert rc["compacted"] and rc["deleted_applied"] > 0
+    now = sm.load_stream_stats(out)
+    assert now["N"] < n_pre
+    assert now["next_doc_id"] == n_pre  # pre-shrink pin
+    # a new batch allocates beyond the pin: ids stay globally unique
+    _ingest(spark, out, cfg, chunks[3], 3)
+    docs = sm.segment_docs(spark, out).toPandas()
+    assert docs["doc_id"].is_unique
+
+
+def test_failed_batch_and_postmerge_leave_no_stray_dirs(
+        spark, tmp_path, monkeypatch):
+    """Round-6 review: (a) a failed segment build must not leak its
+    .ingesting-* temp dir; (b) a tiered pass failing AFTER its groups
+    merged (the pre-commit consolidation jobs) must drop the finished
+    groups' .tiering-* dirs — auto_compact retries every batch, so a
+    persistent failure would accumulate them indefinitely."""
+    out = str(tmp_path / "idx")
+    cfg = BuildConfig(num_part_ids=16, shuffle_partitions=4)
+    pdf = fx.gen_transcripts_pdf(80, 29)
+    chunks = _chunks(pdf, 4)
+
+    def _hidden():
+        seg = os.path.join(out, "segments")
+        return [d for d in os.listdir(seg)] if os.path.isdir(seg) else []
+
+    # (a) batch build failure — patch streaming's module-level binding
+    orig_assemble = sm.assemble_postings
+
+    def boom_assemble(*a, **k):
+        raise RuntimeError("assemble boom")
+
+    monkeypatch.setattr(sm, "assemble_postings", boom_assemble)
+    with pytest.raises(RuntimeError, match="assemble boom"):
+        sm.process_batch(spark, spark.createDataFrame(chunks[0]), 0, out,
+                         cfg, auto_compact=False)
+    monkeypatch.setattr(sm, "assemble_postings", orig_assemble)
+    assert not [d for d in _hidden() if d.startswith(".ingesting")]
+    # retry succeeds
+    for i in range(3):
+        _ingest(spark, out, cfg, chunks[i], i)
+
+    # (b) post-merge consolidation failure: tombstones make the
+    # applied-frames concat run; failing it exercises the guard AFTER
+    # the groups finished their merges
+    victims = sorted(chunks[0]["conv_id"].unique())[:2]
+    assert sm.delete_docs(spark, out, victims)["deleted"] > 0
+    import pandas as real_pd
+
+    orig_concat = real_pd.concat
+
+    def boom_concat(*a, **k):
+        raise RuntimeError("concat boom")
+
+    monkeypatch.setattr(real_pd, "concat", boom_concat)
+    try:
+        with pytest.raises(RuntimeError, match="concat boom"):
+            sm.compact_segments(spark, out, cfg, policy="tiered",
+                                merge_factor=3)
+    finally:
+        monkeypatch.setattr(real_pd, "concat", orig_concat)
+    assert not [d for d in _hidden() if d.startswith(".tiering")]
+    # retry compacts cleanly
+    rc = sm.compact_segments(spark, out, cfg, policy="tiered",
+                             merge_factor=3)
+    assert rc["compacted"] and rc["deleted_applied"] > 0
+
+
+def test_load_index_snapshot_consistent_pair(spark, tmp_path):
+    """load_index_snapshot takes ONE stats snapshot for both frames:
+    before compaction it returns live postings + pending tombstones;
+    after the compaction applies them it returns the compacted
+    postings + None."""
+    out = str(tmp_path / "idx")
+    cfg = BuildConfig(num_part_ids=16, shuffle_partitions=4)
+    pdf = fx.gen_transcripts_pdf(60, 31)
+    chunks = _chunks(pdf, 3)
+    for i in range(3):
+        _ingest(spark, out, cfg, chunks[i], i)
+    victims = sorted(chunks[0]["conv_id"].unique())[:2]
+    n_del = sm.delete_docs(spark, out, victims)["deleted"]
+    assert n_del > 0
+    postings, tomb = sm.load_index_snapshot(spark, out)
+    assert tomb is not None and tomb.count() == n_del
+    assert postings.count() > 0
+    rf = sm.compact_segments(spark, out, cfg)  # full: applies all
+    assert rf["compacted"] and rf["deleted_applied"] == n_del
+    postings2, tomb2 = sm.load_index_snapshot(spark, out)
+    assert tomb2 is None
+    assert postings2.count() > 0
