@@ -83,6 +83,15 @@ def minhash_lsh_pairs(
     """LSH candidate pairs: docs sharing any band bucket
     (shingle -> minhash -> band -> bucket-join). Returns distinct
     (doc1, doc2) candidate pairs, doc1 < doc2."""
+    if not 1 <= bands <= n_hashes or n_hashes % bands:
+        # bands > n_hashes would make every band hash a CONSTANT
+        # (rows_per_band = 0): every doc shares every bucket and the
+        # join silently degenerates to all-pairs O(n^2); a non-divisor
+        # silently ignores the top n_hashes % bands signatures
+        raise ValueError(
+            f"bands must divide n_hashes with 1 <= bands <= n_hashes "
+            f"(got n_hashes={n_hashes}, bands={bands})"
+        )
     sig = minhash_signatures(docs, n_hashes, grams=grams)
     rows_per_band = n_hashes // bands
     # ALL band buckets in one select + explode — a per-band union would
@@ -123,10 +132,14 @@ def minhash_dedup_verified(
     cached grams, so the corpus text is scanned a single time instead
     of three (at 100 TB each avoided full-corpus scan is the dominant
     cost; plan-asserted in tests/test_dataops.py). MEMORY_AND_DISK so
-    an over-memory gram frame spills instead of evicting + recomputing;
-    the cache is released by Spark's ContextCleaner when the returned
-    plan is garbage-collected (there is no earlier safe point — the
-    joins below execute lazily)."""
+    an over-memory gram frame spills instead of evicting + recomputing.
+    NOTE the cache's lifetime: the cache manager holds the persisted
+    plan strongly, so it lives until session end (or
+    spark.catalog.clearCache()) — there is no earlier safe release
+    point inside this function because the returned joins execute
+    lazily against it. Callers running MANY dedup passes in one
+    session should clearCache() between passes (one pass pins one
+    tokenize->shingle frame of the corpus)."""
     from pyspark import StorageLevel
 
     g = _doc_grams(docs).persist(StorageLevel.MEMORY_AND_DISK)
@@ -192,23 +205,29 @@ def simhash_bits_kernel(docs: DataFrame, n_bits: int = 32) -> DataFrame:
     sign-sums contributions per doc with add.reduceat: zero shuffle,
     zero row blowup, bit-identical output (tested)."""
     import hashlib
-    import re as _re
 
     import numpy as np
     import pandas as pd
 
-    pattern = _re.compile(_CFG.token_pattern)
-    max_len = _CFG.max_token_len
+    from capsbm25.tokenize import make_series_tokenizer
+
+    if n_bits % 8 or not 8 <= n_bits <= 128:
+        # the byte-sliced digest unpack needs whole bytes within md5's
+        # 16; other widths would silently emit wrong-length
+        # fingerprints (or crash) — the expression form (simhash_bits)
+        # handles any n_bits <= 128
+        raise ValueError(
+            "simhash_bits_kernel needs n_bits in {8,16,...,128}; use "
+            f"simhash_bits for other widths (got {n_bits})"
+        )
+    # the shared Series tokenizer — NOT an inline regex copy — so the
+    # kernel cannot drift from tokens_expr / the build kernels
+    tokenize = make_series_tokenizer(_CFG)
     nb = n_bits
 
     def kernel(it):
         for pdf in it:
-            toks = pdf["text"].fillna("").str.lower().str.findall(pattern)
-            if max_len:
-                # keep parity with tokens_expr truncation in the
-                # expression form
-                toks = toks.map(lambda tl: [t[:max_len] for t in tl])
-            out_ids, out_hash = [], []
+            toks = tokenize(pdf["text"])
             doc_rows, gram_list = [], []
             for i, tl in enumerate(toks):
                 if len(tl) < 3:
@@ -417,13 +436,26 @@ def events_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     (cheap, boundary-rows-only) pass; AQE skew handling does not apply
     to window partitions."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # TIMESTAMP_NTZ has no direct long cast in Spark 4; go via timestamp.
-    # Any session-tz offset is constant and cancels in the difference.
-    secs = F.col("ts").cast("timestamp").cast("long")
-    gap = secs - F.lag(secs).over(w)
+    # the gap test is NATIVE NTZ INTERVAL arithmetic: ts - prev_ts is
+    # an exact day-time interval compared against the threshold
+    # interval. The previous cast-to-timestamp-to-long route applied
+    # the session timezone per-wall-time, so across a DST transition
+    # the offset changed by an hour mid-difference (phantom-hour gaps,
+    # session-tz-dependent output); timestampdiff/date_trunc coerce
+    # NTZ through the session tz the same way. Interval comparison is
+    # also full-precision — it matches the DuckDB oracle's fractional
+    # epoch() difference exactly, where any seconds truncation
+    # disagrees by one on sub-second boundaries.
     sess = (
-        events.withColumn("new_sess", (gap.isNull() | (gap > gap_minutes * 60)).cast("int"))
+        events.withColumn("_prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (F.col("_prev_ts").isNull()
+             | ((F.col("ts") - F.col("_prev_ts"))
+                > F.expr(f"INTERVAL {int(gap_minutes) * 60} SECONDS"))
+             ).cast("int"))
         .withColumn("session_id", F.sum("new_sess").over(w))
+        .drop("_prev_ts")
     )
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
@@ -512,7 +544,10 @@ def ann_lsh_buckets(
             ])
         return pd.Series(out)
 
-    return df.select(
+    # drop null embeddings BEFORE the kernel: one NULL in a batch makes
+    # np.asarray raise ('inhomogeneous shape') and aborts the whole
+    # job, where the expression-based cosine paths just null-propagate
+    return df.where(F.col(vec_col).isNotNull()).select(
         "vec_id", F.explode(buckets_of(F.col(vec_col))).alias("bucket")
     )
 
@@ -596,13 +631,21 @@ def ann_ivf_topk(
     """
     import numpy as np
 
-    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    # null embeddings would abort the Arrow kernels (np.asarray on a
+    # list containing None); drop them like the LSH path
+    v = emb.where(F.col("embedding").isNotNull()).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     sample_pdf = (
         v.select("v")
         .orderBy(F.xxhash64("vec_id", F.lit(seed)))
         .limit(train_sample)
         .toPandas()
     )
+    if sample_pdf.empty:
+        # empty input: no neighbours (the LSH sibling degrades the
+        # same way instead of crashing on a 0-row norm)
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id long, cos_r double")
     X = np.asarray(sample_pdf["v"].tolist(), dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -628,6 +671,10 @@ def ann_ivf_topk(
 
     cells = v.withColumn("cell", cell_of("v"))
     qv_pdf = v.where(F.col("vec_id") == query_vec_id).toPandas()
+    if qv_pdf.empty:
+        # unknown query id: empty result, like the LSH sibling
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id long, cos_r double")
     # Arrow-backed cells come back as read-only numpy views — copy
     q = np.array(qv_pdf["v"].iloc[0], dtype=np.float64, copy=True)
     q /= max(np.linalg.norm(q), 1e-12)

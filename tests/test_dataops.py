@@ -334,3 +334,80 @@ def test_minhash_dedup_verified_reuses_gram_scan(spark, tmp_path):
     # and the result itself stays correct (exact dups verified at 1.0)
     pairs = {(r.doc1, r.doc2): r.jac_r for r in out.collect()}
     assert all(v >= 0.5 for v in pairs.values()) and len(pairs) > 0
+
+
+def test_sessionize_independent_of_session_timezone(spark):
+    """Round-6 review: the old NTZ->timestamp->long gap route applied
+    the session timezone per-wall-time, so a session straddling a DST
+    spring-forward gained a phantom hour in its gap under a DST zone
+    (splitting sessions the UTC run kept together). Gaps now come from
+    timestampdiff over the naive values — session-tz-invariant."""
+    import datetime as dt
+
+    from capsbm25.dataops import events_sessionize
+
+    base = dt.datetime(2026, 3, 8, 1, 0)  # US spring-forward at 2:00
+    rows = [("u1", i, base + dt.timedelta(minutes=20 * i), "c", 1.0)
+            for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id int, ts timestamp_ntz, "
+              "event_type string, value double")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    out = {}
+    try:
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            out[tz] = (events_sessionize(df, gap_minutes=30).toPandas()
+                       .sort_values(["user_id", "session_id"])
+                       .reset_index(drop=True))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    pd.testing.assert_frame_equal(out["UTC"], out["America/New_York"])
+    # 20-min gaps, 30-min threshold: one session, never split by DST
+    assert len(out["UTC"]) == 1 and int(out["UTC"].n_events.iloc[0]) == 12
+
+
+def test_minhash_lsh_rejects_bad_bands(built_index, spark):
+    """bands > n_hashes used to silently degenerate to all-pairs
+    (constant band hashes); non-divisors silently dropped signatures."""
+    import pytest as _pytest
+
+    from capsbm25.dataops import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a b c d", "a b c e"]}))
+    for nh, b in ((8, 16), (8, 3), (8, 0)):
+        with _pytest.raises(ValueError, match="bands"):
+            minhash_lsh_pairs(docs, n_hashes=nh, bands=b)
+
+
+def test_ann_degenerate_inputs_empty_not_crash(spark):
+    """Unknown query ids and empty/null-bearing embedding frames
+    degrade to empty results on BOTH ANN paths (the IVF path used to
+    crash driver-side before any Spark job)."""
+    from capsbm25.dataops import ann_ivf_topk, ann_lsh_topk
+
+    emb = spark.createDataFrame(
+        pd.DataFrame({
+            "vec_id": pd.Series([0, 1, 2], dtype="int64"),
+            "embedding": [[1.0, 0.0], [0.9, 0.1], None],
+        }))
+    assert ann_ivf_topk(emb, query_vec_id=999).count() == 0
+    assert ann_lsh_topk(emb, query_vec_id=999).count() == 0
+    got = ann_ivf_topk(emb, query_vec_id=0, k=2, n_centroids=2,
+                       n_probe=2).toPandas()
+    assert list(got.vec_id) == [1]  # null row dropped, not crashed
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert ann_ivf_topk(empty).count() == 0
+
+
+def test_simhash_kernel_validates_n_bits(spark):
+    import pytest as _pytest
+
+    from capsbm25.dataops import simhash_bits_kernel
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["a b c d e"]}))
+    for bad in (12, 4, 256, 0):
+        with _pytest.raises(ValueError, match="n_bits"):
+            simhash_bits_kernel(docs, n_bits=bad)
