@@ -21,7 +21,7 @@ Stages (each records a manifest row; resume skips rows marked done):
   wave=K      range shuffle + sort + assemble for part_ids in wave K,
               written to <out>/postings/wave=K; independent, idempotent,
               individually checkpointed Spark jobs
-  hot_merge   salted-partial stitch -> <out>/postings/wave=hot
+  hot_merge   salted-partial stitch -> <out>/postings/wave=9999
 
 Every wave is verified by a read-back checksum (xxhash64 aggregate) —
 the spirit of the reference's is_sorted() validation hook
@@ -70,7 +70,24 @@ class Manifest:
         if not os.path.exists(self.path):
             return []
         with open(self.path) as f:
-            return [json.loads(line) for line in f if line.strip()]
+            lines = [ln for ln in f if ln.strip()]
+        out = []
+        for ln in lines:
+            try:
+                out.append(json.loads(ln))
+            except json.JSONDecodeError:
+                # a crash mid-append tears the then-final line; add()
+                # starts recovery appends on a fresh line, so a torn
+                # fragment can later sit MID-file. Skipping it (with a
+                # warning) keeps resume working after the exact failure
+                # it exists for — a torn row was never marked done, so
+                # its stage simply re-runs.
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "skipping torn manifest line in %s: %.60r",
+                    self.path, ln)
+        return out
 
     def done(self, stage: str) -> dict | None:
         for r in self.records():
@@ -86,19 +103,24 @@ class Manifest:
             "finished_ts": time.time(),
             **kw,
         }
+        # a crash-torn final line has no trailing newline; appending
+        # directly onto it would garble BOTH records (and the torn
+        # fragment would no longer be last, so records() would raise) —
+        # start on a fresh line whenever the file doesn't end with one
+        lead = ""
+        if os.path.exists(self.path):
+            with open(self.path, "rb") as f:
+                f.seek(0, os.SEEK_END)
+                if f.tell():
+                    f.seek(-1, os.SEEK_END)
+                    lead = "" if f.read(1) == b"\n" else "\n"
         with open(self.path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+            f.write(lead + json.dumps(rec) + "\n")
         return rec
 
-    def to_df(self, spark: SparkSession) -> DataFrame:
-        recs = self.records()
-        return spark.createDataFrame(
-            recs
-            or [{"stage": "", "status": "", "started_ts": 0.0, "finished_ts": 0.0}]
-        )
 
 
-def _checksum(df: DataFrame) -> int:
+def _checksum(df: DataFrame) -> tuple[int, int]:
     cols = [F.col(c) for c in ("term", "df", "cf")]
     row = df.agg(
         F.coalesce(F.bit_xor(F.xxhash64(*cols)), F.lit(0)).alias("h"),
@@ -293,6 +315,18 @@ def build_index(
             else:
                 write_table(merged, dst, partition_by=["part_id"])
 
+        # drop any stale wave=9999 from a CRASHED prior hot_merge
+        # attempt BEFORE building the read relation: the lazy merge
+        # would otherwise list those files, and write_hot's overwrite
+        # of the same subtree deletes them under the running scan
+        # (FileNotFoundException on every resume retry). This stage's
+        # output is derived purely from the wave!=9999 inputs, so a
+        # partial leftover is always safe to discard.
+        stale = os.path.join(postings_path, "wave=9999")
+        if os.path.isdir(stale):
+            import shutil
+
+            shutil.rmtree(stale)
         if not os.path.isdir(postings_path):
             write_hot(spark.createDataFrame([], POSTINGS_SCHEMA), True)
             h, n = _checksum(spark.read.parquet(dst))

@@ -91,6 +91,15 @@ def decode_varints(buf: bytes) -> np.ndarray:
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
     lengths = ends - starts + 1
+    if int(lengths.max()) > 10:
+        # a uint64 LEB128 value is at most 10 bytes; an 11+-byte varint
+        # is corruption, and the shift below would silently WRAP (numpy
+        # shifts mod 64) instead of raising — keep the fail-loudly
+        # contract the truncation check above establishes
+        raise ValueError(
+            f"varint longer than 10 bytes ({int(lengths.max())}) — "
+            "corrupt posting payload"
+        )
     vals = np.zeros(ends.size, dtype=np.uint64)
     for j in range(int(lengths.max())):
         sel = lengths > j

@@ -471,6 +471,18 @@ def _posting_rows(flushes, N, avgdl, cfg, hot_terms):
              else np.zeros(0, dtype=np.int64))
             for f in flushes
         ]
+        # the delta chain below assumes ONE position per (doc, occurrence)
+        # pair across ALL flushes (pair_starts indexes the concatenated
+        # P by cumsum of tfs) — a pairs-bearing flush WITHOUT positions
+        # would misalign every later flush's payload or overrun P, so
+        # mixed input fails loudly instead of silently corrupting
+        for f, p in zip(flushes, p_l):
+            if p.size != int(f[2].sum()):
+                raise ValueError(
+                    f"flush for term {f[0]!r} has {p.size} positions for "
+                    f"{int(f[2].sum())} occurrences — positional and "
+                    "non-positional flushes cannot mix in one batch"
+                )
         P = np.concatenate(p_l)
         if P.size:
             pair_starts = np.concatenate(([0], np.cumsum(T)[:-1]))
@@ -499,18 +511,6 @@ def _posting_rows(flushes, N, avgdl, cfg, hot_terms):
         for i in range(n)
     ]
     return pd.DataFrame(out, columns=POSTINGS_COLS)
-
-
-def _block_max(scores: np.ndarray, docs: np.ndarray, block_size: int):
-    f32 = upper_f32(scores)
-    n = docs.size
-    blocks = []
-    for lo in range(0, n, block_size):
-        hi = min(lo + block_size, n)
-        blocks.append(
-            {"upper": float(f32[lo:hi].max()), "last_doc": int(docs[hi - 1])}
-        )
-    return blocks
 
 
 def assemble_postings(

@@ -65,3 +65,18 @@ def test_sorted_member_mask_matches_isin(ids, vals):
     got = sorted_member_mask(s, v)
     assert got.dtype == bool and got.shape == v.shape
     assert (got == np.isin(v, s)).all()
+
+
+def test_decode_varints_rejects_overlong_varint():
+    """Round-6 review: an 11+-byte varint is corruption; the uint64
+    shift would silently WRAP (numpy shifts mod 64) — it must raise
+    like the truncation path does."""
+    import pytest
+
+    from capsbm25.codec import decode_varints
+
+    with pytest.raises(ValueError, match="10 bytes"):
+        decode_varints(bytes([0x81] * 11 + [0x01]))
+    # 10 bytes is the legal uint64 maximum and still decodes
+    assert decode_varints(
+        bytes([0xFF] * 9 + [0x01])).tolist() == [2 ** 63 + (2 ** 63 - 1)]
