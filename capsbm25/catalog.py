@@ -25,19 +25,31 @@ from pyspark.sql import DataFrame, SparkSession
 _WRITER_CONF_LOCK = threading.Lock()
 
 
-def iceberg_catalogs(spark: SparkSession) -> list[str]:
-    """Names of configured Iceberg catalogs (empty in this sandbox)."""
-    out = []
-    for k, v in spark.sparkContext.getConf().getAll():
-        if k.startswith("spark.sql.catalog.") and k.count(".") == 3:
-            if "iceberg" in str(v).lower():
-                out.append(k.rsplit(".", 1)[1])
-    return out
-
-
 def is_table_ident(dest: str) -> bool:
     """Heuristic: catalog table ident vs filesystem path."""
     return "/" not in dest and not dest.endswith(".parquet") and "." in dest
+
+
+def catalog_configured(spark: SparkSession, dest: str) -> bool:
+    """True when dest's catalog is actually configured on the session
+    (RUNTIME conf, so catalogs registered via spark.conf.set count).
+    The module docstring's gate is 'a catalog is configured AND dest
+    looks like a table name' — the shape heuristic alone would route a
+    legal relative dir name with a dot ('bench.idx') into writeTo
+    against the default catalog, landing data under spark-warehouse/
+    instead of the intended path. 'cat.db.t' checks
+    spark.sql.catalog.<cat>; 'db.t' checks a REPLACED session catalog
+    (spark.sql.catalog.spark_catalog, e.g. Iceberg's
+    SparkSessionCatalog) — the built-in default doesn't count."""
+    head = dest.split(".", 1)[0] if dest.count(".") >= 2 else "spark_catalog"
+    try:
+        return spark.conf.get(f"spark.sql.catalog.{head}", None) is not None
+    except Exception:
+        return False
+
+
+def _routes_to_catalog(spark: SparkSession, dest: str) -> bool:
+    return is_table_ident(dest) and catalog_configured(spark, dest)
 
 
 def write_table(
@@ -46,7 +58,7 @@ def write_table(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
 ) -> None:
-    if is_table_ident(dest):
+    if _routes_to_catalog(df.sparkSession, dest):
         w = df.writeTo(dest)
         if partition_by:
             from pyspark.sql import functions as F
@@ -74,30 +86,34 @@ def write_table(
         # observe another thread's transient set(64), whose finally
         # then restores the conf to 0/unset before THIS write plans —
         # silently reintroducing the per-task partition sort (round-5
-        # advice). Holding the lock for the already-tuned case costs
-        # nothing (configure_session-tuned sessions never contend).
+        # advice). Every transient setter holds the lock across its
+        # whole write, so cur >= 64 observed UNDER the lock proves the
+        # value is durable (configure_session) — and a durable-tuned
+        # write then runs OUTSIDE the lock, so concurrent writes of a
+        # tuned session don't serialize on each other's full job walls.
         with _WRITER_CONF_LOCK:
             try:
                 cur = int(spark.conf.get(key, "0"))
             except (TypeError, ValueError):
                 cur = 0
-            if cur >= 64:
-                df.write.mode(mode).partitionBy(*partition_by).parquet(dest)
+            if cur < 64:
+                prev = spark.conf.get(key, None)
+                spark.conf.set(key, "64")
+                try:
+                    df.write.mode(mode).partitionBy(*partition_by).parquet(
+                        dest)
+                finally:
+                    if prev is None:
+                        spark.conf.unset(key)
+                    else:
+                        spark.conf.set(key, prev)
                 return
-            prev = spark.conf.get(key, None)
-            spark.conf.set(key, "64")
-            try:
-                df.write.mode(mode).partitionBy(*partition_by).parquet(dest)
-            finally:
-                if prev is None:
-                    spark.conf.unset(key)
-                else:
-                    spark.conf.set(key, prev)
+        df.write.mode(mode).partitionBy(*partition_by).parquet(dest)
         return
     df.write.mode(mode).parquet(dest)
 
 
 def read_table(spark: SparkSession, src: str) -> DataFrame:
-    if is_table_ident(src):
+    if _routes_to_catalog(spark, src):
         return spark.read.table(src)
     return spark.read.parquet(src)

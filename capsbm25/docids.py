@@ -164,6 +164,17 @@ def compute_id_plan(df: DataFrame, cfg: BuildConfig) -> IdPlan:
     n_rows = int(obs.get["n"])
     if n_rows == 0:
         return IdPlan(np.array([], dtype=object), {}, 0)
+    # \x01-separator precondition (see _SEP): a conv_id containing a
+    # codepoint BELOW \x01 (i.e. NUL) would make flattened-key order
+    # disagree with (conv_id, turn_idx) tuple order, silently breaking
+    # dense-rank ids. Spark strings can legally carry NUL — validate on
+    # the driver sample (cheap, catches real corpora; the same ids go
+    # through Spark-side tuple sorts that would then diverge).
+    if sample["conv_id"].astype(str).str.contains("\x00").any():
+        raise ValueError(
+            "conv_id contains a NUL codepoint — unsupported (the doc-id "
+            "key separator must sort below every conv_id character)"
+        )
     keys = np.sort(_key(sample["conv_id"], sample["turn_idx"]))
     n_eff = min(n_parts, max(1, keys.size))
     cuts = [keys[int(len(keys) * (i + 1) / n_eff) - 1] for i in range(n_eff - 1)]

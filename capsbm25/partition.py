@@ -118,7 +118,11 @@ def plan_from_sample(sample: pd.DataFrame, cfg: BuildConfig) -> PartitionPlan:
     for term, share in hot_candidates.items():
         nb = int(min(cfg.max_salt_buckets, max(2, math.ceil(share * cfg.num_part_ids))))
         if budget - nb < 0:
-            break
+            # this candidate doesn't fit the remaining budget — but a
+            # LATER, smaller candidate (still above thr: it MUST be
+            # salted, per the floor rationale above) might, so keep
+            # scanning instead of forfeiting salting for the tail
+            continue
         hot[term] = nb
         budget -= nb
 

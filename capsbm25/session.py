@@ -40,15 +40,27 @@ from pyspark.sql import SparkSession
 _LOCAL_SCHEMES = ("", "file")
 
 
-def _is_local_path(dest: str) -> bool:
-    """True when dest is a local-filesystem path (no scheme / file://).
-    Any scheme-less dest counts — a bare relative dir name ("myindex")
-    is just as local as "./myindex" (round-5 advice: the old "/"-or-
-    dot sniff silently skipped the engine confs for legal local
-    destinations)."""
+def _is_local_path(dest: str, spark: SparkSession | None = None) -> bool:
+    """True when dest resolves to a local filesystem. An explicit
+    scheme decides directly; a SCHEME-LESS dest (including a bare
+    relative name like "myindex" — round-5 advice) resolves against
+    Hadoop's fs.defaultFS when a session is given: on a cluster whose
+    default filesystem is HDFS/object store, a scheme-less path is
+    genuinely REMOTE and the local-only listing tuning must not apply
+    (distributed listing wins there — see the module docstring).
+    Without a session, scheme-less defaults to local (pure-string
+    callers, tests)."""
     if "://" in dest:
         return dest.split("://", 1)[0] in _LOCAL_SCHEMES
-    return True
+    if spark is None:
+        return True
+    try:
+        fs = spark._jsc.hadoopConfiguration().get("fs.defaultFS") or ""
+    except Exception:
+        return True
+    if "://" not in fs:
+        return True  # scheme-less defaultFS -> local fs
+    return fs.split("://", 1)[0] in _LOCAL_SCHEMES
 
 
 _LISTING_LOCK = threading.RLock()
@@ -66,7 +78,7 @@ def scoped_listing_threshold(spark: SparkSession, dest: str):
     on sessions already tuned (configure_session). Serialized under a
     lock so two engine threads can't interleave set/restore; an RLock
     so a session-tuned outer frame can nest."""
-    if not _is_local_path(dest):
+    if not _is_local_path(dest, spark):
         yield
         return
     with _LISTING_LOCK:
@@ -92,21 +104,31 @@ def scoped_listing_threshold(spark: SparkSession, dest: str):
 def configure_session(spark: SparkSession, dest: str | None = None) -> None:
     """Apply the engine's session confs. ``dest`` (an index path) gates
     the local-filesystem-only tunings; pass None to apply them
-    unconditionally (tests, local tools)."""
-    if dest is not None and not _is_local_path(dest):
+    unconditionally (tests, local tools).
+
+    Each read-check-set runs under the SAME lock its scoped
+    set/restore counterpart holds (scoped_listing_threshold /
+    catalog.write_table): an unlocked read could observe another
+    thread's transient value, conclude the session is already tuned,
+    and then have that thread's finally revert the conf — leaving the
+    session permanently untuned (the round-5 race class)."""
+    if dest is not None and not _is_local_path(dest, spark):
         return
     conf = spark.conf
-    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-    try:
-        cur = int(conf.get(key, "32"))
-    except (TypeError, ValueError):
-        cur = 32
-    if cur < 8192:
-        conf.set(key, "8192")
+    with _LISTING_LOCK:
+        try:
+            cur = int(conf.get(_LISTING_KEY, "32"))
+        except (TypeError, ValueError):
+            cur = 32
+        if cur < 8192:
+            conf.set(_LISTING_KEY, "8192")
+    from capsbm25.catalog import _WRITER_CONF_LOCK
+
     wkey = "spark.sql.maxConcurrentOutputFileWriters"
-    try:
-        wcur = int(conf.get(wkey, "0"))
-    except (TypeError, ValueError):
-        wcur = 0
-    if wcur < 64:
-        conf.set(wkey, "64")
+    with _WRITER_CONF_LOCK:
+        try:
+            wcur = int(conf.get(wkey, "0"))
+        except (TypeError, ValueError):
+            wcur = 0
+        if wcur < 64:
+            conf.set(wkey, "64")

@@ -55,6 +55,15 @@ def kwic_snippets(
         int(q.query_id): sorted(set(tokenize_py(q.text, cfg)))
         for q in queries.itertuples(index=False)
     }
+    unknown = sorted(set(hits["query_id"].astype(int)) - set(qterms))
+    if unknown:
+        # silently dropping these rows would be indistinguishable from
+        # the documented "doc contains none of the query terms" skip —
+        # a stale/filtered queries frame must surface as an error
+        raise ValueError(
+            f"hits reference query_id(s) {unknown[:5]} absent from the "
+            "queries frame"
+        )
     doc_ids = sorted(hits["doc_id"].unique().tolist())
 
     # pushed isin filters: doc_map prunes to the k result rows, corpus

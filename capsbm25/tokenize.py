@@ -29,6 +29,38 @@ from capsbm25.config import BuildConfig
 
 DEFAULT_PATTERN = "[a-z0-9]+"
 
+# token_pattern executes under THREE regex engines — Java (tokens_expr
+# via regexp_extract_all), Python re (the build kernels and every
+# query-side tokenize_py), and DuckDB RE2 (the oracle) — so only a
+# conservative common dialect keeps the "cannot drift" contract: plain
+# ASCII literals, character classes with ranges, +*?| quantifiers. No
+# backslash escapes (\\w is Unicode in Python, ASCII in Java), no
+# groups (findall returns group CONTENTS where regexp_extract_all
+# returns full matches), no negated classes (byte-vs-codepoint
+# boundary differences), no dot.
+_PATTERN_SAFE = re.compile(r"^[a-z0-9\[\]\-+*?|]+$")
+_checked_patterns: set[str] = set()
+
+
+def _validate_token_pattern(pattern: str) -> None:
+    if pattern in _checked_patterns:
+        return
+    if not _PATTERN_SAFE.match(pattern):
+        raise ValueError(
+            "token_pattern must stay within the Java/Python/RE2 common "
+            "dialect [a-z0-9[]-+*?|] — backslash escapes, groups, "
+            f"negation and '.' evaluate differently per engine: "
+            f"{pattern!r}"
+        )
+    re.compile(pattern)  # malformed patterns fail here, loudly
+    _checked_patterns.add(pattern)
+
+
+def _checked(cfg: BuildConfig) -> str:
+    """cfg.token_pattern, validated once per distinct pattern."""
+    _validate_token_pattern(cfg.token_pattern)
+    return cfg.token_pattern
+
 
 def _chargrams_expr(text: Column, n: int) -> Column:
     """All overlapping n-char windows of lower(text) as a native
@@ -51,7 +83,7 @@ def tokens_expr(text: Column, cfg: BuildConfig | None = None) -> Column:
     if cfg.tokenizer == "chargram":
         return _chargrams_expr(text, cfg.chargram_n)
     toks = F.regexp_extract_all(
-        F.lower(F.coalesce(text, F.lit(""))), F.lit(cfg.token_pattern), 0
+        F.lower(F.coalesce(text, F.lit(""))), F.lit(_checked(cfg)), 0
     )
     if cfg.max_token_len:
         toks = F.transform(toks, lambda t: F.substring(t, 1, cfg.max_token_len))
@@ -73,7 +105,7 @@ def make_series_tokenizer(cfg: BuildConfig | None = None):
             )
 
         return tok
-    pattern = re.compile(cfg.token_pattern)
+    pattern = re.compile(_checked(cfg))
     max_len = cfg.max_token_len
 
     def tok(texts: pd.Series) -> pd.Series:
@@ -112,7 +144,7 @@ def tokenize_py(text: str, cfg: BuildConfig | None = None) -> list[str]:
     if cfg.tokenizer == "chargram":
         n = cfg.chargram_n
         return [s[i:i + n] for i in range(len(s) - n + 1)]
-    toks = re.findall(cfg.token_pattern, s)
+    toks = re.findall(_checked(cfg), s)
     if cfg.max_token_len:
         toks = [t[: cfg.max_token_len] for t in toks]
     return toks
@@ -125,9 +157,12 @@ def duckdb_tokens_sql(text_expr: str, cfg: BuildConfig | None = None) -> str:
         # substring oracles count occurrences directly (DuckDB's RE2 has
         # no lookahead); no entry tokenizes via SQL in chargram mode
         raise ValueError("no DuckDB tokenizer for chargram mode")
+    # escape single quotes for the SQL string literal (a pattern like
+    # "[a-z']+" would otherwise terminate the literal early)
+    pat_sql = _checked(cfg).replace("'", "''")
     base = (
         f"regexp_extract_all(lower(coalesce({text_expr}, '')), "
-        f"'{cfg.token_pattern}')"
+        f"'{pat_sql}')"
     )
     if cfg.max_token_len:
         base = f"list_transform({base}, t -> t[1:{cfg.max_token_len}])"

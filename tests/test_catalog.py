@@ -25,8 +25,11 @@ def test_is_table_ident(dest, is_table):
     assert catalog.is_table_ident(dest) is is_table
 
 
-def test_iceberg_catalogs_empty_in_sandbox(spark):
-    assert catalog.iceberg_catalogs(spark) == []
+def test_catalog_gate_in_sandbox(spark):
+    # no catalog configured: dotted names are PATHS, not tables —
+    # write_table("bench.idx") must not land under spark-warehouse/
+    assert not catalog.catalog_configured(spark, "cat.db.t")
+    assert not catalog.catalog_configured(spark, "db.t")
 
 
 class _SpyWriter:
@@ -51,12 +54,52 @@ def test_write_table_dispatches_writeTo_for_idents(spark, monkeypatch):
         type(df), "writeTo",
         lambda self, dest: log.append(("writeTo", dest)) or _SpyWriter(log),
     )
-    catalog.write_table(df, "cat.db.postings", partition_by=["wave"])
-    assert log == [("writeTo", "cat.db.postings"), ("partitionedBy", 1),
-                   ("createOrReplace",)]
-    log.clear()
-    catalog.write_table(df, "db.t", mode="append")
-    assert log == [("writeTo", "db.t"), ("append",)]
+    # the round-6 gate: writeTo only fires for CONFIGURED catalogs
+    spark.conf.set("spark.sql.catalog.cat",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.spark_catalog",
+                   "org.apache.iceberg.spark.SparkSessionCatalog")
+    try:
+        catalog.write_table(df, "cat.db.postings", partition_by=["wave"])
+        assert log == [("writeTo", "cat.db.postings"),
+                       ("partitionedBy", 1), ("createOrReplace",)]
+        log.clear()
+        catalog.write_table(df, "db.t", mode="append")
+        assert log == [("writeTo", "db.t"), ("append",)]
+    finally:
+        spark.conf.unset("spark.sql.catalog.cat")
+        spark.conf.unset("spark.sql.catalog.spark_catalog")
+
+
+def test_unconfigured_dotted_name_routes_to_path(spark, monkeypatch):
+    """A dotted name with NO configured catalog is a filesystem path
+    (round-6 review: 'bench.idx' used to go to writeTo against the
+    default catalog and land under spark-warehouse/). Routing is
+    asserted with spies — the JVM resolves relative paths against its
+    own cwd, so no real write happens here."""
+    df = spark.createDataFrame(pd.DataFrame({"a": [1, 2]}))
+    called = []
+    monkeypatch.setattr(
+        type(df), "writeTo",
+        lambda self, dest: called.append(dest) or _SpyWriter(called))
+
+    class _PathSpyWriter:
+        def mode(self, m):
+            return self
+
+        def parquet(self, dest):
+            called.append(("parquet", dest))
+
+    monkeypatch.setattr(
+        type(df), "write", property(lambda self: _PathSpyWriter()))
+    catalog.write_table(df, "bench.idx")
+    assert called == [("parquet", "bench.idx")]  # path branch, no writeTo
+    seen = {}
+    monkeypatch.setattr(
+        type(spark.read), "parquet",
+        lambda self, *p: (seen.setdefault("p", p), "PATH_DF")[1])
+    assert catalog.read_table(spark, "bench.idx") == "PATH_DF"
+    assert seen["p"] == ("bench.idx",)
 
 
 def test_read_table_dispatches_for_idents(spark, monkeypatch):
@@ -65,8 +108,13 @@ def test_read_table_dispatches_for_idents(spark, monkeypatch):
         type(spark.read), "table",
         lambda self, name: (seen.setdefault("name", name), "TABLE_DF")[1],
     )
-    assert catalog.read_table(spark, "db.postings") == "TABLE_DF"
-    assert seen["name"] == "db.postings"
+    spark.conf.set("spark.sql.catalog.spark_catalog",
+                   "org.apache.iceberg.spark.SparkSessionCatalog")
+    try:
+        assert catalog.read_table(spark, "db.postings") == "TABLE_DF"
+        assert seen["name"] == "db.postings"
+    finally:
+        spark.conf.unset("spark.sql.catalog.spark_catalog")
 
 
 def test_parquet_roundtrip_path_branch(spark, tmp_path):

@@ -92,3 +92,42 @@ def test_load_postings_leaves_session_conf(built_index, spark):
             spark.conf.unset(LIST_KEY)
         else:
             spark.conf.set(LIST_KEY, prev)
+
+
+def test_token_pattern_dialect_validation():
+    """Round-6 review: token_pattern runs under Java, Python AND RE2 —
+    patterns outside the common dialect (backslash classes, groups)
+    silently tokenize differently per engine and must raise."""
+    import pytest
+
+    from capsbm25.config import BuildConfig
+    from capsbm25.tokenize import tokenize_py
+
+    assert tokenize_py("a-b c", BuildConfig()) == ["a", "b", "c"]
+    for bad in (r"\w+", "(a|b)+", "[^a-z]+", "[a-z.]+"):
+        with pytest.raises(ValueError, match="common dialect"):
+            tokenize_py("x", BuildConfig(token_pattern=bad))
+
+
+def test_hot_salting_budget_skips_not_breaks():
+    """Round-6 review: when one hot candidate exceeds the remaining
+    salt budget, LATER smaller candidates that still fit must be
+    salted (break forfeited them, recreating the quantile-repeat skew
+    the salting exists to prevent)."""
+    import pandas as pd
+
+    from capsbm25.config import BuildConfig
+    from capsbm25.partition import plan_from_sample
+
+    cfg = BuildConfig(num_part_ids=12, max_salt_buckets=8,
+                      hot_share_threshold=0.13, shuffle_partitions=4)
+    rows = [("aa", 30), ("bb", 20), ("cc", 15)] + [
+        (f"t{i}", 5) for i in range(7)]
+    sample = pd.DataFrame(
+        {"term": [t for t, _ in rows], "tf": [n for _, n in rows]})
+    plan = plan_from_sample(sample, cfg)
+    # budget 6: aa takes 4, bb (nb=3) does not fit, cc (nb=2) DOES
+    hot = {t: nb for t, (_, nb) in plan.hot_terms.items()}
+    assert hot.get("aa") == 4
+    assert "bb" not in hot
+    assert hot.get("cc") == 2

@@ -96,3 +96,23 @@ def test_kwic_empty_results(built_index, spark):
         spark, corpus, _doc_map(built_index, spark), results, queries, cfg
     ).toPandas()
     assert len(got) == 0
+
+
+def test_kwic_rejects_unknown_query_ids(built_index, spark):
+    """Round-6 review: result rows whose query_id is missing from the
+    queries frame used to be dropped silently — indistinguishable from
+    the documented no-term-match skip."""
+    import pytest
+
+    from capsbm25.build import load_doc_stats
+
+    res, cfg = built_index["res"], built_index["cfg"]
+    q = fx.queries_pdf(42).head(1)
+    hits = bm25_topk(spark, built_index["postings"], q, res.N,
+                     res.avgdl, cfg)
+    stale = q.assign(query_id=q["query_id"] + 1000)
+    with pytest.raises(ValueError, match="absent from the queries"):
+        kwic_snippets(
+            spark, spark.createDataFrame(built_index["pdf"]),
+            load_doc_stats(spark, res.out_dir), hits, stale, cfg,
+        ).count()
