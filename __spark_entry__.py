@@ -34,6 +34,12 @@ CFG = BuildConfig(num_part_ids=64, shuffle_partitions=8, num_waves=2,
                   hot_share_threshold=0.01, max_salt_buckets=8)
 BM25_QUERY_TERMS = ("hash", "join", "merge")
 BM25_K = 15
+NGRAM_BAND_W = 45      # ngram_jaccard same-source band width
+WINNOW_K = 8           # winnowing char-gram length
+WINNOW_W = 5           # winnowing window (hashes per min-window)
+MINHASH_HASHES = 8
+MINHASH_BANDS = 4
+SESSION_GAP_MIN = 30   # sessionize inactivity gap
 _K1, _B = CFG.k1, CFG.b
 _TOK = "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')"
 
@@ -48,7 +54,7 @@ def _as_transcripts(docs: DataFrame) -> DataFrame:
     ordered by (source, doc_id)."""
     return docs.select(
         F.col("source").alias("conv_id"),
-        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.col("doc_id").cast("long").alias("turn_idx"),
         F.lit("user").alias("role"),
         F.col("text"),
         F.lit("none").alias("tool"),
@@ -869,8 +875,12 @@ def q_bm25_topk_dataframe(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.sum("contrib").alias("score"))
     )
+    # ties break by the ENGINE's dense order (source, doc_id) — a
+    # doc_id-only tie-break silently diverges from the index path (and
+    # the shared oracle) whenever a score tie straddles the k boundary
     return (
-        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        scored.join(d.select("doc_id", "source"), "doc_id")
+        .orderBy(F.desc("score"), F.asc("source"), F.asc("doc_id"))
         .limit(BM25_K)
         .select("doc_id", F.round("score", 6).alias("score_r"))
     )
@@ -896,7 +906,7 @@ def q_ngram_jaccard(spark, sf_dir):
     # id side explodes into its two candidate bands; the larger-id side
     # sits in exactly one, so each qualifying pair matches exactly once
     # and the join key cardinality grows with the corpus.
-    W = 45
+    W = NGRAM_BAND_W
     bkt = (F.col("doc_id") / W).cast("long")
     a = g.withColumn(
         "band", F.explode(F.array(bkt, bkt + 1))
@@ -1330,7 +1340,9 @@ def q_ann_lsh_topk(spark, sf_dir):
 def q_minhash_lsh(spark, sf_dir):
     from capsbm25.dataops import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_documents(spark, sf_dir), n_hashes=8, bands=4)
+    return minhash_lsh_pairs(_documents(spark, sf_dir),
+                             n_hashes=MINHASH_HASHES,
+                             bands=MINHASH_BANDS)
 
 
 def q_minhash_dedup(spark, sf_dir):
@@ -1376,7 +1388,8 @@ def q_winnow_fingerprint(spark, sf_dir):
     """Winnowing (rolling-hash) document fingerprints — MOSS scheme."""
     from capsbm25.dataops import winnow_fingerprints
 
-    return winnow_fingerprints(_documents(spark, sf_dir), k=8, w=5)
+    return winnow_fingerprints(_documents(spark, sf_dir),
+                               k=WINNOW_K, w=WINNOW_W)
 
 
 def q_langid(spark, sf_dir):
@@ -1389,7 +1402,7 @@ def q_events_sessionize(spark, sf_dir):
     from capsbm25.dataops import events_sessionize
 
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return events_sessionize(ev, gap_minutes=30)
+    return events_sessionize(ev, gap_minutes=SESSION_GAP_MIN)
 
 
 def q_events_hourly(spark, sf_dir):
@@ -1536,11 +1549,13 @@ _GRAMS_SQL = f"""
 
 _MINHASH_COLS = ",\n".join(
     f"    list_min(list_transform(grams, x -> md5('{i}|' || x))) AS mh{i}"
-    for i in range(8)
+    for i in range(MINHASH_HASHES)
 )
+_RPB = MINHASH_HASHES // MINHASH_BANDS
 _BUCKET_SELECTS = "\n  UNION ALL\n".join(
-    f"  SELECT doc_id, md5('{b}|' || mh{2*b} || '|' || mh{2*b+1}) AS bucket FROM sig"
-    for b in range(4)
+    "  SELECT doc_id, md5('%d|' || %s) AS bucket FROM sig"
+    % (b, " || '|' || ".join(f"mh{b * _RPB + i}" for i in range(_RPB)))
+    for b in range(MINHASH_BANDS)
 )
 
 _MINHASH_SQL = f"""
@@ -1577,8 +1592,13 @@ SELECT doc_id,
 FROM agg GROUP BY doc_id
 """
 
+from capsbm25.dataops import EN_STOPWORDS as _EN_STOPWORDS  # noqa: E402
+
+# plain ASCII words (no quotes to escape — asserted so the SQL literal
+# can never be silently broken by a future stoplist edit)
+assert all(w.isalpha() and w.isascii() for w in _EN_STOPWORDS)
 _STOPLIST_SQL = "['" + "','".join(
-    w for w in __import__("capsbm25.dataops", fromlist=["EN_STOPWORDS"]).EN_STOPWORDS
+    w for w in _EN_STOPWORDS
 ) + "']"
 
 
@@ -1621,8 +1641,9 @@ scores AS (
        JOIN match USING (doc_id) CROSS JOIN corpus c
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(score, 6) AS score_r
-FROM scores ORDER BY score DESC, doc_id LIMIT {PHRASE_K}
+SELECT s.doc_id, round(s.score, 6) AS score_r
+FROM scores s JOIN documents d USING (doc_id)
+ORDER BY s.score DESC, d.source, d.doc_id LIMIT {PHRASE_K}
 """
 
 # overlap-counting substring occurrences per doc (list_filter over every
@@ -2145,8 +2166,9 @@ scores AS (
   FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus c
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(score, 6) AS score_r
-FROM scores ORDER BY score DESC, doc_id LIMIT {BM25_K}
+SELECT s.doc_id, round(s.score, 6) AS score_r
+FROM scores s JOIN documents d USING (doc_id)
+ORDER BY s.score DESC, d.source, d.doc_id LIMIT {BM25_K}
 """
 
 
@@ -2180,8 +2202,9 @@ scores AS (
           JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus c
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(score, 6) AS score_r
-FROM scores ORDER BY score DESC, doc_id LIMIT {BM25_K}
+SELECT s.doc_id, round(s.score, 6) AS score_r
+FROM scores s JOIN documents d USING (doc_id)
+ORDER BY s.score DESC, d.source, d.doc_id LIMIT {BM25_K}
 """
 
 
@@ -2606,7 +2629,7 @@ def oracle_sql() -> dict[str, str]:
                    6) AS jac_r
             FROM g a JOIN g b
               ON a.source = b.source AND a.doc_id < b.doc_id
-             AND b.doc_id - a.doc_id <= 45""",
+             AND b.doc_id - a.doc_id <= {NGRAM_BAND_W}""",
         "token_count_regex": r"""
             SELECT doc_id,
                    len(regexp_extract_all(lower(coalesce(text, '')),
@@ -2615,7 +2638,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": f"""
             SELECT doc_id, len(toks) AS n_tokens,
                    length(coalesce(text, '')) AS n_chars,
-                   round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+                   round(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::DOUBLE
                          / greatest(len(toks), 1), 6) AS avg_tok_len_r
             FROM (SELECT doc_id, text, {_TOK} AS toks FROM documents)""",
         "ann_cosine_topk": _ANN_EXACT_SQL,
@@ -2664,14 +2687,14 @@ def oracle_sql() -> dict[str, str]:
             ),
             hs AS (
               SELECT doc_id,
-                     list_transform(range(1, length(n) - 8 + 2),
-                                    i -> md5(n[i:i+7])) AS h
-              FROM nrm WHERE length(n) >= 8
+                     list_transform(range(1, length(n) - {WINNOW_K} + 2),
+                                    i -> md5(n[i:i+{WINNOW_K - 1}])) AS h
+              FROM nrm WHERE length(n) >= {WINNOW_K}
             )
             SELECT doc_id, unnest(list_distinct(
-                     list_transform(range(1, len(h) - 5 + 2),
-                                    j -> list_min(h[j:j+4])))) AS fp
-            FROM hs WHERE len(h) >= 5""",
+                     list_transform(range(1, len(h) - {WINNOW_W} + 2),
+                                    j -> list_min(h[j:j+{WINNOW_W - 1}])))) AS fp
+            FROM hs WHERE len(h) >= {WINNOW_W}""",
         "langid": f"""
             SELECT doc_id,
                    CASE WHEN len(toks) = 0 THEN 'unknown'
@@ -2680,11 +2703,12 @@ def oracle_sql() -> dict[str, str]:
                              / greatest(len(list_distinct(toks)), 1) >= 0.05
                         THEN 'en' ELSE 'other' END AS lang_pred
             FROM (SELECT doc_id, {_TOK} AS toks FROM documents)""",
-        "events_sessionize": """
+        "events_sessionize": f"""
             WITH x AS (
               SELECT user_id, event_id, ts, value,
                      CASE WHEN lag(ts) OVER w IS NULL
-                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          OR epoch(ts) - epoch(lag(ts) OVER w)
+                             > {SESSION_GAP_MIN * 60}
                           THEN 1 ELSE 0 END AS new_sess
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -2708,7 +2732,7 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(coalesce(text, ''))) AS n_bytes,
                    left(lower(hex(encode(coalesce(text, '')))), 16) AS head_hex
             FROM documents""",
-        # transcripts_postings: intentionally omitted (input is the
-        # synthetic transcript corpus, not a registered DuckDB view) ->
-        # rows-only check; the strong differential test lives in pytest.
+        # transcripts_postings: oracled via parquet_scan of the
+        # deterministic on-disk fixture corpus (see the entry above) —
+        # the stronger per-posting differential lives in pytest.
     }
