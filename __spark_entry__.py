@@ -1262,6 +1262,38 @@ def q_sorted_topk(spark, sf_dir):
     )
 
 
+def q_sorted_topk_multi(spark, sf_dir):
+    """Multi-field sort (Lucene Sort with several SortFields): length
+    DESC then original id ASC — the second key makes every rank
+    deterministic without relying on the dense-order tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import sorted_topk
+
+    b = _index_for(spark, sf_dir)
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [" ".join(BM25_QUERY_TERMS)],
+         "k": np.array([SORTED_K], dtype=np.int32)}
+    )
+    got = sorted_topk(
+        spark, load_postings(spark, b["out"]), queries,
+        load_doc_stats(spark, b["out"]), ["dl", "turn_idx"], CFG,
+        ascending=[False, True],
+    )
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"),
+                F.col("g.sort_key_0").cast("long").alias("sort_key_0"),
+                F.col("g.sort_key_1").cast("long").alias("sort_key_1"),
+                F.col("g.rank"))
+    )
+
+
 QS_QUERY = '+hash "hash join" sor~1 merg* -vector'
 QS_K = 15
 
@@ -1516,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_terms": q_suggest_terms,
         "suggest_spelling": q_suggest_spelling,
         "sorted_topk": q_sorted_topk,
+        "sorted_topk_multi": q_sorted_topk_multi,
         "bm25_topk_must_not": q_bm25_topk_must_not,
         "more_like_this": q_more_like_this,
         "bm25_topk_dataframe": q_bm25_topk_dataframe,
@@ -2511,6 +2544,29 @@ def oracle_sql() -> dict[str, str]:
               JOIN documents d USING (doc_id)
             )
             SELECT doc_id, sort_key, rank FROM ranked
+            WHERE rank <= {SORTED_K}""",
+        "sorted_topk_multi": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            dl AS (
+              SELECT doc_id, count(*)::BIGINT AS dl FROM toks
+              GROUP BY doc_id
+            ),
+            hits AS (
+              SELECT DISTINCT doc_id FROM toks
+              WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+            ),
+            ranked AS (
+              -- second sort key = the original doc id (the engine's
+              -- turn_idx), unique, so ranks are fully deterministic
+              SELECT h.doc_id, l.dl AS sort_key_0,
+                     h.doc_id::BIGINT AS sort_key_1,
+                     row_number() OVER
+                       (ORDER BY l.dl DESC, h.doc_id ASC)::INT AS rank
+              FROM hits h JOIN dl l USING (doc_id)
+            )
+            SELECT doc_id, sort_key_0, sort_key_1, rank FROM ranked
             WHERE rank <= {SORTED_K}""",
         "more_like_this": f"""
             WITH toks AS (

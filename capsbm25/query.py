@@ -896,40 +896,59 @@ def sorted_topk(
     postings: DataFrame,
     queries: pd.DataFrame,
     doc_stats: DataFrame,
-    sort_field: str,
+    sort_field: str | list[str],
     cfg: BuildConfig | None = None,
-    ascending: bool = False,
+    ascending: bool | list[bool] = False,
     conjunctive: bool = False,
 ) -> DataFrame:
-    """Field-sorted retrieval (Lucene Sort / SortField): the top-k
-    MATCHING docs per query ordered by a document attribute instead of
-    relevance — newest-first, shortest-first, etc. OR semantics by
-    default (docs containing any query term); conjunctive=True
-    requires all distinct query terms. Ties break doc_id ASC; NULL
-    field values sort last in either direction (they are the least
-    interesting hits, not the first page).
+    """Field-sorted retrieval (Lucene Sort / SortField[]): the top-k
+    MATCHING docs per query ordered by document attributes instead of
+    relevance — newest-first, shortest-first, etc. A LIST of fields
+    sorts lexicographically (Lucene's multi-SortField), each with its
+    own direction (ascending may be one bool for all fields or a
+    per-field list). OR semantics by default (docs containing any
+    query term); conjunctive=True requires all distinct query terms.
+    Ties break doc_id ASC; NULL field values sort last in either
+    direction (they are the least interesting hits, not the first
+    page).
 
     queries: pandas (query_id, text, k). doc_stats: a per-doc metadata
     frame (build.load_doc_stats, or any frame with doc_id + the
-    field); sort_field names the column to order by. Returns
-    (query_id, doc_id, sort_key, rank) with sort_key carrying the
-    field's own type.
+    fields). Returns (query_id, doc_id, <one column per sort field,
+    aliased sort_key for a single field / sort_key_0.. for a list>,
+    rank), keys carrying the fields' own types.
 
     Scale shape: the match pass is hit_count's narrow pipeline — one
     In(term)-pruned scan, 12-byte (query, doc) rows (tf/dl/pos never
     decoded), distinct-doc aggregate; matched docs then join doc_stats
-    on doc_id (both sides shuffle on the same key; the field column is
-    all that's read from the stats parquet) and the per-query top-k is
-    the two-phase salted window, so no task sorts a stopword query's
-    full match set. Nothing is collected."""
+    on doc_id (both sides shuffle on the same key; the field columns
+    are all that's read from the stats parquet) and the per-query
+    top-k is the two-phase salted window, so no task sorts a stopword
+    query's full match set. Nothing is collected."""
     cfg = cfg or BuildConfig()
-    if sort_field not in doc_stats.columns:
+    single = isinstance(sort_field, str)
+    fields = [sort_field] if single else list(sort_field)
+    if not fields:
+        raise ValueError("sort_field must name at least one column")
+    asc = ([ascending] * len(fields) if isinstance(ascending, bool)
+           else list(ascending))
+    if len(asc) != len(fields):
         raise ValueError(
-            f"sort_field {sort_field!r} is not a doc_stats column "
-            f"(have: {doc_stats.columns})"
+            f"ascending needs one bool per sort field ({len(fields)}); "
+            f"got {len(asc)}"
         )
-    key_t = doc_stats.schema[sort_field].dataType.simpleString()
-    schema = f"query_id int, doc_id long, sort_key {key_t}, rank int"
+    for sf in fields:
+        if sf not in doc_stats.columns:
+            raise ValueError(
+                f"sort_field {sf!r} is not a doc_stats column "
+                f"(have: {doc_stats.columns})"
+            )
+    keys = (["sort_key"] if single
+            else [f"sort_key_{i}" for i in range(len(fields))])
+    key_ts = [doc_stats.schema[sf].dataType.simpleString()
+              for sf in fields]
+    key_schema = ", ".join(f"{k} {t}" for k, t in zip(keys, key_ts))
+    schema = f"query_id int, doc_id long, {key_schema}, rank int"
     if not len(queries):
         return spark.createDataFrame([], schema)
     qt = _query_terms_pdf(queries, cfg)
@@ -961,18 +980,21 @@ def sorted_topk(
         F.first("k").alias("k"))
     if conjunctive:
         per_doc = per_doc.where(F.col("nm") >= F.col("nq"))
-    key = F.col("sort_key")
-    order = [key.asc_nulls_last() if ascending else key.desc_nulls_last(),
-             F.asc("doc_id")]
+    order = [
+        (F.col(k).asc_nulls_last() if a else F.col(k).desc_nulls_last())
+        for k, a in zip(keys, asc)
+    ] + [F.asc("doc_id")]
     # LEFT join: a matching doc absent from the supplied stats frame
-    # keeps a NULL sort_key and sorts last (the docstring's NULL
+    # keeps NULL sort keys and sorts last (the docstring's NULL
     # contract) instead of silently vanishing from the result page
     hits = per_doc.join(
-        doc_stats.select("doc_id", F.col(sort_field).alias("sort_key")),
+        doc_stats.select(
+            "doc_id",
+            *[F.col(sf).alias(k) for sf, k in zip(fields, keys)]),
         "doc_id", "left",
     )
     return _salted_topk(
-        hits, order, ["query_id", "doc_id", "sort_key", "rank"])
+        hits, order, ["query_id", "doc_id", *keys, "rank"])
 
 
 def _synonym_groups_pdf(queries: pd.DataFrame, cfg: BuildConfig):

@@ -220,3 +220,41 @@ def test_suggest_rejects_df_less_frame(built_index, spark):
         suggest_terms(spark, bare, q, cfg)
     with _pytest.raises(ValueError, match="df column"):
         suggest_spelling(spark, bare, q, cfg)
+
+
+def test_sorted_topk_multi_field_matches_naive(built_index, spark):
+    """Multi-SortField (Lucene Sort([f1, f2])): lexicographic order,
+    per-field directions, keys returned as sort_key_0.. columns."""
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import sorted_topk
+
+    oracle, cfg = built_index["oracle"], built_index["cfg"]
+    stats = load_doc_stats(spark, built_index["res"].out_dir)
+    by_doc = stats.select("doc_id", "dl", "turn_idx").toPandas() \
+        .set_index("doc_id")
+    queries = fx.queries_pdf(42).head(2).reset_index(drop=True)
+    got = sorted_topk(
+        spark, built_index["postings"], queries, stats,
+        ["dl", "turn_idx"], cfg, ascending=[False, True],
+    ).toPandas()
+    assert {"sort_key_0", "sort_key_1"} <= set(got.columns)
+    for q in queries.itertuples(index=False):
+        cand = set()
+        for t in set(tokenize_py(q.text, cfg)):
+            cand |= oracle.postings.get(t, {}).keys()
+        vals = [(d, int(by_doc.loc[d, "dl"]), int(by_doc.loc[d, "turn_idx"]))
+                for d in cand]
+        want = sorted(vals, key=lambda x: (-x[1], x[2], x[0]))[: int(q.k)]
+        g = got[got.query_id == q.query_id].sort_values("rank")
+        assert list(g.doc_id) == [d for d, _, _ in want], q.query_id
+        assert list(g.sort_key_0) == [a for _, a, _ in want]
+        assert list(g.sort_key_1) == [b for _, _, b in want]
+    # validation: per-field direction list must match field count
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="one bool per"):
+        sorted_topk(spark, built_index["postings"], queries, stats,
+                    ["dl", "turn_idx"], cfg, ascending=[True])
+    with _pytest.raises(ValueError, match="at least one"):
+        sorted_topk(spark, built_index["postings"], queries, stats,
+                    [], cfg)
