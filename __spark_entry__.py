@@ -87,6 +87,21 @@ def _engine_docid_map(spark: SparkSession, b: dict) -> DataFrame:
     )
 
 
+def _to_original(spark: SparkSession, b: dict, got: DataFrame,
+                 *cols) -> DataFrame:
+    """Shared entry epilogue: map engine doc ids back to the driver's
+    original doc_id (broadcast join against _engine_docid_map) and
+    project the given post-join columns (referencing the result frame
+    as "g"). One definition so the mapping join cannot drift
+    per-entry."""
+    return (
+        got.alias("g")
+        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
+              F.col("g.doc_id") == F.col("m.engine_doc_id"))
+        .select(F.col("m.doc_id").alias("doc_id"), *cols)
+    )
+
+
 # --------------------------------------------------------------------------
 # queries
 # --------------------------------------------------------------------------
@@ -208,13 +223,9 @@ def q_phrase_topk(spark, sf_dir):
         spark, load_postings(spark, b["out"]), queries, res.N, res.avgdl,
         b["cfg"],
     )
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.round("g.score", 6).alias("score_r"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.round("g.score", 6).alias("score_r"))
 
 
 SUBSTRING_PATTERN = "e hash"   # crosses a token boundary — a word
@@ -260,13 +271,9 @@ def q_substring_topk(spark, sf_dir):
     got = substring_topk(
         spark, load_postings(spark, b["out"]), queries, b["cfg"]
     )
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.col("g.score").cast("long").alias("n_occ"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.col("g.score").cast("long").alias("n_occ"))
 
 
 SCAN_PATTERN = "w "   # shorter than chargram_n=3: the index can't
@@ -309,13 +316,9 @@ def q_substring_topk_short(spark, sf_dir):
         spark, load_postings(spark, b["out"]), queries, b["cfg"],
         corpus=corpus,
     )
-    return (
-        got.alias("g")
-        .join(F.broadcast(m).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.col("g.score").cast("long").alias("n_occ"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.col("g.score").cast("long").alias("n_occ"))
 
 
 def q_bm25_topk(spark, sf_dir):
@@ -334,13 +337,9 @@ def q_bm25_topk(spark, sf_dir):
         spark, load_postings(spark, b["out"]), queries, res.N, res.avgdl, CFG,
         mode="kernel", prune=True,
     )
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.round("g.score", 6).alias("score_r"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.round("g.score", 6).alias("score_r"))
 
 
 FUZZY_TERM = BM25_QUERY_TERMS[2]       # "merge" -> merged/merges/...
@@ -368,13 +367,9 @@ def q_fuzzy_topk(spark, sf_dir):
     got = fuzzy_topk(spark, load_postings(spark, b["out"]), queries, CFG,
                      max_edits=FUZZY_EDITS,
                      dictionary=load_dictionary(spark, b["out"]))
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.col("g.score").cast("long").alias("sum_tf"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.col("g.score").cast("long").alias("sum_tf"))
 
 
 def q_wildcard_topk(spark, sf_dir):
@@ -394,13 +389,9 @@ def q_wildcard_topk(spark, sf_dir):
     )
     got = wildcard_topk(spark, load_postings(spark, b["out"]), queries, CFG,
                         dictionary=load_dictionary(spark, b["out"]))
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.col("g.score").cast("long").alias("sum_tf"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.col("g.score").cast("long").alias("sum_tf"))
 
 
 # round 6: the Lucene top-N rewrite bound, exercised where it BINDS —
@@ -436,13 +427,9 @@ def q_wildcard_topk_bounded(spark, sf_dir):
     got = wildcard_topk(spark, load_postings(spark, b["out"]), queries, CFG,
                         dictionary=load_dictionary(spark, b["out"]),
                         max_expansions=WILDCARD_BOUND)
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.col("g.score").cast("long").alias("sum_tf"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.col("g.score").cast("long").alias("sum_tf"))
 
 
 def q_fuzzy_topk_damerau(spark, sf_dir):
@@ -463,13 +450,9 @@ def q_fuzzy_topk_damerau(spark, sf_dir):
     got = fuzzy_topk(spark, load_postings(spark, b["out"]), queries, CFG,
                      max_edits=DAMERAU_EDITS, transpositions=True,
                      dictionary=load_dictionary(spark, b["out"]))
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.col("g.score").cast("long").alias("sum_tf"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.col("g.score").cast("long").alias("sum_tf"))
 
 
 # round 6: anchored regex over the dictionary — matches exactly
@@ -500,13 +483,9 @@ def q_regexp_topk(spark, sf_dir):
     )
     got = regexp_topk(spark, load_postings(spark, b["out"]), queries, CFG,
                       dictionary=load_dictionary(spark, b["out"]))
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.col("g.score").cast("long").alias("sum_tf"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.col("g.score").cast("long").alias("sum_tf"))
 
 
 def q_term_range_topk(spark, sf_dir):
@@ -529,13 +508,9 @@ def q_term_range_topk(spark, sf_dir):
     got = term_range_topk(
         spark, load_postings(spark, b["out"]), queries, CFG,
         dictionary=load_dictionary(spark, b["out"]))
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.col("g.score").cast("long").alias("sum_tf"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.col("g.score").cast("long").alias("sum_tf"))
 
 
 NEAR_TERMS = (BM25_QUERY_TERMS[0], BM25_QUERY_TERMS[2])  # "hash merge"
@@ -563,13 +538,9 @@ def q_near_topk(spark, sf_dir):
         b["res"].N, b["res"].avgdl, b["cfg"],
         window=NEAR_WINDOW, ordered=False, mode="kernel",
     )
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.round("g.score", 6).alias("score_r"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.round("g.score", 6).alias("score_r"))
 
 
 BOOL_MUST, BOOL_SHOULD, BOOL_NOT = (
@@ -599,13 +570,9 @@ def q_boolean_topk(spark, sf_dir):
         spark, load_postings(spark, b["out"]), queries, res.N, res.avgdl,
         CFG, mode="kernel",
     )
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.round("g.score", 6).alias("score_r"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.round("g.score", 6).alias("score_r"))
 
 
 def q_boolean_topk_msm(spark, sf_dir):
@@ -631,13 +598,9 @@ def q_boolean_topk_msm(spark, sf_dir):
         spark, load_postings(spark, b["out"]), queries, res.N, res.avgdl,
         CFG, mode="kernel",
     )
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.round("g.score", 6).alias("score_r"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.round("g.score", 6).alias("score_r"))
 
 
 COLLAPSE_MOD = 7
@@ -671,13 +634,9 @@ def q_bm25_collapse(spark, sf_dir):
         spark, load_postings(spark, b["out"]), queries, res.N, res.avgdl,
         CFG, collapse=collapse,
     )
-    return (
-        got.alias("g")
-        .join(F.broadcast(m).alias("mm"),
-              F.col("g.doc_id") == F.col("mm.engine_doc_id"))
-        .select(F.col("mm.doc_id").alias("doc_id"),
-                F.round("g.score", 6).alias("score_r"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.round("g.score", 6).alias("score_r"))
 
 
 BOOST_SPEC = ((BM25_QUERY_TERMS[0], 2.0), (BM25_QUERY_TERMS[1], 1.0),
@@ -704,13 +663,9 @@ def q_bm25_boost_topk(spark, sf_dir):
         spark, load_postings(spark, b["out"]), queries, res.N, res.avgdl,
         CFG, boosts=True,
     )
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.round("g.score", 6).alias("score_r"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.round("g.score", 6).alias("score_r"))
 
 
 def q_bm25_offset_topk(spark, sf_dir):
@@ -733,14 +688,10 @@ def q_bm25_offset_topk(spark, sf_dir):
         spark, load_postings(spark, b["out"]), queries, res.N, res.avgdl,
         CFG,
     )
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.round("g.score", 6).alias("score_r"),
-                F.col("g.rank").alias("rank"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.round("g.score", 6).alias("score_r"),
+        F.col("g.rank").alias("rank"))
 
 
 def q_explain_scores(spark, sf_dir):
@@ -768,15 +719,11 @@ def q_explain_scores(spark, sf_dir):
          "doc_ids": [sorted(int(d) for d in top["doc_id"])]}
     )
     got = explain_scores(spark, posts, queries, res.N, res.avgdl, CFG)
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"), F.col("g.term"),
-                F.col("g.tf"), F.col("g.dl"), F.col("g.df"),
-                F.round("g.idf", 6).alias("idf_r"),
-                F.round("g.contrib", 6).alias("contrib_r"))
-    )
+    return _to_original(
+        spark, b, got, F.col("g.term"),
+        F.col("g.tf"), F.col("g.dl"), F.col("g.df"),
+        F.round("g.idf", 6).alias("idf_r"),
+        F.round("g.contrib", 6).alias("contrib_r"))
 
 
 def _hit_count_queries():
@@ -836,13 +783,9 @@ def q_synonym_topk(spark, sf_dir):
         spark, load_postings(spark, b["out"]), queries, res.N, res.avgdl,
         CFG,
     )
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.round("g.score", 6).alias("score_r"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.round("g.score", 6).alias("score_r"))
 
 
 def q_bm25_topk_dataframe(spark, sf_dir):
@@ -1000,13 +943,9 @@ def q_bm25_topk_and(spark, sf_dir):
         spark, load_postings(spark, b["out"]), queries, res.N, res.avgdl, CFG,
         mode="kernel", conjunctive=True,
     )
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.round("g.score", 6).alias("score_r"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.round("g.score", 6).alias("score_r"))
 
 
 FILTER_SOURCES = tuple(f"src{i}" for i in range(0, 20, 3))
@@ -1041,13 +980,9 @@ def q_kwic_snippets(spark, sf_dir):
         load_doc_stats(spark, b["out"]), results, queries, CFG,
         window=KWIC_WINDOW,
     )
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.col("g.first_pos"), F.col("g.snippet"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.col("g.first_pos"), F.col("g.snippet"))
 
 
 def q_bm25_topk_filtered(spark, sf_dir):
@@ -1076,13 +1011,9 @@ def q_bm25_topk_filtered(spark, sf_dir):
         spark, load_postings(spark, b["out"]), queries, res.N, res.avgdl,
         CFG, mode="auto", doc_filter=fdf,
     )
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.round("g.score", 6).alias("score_r"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.round("g.score", 6).alias("score_r"))
 
 
 PREFIX_PATTERN = "merg"   # expands to merge/merges/merged/merging...
@@ -1112,13 +1043,9 @@ def q_more_like_this(spark, sf_dir):
         [src_engine], res.N, res.avgdl, CFG, k=MLT_K,
         max_terms=MLT_TERMS,
     )
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.round("g.score", 6).alias("score_r"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.round("g.score", 6).alias("score_r"))
 
 
 def q_bm25_topk_must_not(spark, sf_dir):
@@ -1143,13 +1070,9 @@ def q_bm25_topk_must_not(spark, sf_dir):
         spark, posts, queries, res.N, res.avgdl, CFG, mode="auto",
         doc_exclude=term_doc_ids(posts, [MUST_NOT_TERM]),
     )
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.round("g.score", 6).alias("score_r"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.round("g.score", 6).alias("score_r"))
 
 
 def q_prefix_topk(spark, sf_dir):
@@ -1172,13 +1095,9 @@ def q_prefix_topk(spark, sf_dir):
         spark, load_postings(spark, b["out"]), queries, CFG,
         dictionary=load_dictionary(spark, b["out"]),
     )
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.col("g.score").cast("long").alias("n_tf"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.col("g.score").cast("long").alias("n_tf"))
 
 
 SUGGEST_PREFIX = "s"    # completes to scan/small/slow/sort/spark/stream
@@ -1252,14 +1171,10 @@ def q_sorted_topk(spark, sf_dir):
         spark, load_postings(spark, b["out"]), queries,
         load_doc_stats(spark, b["out"]), "dl", CFG, ascending=False,
     )
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.col("g.sort_key").cast("long").alias("sort_key"),
-                F.col("g.rank"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.col("g.sort_key").cast("long").alias("sort_key"),
+        F.col("g.rank"))
 
 
 def q_sorted_topk_multi(spark, sf_dir):
@@ -1283,15 +1198,11 @@ def q_sorted_topk_multi(spark, sf_dir):
         load_doc_stats(spark, b["out"]), ["dl", "turn_idx"], CFG,
         ascending=[False, True],
     )
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.col("g.sort_key_0").cast("long").alias("sort_key_0"),
-                F.col("g.sort_key_1").cast("long").alias("sort_key_1"),
-                F.col("g.rank"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.col("g.sort_key_0").cast("long").alias("sort_key_0"),
+        F.col("g.sort_key_1").cast("long").alias("sort_key_1"),
+        F.col("g.rank"))
 
 
 QS_QUERY = '+hash "hash join" sor~1 merg* -vector'
@@ -1320,13 +1231,9 @@ def q_query_string(spark, sf_dir):
         spark, load_postings(spark, b["out"]), queries, res.N,
         res.avgdl, b["cfg"],
     )
-    return (
-        got.alias("g")
-        .join(F.broadcast(_engine_docid_map(spark, b)).alias("m"),
-              F.col("g.doc_id") == F.col("m.engine_doc_id"))
-        .select(F.col("m.doc_id").alias("doc_id"),
-                F.round("g.score", 6).alias("score_r"))
-    )
+    return _to_original(
+        spark, b, got,
+        F.round("g.score", 6).alias("score_r"))
 
 
 def q_facet_counts(spark, sf_dir):
