@@ -1236,6 +1236,38 @@ def q_query_string(spark, sf_dir):
         F.round("g.score", 6).alias("score_r"))
 
 
+QSG_QUERY = '+(hash sort) (merge join)^2 -vector'
+QSG_K = 15
+
+
+def q_query_string_grouped(spark, sf_dir):
+    """Query-string boolean grouping (round 7 — Lucene classic-parser
+    `( )`, one nesting level): `+(hash sort)` requires ANY of the two
+    terms (BooleanQuery-as-MUST), `(merge join)^2` doubles both
+    members' BM25 contributions, `-vector` excludes. Score = summed
+    contributions of the matched positive terms; ties by dense-id
+    order."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.parser import query_string_topk
+
+    b = _pos_index_for(spark, sf_dir)
+    res = b["res"]
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [QSG_QUERY],
+         "k": np.array([QSG_K], dtype=np.int32)}
+    )
+    got = query_string_topk(
+        spark, load_postings(spark, b["out"]), queries, res.N,
+        res.avgdl, b["cfg"],
+    )
+    return _to_original(
+        spark, b, got,
+        F.round("g.score", 6).alias("score_r"))
+
+
 def q_facet_counts(spark, sf_dir):
     """Facet counts (Lucene faceting analog): matching docs per source
     for the reference BM25 query — narrow (query, term, doc) pass,
@@ -1452,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q_facet_counts,
         "prefix_topk": q_prefix_topk,
         "query_string": q_query_string,
+        "query_string_grouped": q_query_string_grouped,
         "suggest_terms": q_suggest_terms,
         "suggest_spelling": q_suggest_spelling,
         "sorted_topk": q_sorted_topk,
@@ -2398,6 +2431,56 @@ def oracle_sql() -> dict[str, str]:
             -- ties break by the ENGINE dense-id order
             ORDER BY c.score DESC, d.source ASC, d.doc_id ASC
             LIMIT {QS_K}""",
+        "query_string_grouped": f"""
+            WITH tl AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            flat AS (SELECT doc_id, unnest(t) AS term FROM tl),
+            dl AS (
+              SELECT doc_id, count(*) AS dl FROM flat GROUP BY doc_id
+            ),
+            corpus AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl)::DOUBLE
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            tf AS (
+              SELECT term, doc_id, count(*) AS tf FROM flat
+              WHERE term IN ('hash', 'sort', 'merge', 'join')
+              GROUP BY 1, 2
+            ),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            bm25 AS (
+              SELECT tf.term, tf.doc_id,
+                     ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+                     * tf.tf * ({_K1} + 1)
+                     / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / c.avgdl))
+                     -- (merge join)^2: the group boost doubles both
+                     -- members' contributions
+                     * (CASE WHEN tf.term IN ('merge', 'join')
+                             THEN 2.0 ELSE 1.0 END) AS contrib
+              FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN corpus c
+            ),
+            combined AS (
+              SELECT doc_id, sum(contrib) AS score FROM bm25
+              GROUP BY doc_id
+            ),
+            -- +(hash sort): the MUST group is satisfied by ANY member
+            must_grp AS (
+              SELECT DISTINCT doc_id FROM flat
+              WHERE term IN ('hash', 'sort')
+            ),
+            not_vector AS (
+              SELECT DISTINCT doc_id FROM flat WHERE term = 'vector'
+            )
+            SELECT c.doc_id, round(c.score, 6) AS score_r
+            FROM combined c
+            JOIN must_grp USING (doc_id)
+            LEFT JOIN not_vector n ON n.doc_id = c.doc_id
+            JOIN documents d ON d.doc_id = c.doc_id
+            WHERE n.doc_id IS NULL
+            -- ties break by the ENGINE dense-id order
+            ORDER BY c.score DESC, d.source ASC, d.doc_id ASC
+            LIMIT {QSG_K}""",
         "suggest_terms": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOK}) AS term FROM documents

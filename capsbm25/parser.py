@@ -16,14 +16,24 @@ Syntax (whitespace-separated clauses):
                   move operations, this counts span slack)
   wild*  w?ld     wildcard / prefix expansion
   term~  term~1   fuzzy (Levenshtein <= N; ~ alone = 2, Lucene's default)
+  (a b)  +(a b)   boolean group, ONE nesting level (round 7): members
+  -(c d) (a b)^2  combine by OR — `+( )` is satisfied by ANY member
+                  (Lucene BooleanQuery-as-MUST), `-( )` excludes docs
+                  matching ANY member, `^boost` scales every member;
+                  members may be any clause shape above, but signs
+                  inside a group and nested groups raise
 
 A multi-token bare chunk contributes one clause PER TOKEN (same
 role/boost). Unsupported classic-parser syntax raises ValueError
-rather than silently mis-parsing: ( ) grouping, field: prefixes,
-AND/OR/NOT/TO operator keywords, | [ ] { } (ranges and synonym groups
-have dedicated surfaces: term_range_topk, synonym_topk), malformed
+rather than silently mis-parsing: field: prefixes, AND/OR/NOT/TO
+operator keywords, | [ ] { } (ranges and synonym groups
+have dedicated surfaces: term_range_topk, synonym_topk), nested or
+signed-member groups, `-( )` under default_operator="and" (the
+default operator applies INSIDE groups, and NOT-of-AND has no
+per-member exclusion form), malformed
 quote/suffix shapes (a quote inside a bare chunk, anything but
-~slop^boost glued to a closing quote, a second ^boost), a sloppy
+~slop^boost glued to a closing quote, anything but ^boost glued to a
+closing paren, a second ^boost), a sloppy
 phrase repeating a token (the proximity engine needs distinct terms
 — slop=0 exact phrases support repeats), and any query string on a
 chargram index (word tokenizers only).
@@ -36,9 +46,10 @@ SCORING (per doc): sum over its matching positive clauses of
                     CONSTANT_SCORE_REWRITE for multi-term queries:
                     per-expanded-term idf is unstable, so an expansion
                     clause scores flat)
-Docs must match every MUST clause, no MUST_NOT clause, and at least
-one positive clause. Ties break doc_id ASC. Returns the engine-wide
-(query_id, doc_id, score, rank) result shape.
+Docs must match every MUST group (any member satisfies a `+( )`
+group; a bare MUST clause is its own singleton group), no MUST_NOT
+clause, and at least one positive clause. Ties break doc_id ASC.
+Returns the engine-wide (query_id, doc_id, score, rank) result shape.
 
 Scale shape: one In(term)-pruned narrow pass scores ALL term clauses
 of the batch (decode streams per posting row; nothing collected);
@@ -81,12 +92,16 @@ from capsbm25.tokenize import tokenize_py
 # int32-max returns the entire match set ranked
 _ALL_MATCHES_K = (1 << 31) - 1
 
-# a chunk is either a quoted phrase plus WHATEVER is glued to the
-# closing quote (validated against _QUOTED_RE below — anything else
-# raises instead of re-matching as spurious bare terms), or a bare
-# \S+ run; every non-space character lands in exactly one chunk, so
-# nothing is silently skipped
-_CHUNK_RE = re.compile(r'([+-]?)("[^"]*"\S*|\S+)')
+# a chunk is a parenthesized group (one nesting level — [^()] bars
+# nesting) plus whatever is glued to the closing paren, a quoted
+# phrase plus WHATEVER is glued to the closing quote (validated
+# against _QUOTED_RE below — anything else raises instead of
+# re-matching as spurious bare terms), or a bare \S+ run; every
+# non-space character lands in exactly one chunk, so nothing is
+# silently skipped
+_CHUNK_RE = re.compile(r'([+-]?)(\([^()]*\)\S*|"[^"]*"\S*|\S+)')
+# legal glued suffix after a closing paren: ^boost only
+_GROUP_RE = re.compile(r'^\(([^()]*)\)(?:\^(\d+(?:\.\d+)?))?$')
 # legal glued suffix after a closing quote: ~slop then ^boost, each
 # optional, in that order (Lucene's "a b"~2^3)
 _QUOTED_RE = re.compile(r'^"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?$')
@@ -101,9 +116,20 @@ def parse_query_string(
     text: str, cfg: BuildConfig, default_operator: str = "or",
 ) -> list[dict]:
     """One query string -> clause list. Each clause: dict(role, kind,
-    value, boost, extra) with role in {must, should, not}, kind in
-    {term, phrase, fuzzy, wildcard}; extra = slop (phrase) or edits
-    (fuzzy). Pure function — unit-testable without Spark."""
+    value, boost, extra, gid) with role in {must, should, not}, kind
+    in {term, phrase, fuzzy, wildcard}; extra = slop (phrase) or edits
+    (fuzzy). gid is the BOOLEAN GROUP the clause belongs to: clauses
+    sharing a gid satisfy their role together (a MUST group needs ANY
+    member to match — Lucene's `+(a b)`; a NOT group's members each
+    exclude); a bare clause is its own singleton group. Grouping
+    supports ONE nesting level — `+(a b)`, `-(c d)`, `(a b)^boost` —
+    with members combined by OR inside (the classic parser's behavior
+    under default_operator="or"); under default_operator="and" a
+    positive group flattens to per-member MUST singletons (Lucene
+    applies the default operator inside groups) and `-(...)`
+    raises (NOT of an AND-group is not expressible as per-member
+    exclusion). Signs inside a group and nested groups raise.
+    Pure function — unit-testable without Spark."""
     if default_operator not in ("or", "and"):
         raise ValueError("default_operator must be 'or' or 'and'")
     if cfg.tokenizer == "chargram":
@@ -117,107 +143,163 @@ def parse_query_string(
         raise ValueError(f"unbalanced quote in query string {text!r}")
     default_role = "should" if default_operator == "or" else "must"
     clauses: list[dict] = []
+    gid_counter = [0]
+
+    def next_gid() -> int:
+        gid_counter[0] += 1
+        return gid_counter[0] - 1
+
     for sign, chunk in _CHUNK_RE.findall(text):
         role = {"+": "must", "-": "not"}.get(sign, default_role)
-        if chunk.startswith('"'):
-            if not _QUOTED_RE.match(chunk):
+        if chunk.startswith("("):
+            gm = _GROUP_RE.match(chunk)
+            if not gm:
                 raise ValueError(
-                    f"malformed phrase clause {chunk!r}: after the "
-                    "closing quote only ~slop then ^boost may follow"
+                    f"malformed group {chunk!r}: after the closing "
+                    "paren only ^boost may follow, and groups do not "
+                    "nest"
                 )
-        else:
-            if '"' in chunk:
+            body, gboost = gm.group(1), float(gm.group(2) or 1.0)
+            if gboost <= 0:
+                raise ValueError(f"boost must be > 0 in {chunk!r}")
+            members = _CHUNK_RE.findall(body)
+            if not members:
+                raise ValueError(f"empty group {chunk!r}")
+            if any(s for s, _ in members):
                 raise ValueError(
-                    f"quote inside bare clause {chunk!r}: a phrase "
-                    "must be its own whitespace-separated chunk"
+                    f"sign inside group {chunk!r}: +/- apply to the "
+                    "whole group (one nesting level)"
                 )
-            if chunk in _KEYWORDS:
-                raise ValueError(
-                    f"operator keyword {chunk!r} is not supported — "
-                    "use +/- clause prefixes"
-                )
-            if _REJECT_RE.search(chunk):
-                raise ValueError(
-                    f"unsupported syntax in {chunk!r}: grouping, "
-                    "fields, ranges and synonym groups have dedicated "
-                    "surfaces (boolean_topk, term_range_topk, "
-                    "synonym_topk)"
-                )
-        m = _BOOST_RE.match(chunk)
-        body, boost = (m.group(1), float(m.group(2))) if m and m.group(2) \
-            else (chunk, 1.0)
-        if boost <= 0:
-            raise ValueError(f"boost must be > 0 in {chunk!r}")
-        if "^" in body and not body.startswith('"'):
-            # 'foo^2.5^3' et al: after one boost strip a bare body may
-            # not still contain ^ — tokenizing it would emit the boost
-            # digits as spurious terms
-            raise ValueError(
-                f"malformed boost in {chunk!r}: one ^boost suffix per "
-                "clause"
-            )
-        pm = _PHRASE_RE.match(body)
-        if pm:
-            toks = tokenize_py(pm.group(1), cfg)
-            slop = int(pm.group(2) or 0)
-            if not toks:
-                continue
-            if slop > 0 and len(set(toks)) != len(toks):
-                raise ValueError(
-                    f"sloppy phrase {chunk!r} repeats a token: the "
-                    "proximity engine (ordered NEAR) needs distinct "
-                    "terms — a documented deviation from Lucene's "
-                    "sloppy PhraseQuery; slop=0 exact phrases support "
-                    "repeats"
-                )
-            if len(toks) == 1:  # 1-token phrase degrades to a term
-                clauses.append({"role": role, "kind": "term",
-                                "value": toks[0], "boost": boost,
-                                "extra": 0})
-                continue
-            clauses.append({"role": role, "kind": "phrase",
-                            "value": " ".join(toks), "boost": boost,
-                            "extra": slop})
-            continue
-        if "*" in body or "?" in body:
-            if "~" in body:
-                raise ValueError(
-                    f"{chunk!r}: a clause cannot be both wildcard "
-                    "and fuzzy"
-                )
-            clauses.append({"role": role, "kind": "wildcard",
-                            "value": body.lower(), "boost": boost,
-                            "extra": 0})
-            continue
-        fm = _FUZZ_RE.match(body)
-        if fm:
-            edits = int(fm.group(2)) if fm.group(2) else 2
-            if not 0 <= edits <= 2:
-                raise ValueError(
-                    f"{chunk!r}: fuzzy edits must be 0..2 (the Lucene "
-                    "bound)"
-                )
-            toks = tokenize_py(fm.group(1), cfg)
-            if len(toks) != 1:
-                raise ValueError(
-                    f"fuzzy clause {chunk!r} must be a single term"
-                )
-            if edits == 0:  # ~0 is an exact term (Lucene)
-                clauses.append({"role": role, "kind": "term",
-                                "value": toks[0], "boost": boost,
-                                "extra": 0})
+            if default_operator == "and":
+                if role == "not":
+                    raise ValueError(
+                        f"-( ) group {chunk!r} with "
+                        "default_operator='and' is unsupported: the "
+                        "default operator applies inside groups, and "
+                        "NOT-of-AND is not a per-member exclusion"
+                    )
+                # AND inside the group: every member required — each
+                # member is its own MUST singleton (flattening is the
+                # exact semantics, not an approximation)
+                for _, mchunk in members:
+                    _parse_simple_chunk(
+                        mchunk, "must", cfg, clauses, next_gid(), gboost)
             else:
-                clauses.append({"role": role, "kind": "fuzzy",
-                                "value": toks[0], "boost": boost,
-                                "extra": edits})
+                gid = next_gid()
+                for _, mchunk in members:
+                    _parse_simple_chunk(
+                        mchunk, role, cfg, clauses, gid, gboost)
             continue
-        for t in tokenize_py(body, cfg):
-            clauses.append({"role": role, "kind": "term", "value": t,
-                            "boost": boost, "extra": 0})
+        _parse_simple_chunk(chunk, role, cfg, clauses, next_gid(), 1.0)
     return clauses
 
 
-_CONTRIB_SCHEMA = ("query_id int, clause_id int, role string, "
+def _parse_simple_chunk(chunk: str, role: str, cfg: BuildConfig,
+                        clauses: list, gid: int,
+                        boost_mult: float) -> None:
+    """Parse one non-group chunk into clause dicts appended to
+    `clauses` (a bare multi-token chunk contributes one clause per
+    token with the same role/boost/gid). boost_mult: the enclosing
+    group's ^boost (1.0 at top level) — multiplies the clause's own."""
+    if chunk.startswith('"'):
+        if not _QUOTED_RE.match(chunk):
+            raise ValueError(
+                f"malformed phrase clause {chunk!r}: after the "
+                "closing quote only ~slop then ^boost may follow"
+            )
+    else:
+        if '"' in chunk:
+            raise ValueError(
+                f"quote inside bare clause {chunk!r}: a phrase "
+                "must be its own whitespace-separated chunk"
+            )
+        if chunk in _KEYWORDS:
+            raise ValueError(
+                f"operator keyword {chunk!r} is not supported — "
+                "use +/- clause prefixes"
+            )
+        if _REJECT_RE.search(chunk):
+            raise ValueError(
+                f"unsupported syntax in {chunk!r}: fields, ranges "
+                "and synonym groups have dedicated surfaces "
+                "(boolean_topk, term_range_topk, synonym_topk); "
+                "( ) groups must be whitespace-separated chunks"
+            )
+    m = _BOOST_RE.match(chunk)
+    body, boost = (m.group(1), float(m.group(2))) if m and m.group(2) \
+        else (chunk, 1.0)
+    if boost <= 0:
+        raise ValueError(f"boost must be > 0 in {chunk!r}")
+    boost *= boost_mult
+    if "^" in body and not body.startswith('"'):
+        # 'foo^2.5^3' et al: after one boost strip a bare body may
+        # not still contain ^ — tokenizing it would emit the boost
+        # digits as spurious terms
+        raise ValueError(
+            f"malformed boost in {chunk!r}: one ^boost suffix per "
+            "clause"
+        )
+    pm = _PHRASE_RE.match(body)
+    if pm:
+        toks = tokenize_py(pm.group(1), cfg)
+        slop = int(pm.group(2) or 0)
+        if not toks:
+            return
+        if slop > 0 and len(set(toks)) != len(toks):
+            raise ValueError(
+                f"sloppy phrase {chunk!r} repeats a token: the "
+                "proximity engine (ordered NEAR) needs distinct "
+                "terms — a documented deviation from Lucene's "
+                "sloppy PhraseQuery; slop=0 exact phrases support "
+                "repeats"
+            )
+        if len(toks) == 1:  # 1-token phrase degrades to a term
+            clauses.append({"role": role, "kind": "term",
+                            "value": toks[0], "boost": boost,
+                            "extra": 0, "gid": gid})
+            return
+        clauses.append({"role": role, "kind": "phrase",
+                        "value": " ".join(toks), "boost": boost,
+                        "extra": slop, "gid": gid})
+        return
+    if "*" in body or "?" in body:
+        if "~" in body:
+            raise ValueError(
+                f"{chunk!r}: a clause cannot be both wildcard "
+                "and fuzzy"
+            )
+        clauses.append({"role": role, "kind": "wildcard",
+                        "value": body.lower(), "boost": boost,
+                        "extra": 0, "gid": gid})
+        return
+    fm = _FUZZ_RE.match(body)
+    if fm:
+        edits = int(fm.group(2)) if fm.group(2) else 2
+        if not 0 <= edits <= 2:
+            raise ValueError(
+                f"{chunk!r}: fuzzy edits must be 0..2 (the Lucene "
+                "bound)"
+            )
+        toks = tokenize_py(fm.group(1), cfg)
+        if len(toks) != 1:
+            raise ValueError(
+                f"fuzzy clause {chunk!r} must be a single term"
+            )
+        if edits == 0:  # ~0 is an exact term (Lucene)
+            clauses.append({"role": role, "kind": "term",
+                            "value": toks[0], "boost": boost,
+                            "extra": 0, "gid": gid})
+        else:
+            clauses.append({"role": role, "kind": "fuzzy",
+                            "value": toks[0], "boost": boost,
+                            "extra": edits, "gid": gid})
+        return
+    for t in tokenize_py(body, cfg):
+        clauses.append({"role": role, "kind": "term", "value": t,
+                        "boost": boost, "extra": 0, "gid": gid})
+
+
+_CONTRIB_SCHEMA = ("query_id int, gid int, role string, "
                    "doc_id long, contrib double")
 
 
@@ -258,7 +340,7 @@ def _term_contribs(spark, postings, rows: pd.DataFrame, N, avgdl, cfg):
                 yield pd.DataFrame(
                     {"query_id": np.full(docs.size, row.query_id,
                                          np.int32),
-                     "clause_id": np.full(docs.size, row.clause_id,
+                     "gid": np.full(docs.size, row.gid,
                                           np.int32),
                      "role": np.full(docs.size, row.role, dtype=object),
                      "doc_id": docs.astype(np.int64),
@@ -270,19 +352,19 @@ def _term_contribs(spark, postings, rows: pd.DataFrame, N, avgdl, cfg):
 def _subcall_contribs(spark, result: DataFrame, sid_map: pd.DataFrame,
                       constant: bool) -> DataFrame:
     """Map a clause sub-call's rows back to the parent (query_id,
-    clause_id, role, contrib): score x boost for scoring clauses
+    gid, role, contrib): score x boost for scoring clauses
     (phrase — result carries a score), flat boost for constant-score
     ones (expansion — result is the docs_only membership frame)."""
     mdf = F.broadcast(spark.createDataFrame(sid_map).select(
         F.col("sid").cast("int"), F.col("orig_qid").cast("int"),
-        F.col("clause_id").cast("int"), "role",
+        F.col("gid").cast("int"), "role",
         F.col("boost").cast("double")))
     contrib = (F.col("boost") if constant
                else F.col("score") * F.col("boost"))
     return (
         result.withColumnRenamed("query_id", "sid")
         .join(mdf, "sid")
-        .select(F.col("orig_qid").alias("query_id"), "clause_id", "role",
+        .select(F.col("orig_qid").alias("query_id"), "gid", "role",
                 "doc_id", contrib.cast("double").alias("contrib"))
     )
 
@@ -314,31 +396,43 @@ def query_string_topk(
     for q in queries.itertuples(index=False):
         qid, k = int(q.query_id), int(q.k)
         clauses = parse_query_string(q.text, cfg, default_operator)
-        n_must = sum(c["role"] == "must" for c in clauses)
+        # MUST satisfaction counts boolean GROUPS, not clauses: a
+        # `+(a b)` group is satisfied by ANY member, so a doc needs
+        # one distinct matched gid per must-group (a bare must clause
+        # is its own singleton group — identical to the old count)
+        n_must = len({c["gid"] for c in clauses if c["role"] == "must"})
         meta.append((qid, n_must, k))
-        for cid, c in enumerate(clauses):
-            rec = (qid, cid, c["role"], c["value"], c["boost"],
+        for c in clauses:
+            rec = (qid, c["gid"], c["role"], c["value"], c["boost"],
                    c["extra"])
             {"term": term_rows, "phrase": phrase_cl, "fuzzy": fuzzy_cl,
              "wildcard": wild_cl}[c["kind"]].append(rec)
     if not (term_rows or phrase_cl or fuzzy_cl or wild_cl):
         return spark.createDataFrame([], RESULT_SCHEMA)
 
-    cols = ["orig_qid", "clause_id", "role", "value", "boost", "extra"]
-    parts: list[DataFrame] = []
+    cols = ["orig_qid", "gid", "role", "value", "boost", "extra"]
+    # each thunk builds one clause-kind's contribution frame(s); they
+    # run on a small thread pool (round 7) because every sub-surface
+    # call contains DRIVER-blocking steps (df/stats collects, the
+    # eager expansion-dictionary match) that otherwise serialize four
+    # independent job cascades — Spark job submission is thread-safe,
+    # and the frames are unioned in a FIXED order below so the plan
+    # (and the float summation shape) stays deterministic
+    thunks: list = []
     if term_rows:
         tpdf = pd.DataFrame(term_rows, columns=cols).rename(
             columns={"orig_qid": "query_id", "value": "term"})
-        parts.append(_term_contribs(
+        thunks.append(lambda: [_term_contribs(
             spark, postings,
-            tpdf[["query_id", "clause_id", "role", "term", "boost"]],
-            N, avgdl, cfg))
+            tpdf[["query_id", "gid", "role", "term", "boost"]],
+            N, avgdl, cfg)])
 
     def run_group(cl, key_fn, call):
         """Batch one clause kind through its surface, one call per
         distinct key (window / max_edits), synthetic sequential ids."""
         pdf = pd.DataFrame(cl, columns=cols)
         pdf["sid"] = np.arange(len(pdf), dtype=np.int32)
+        out = []
         for key, grp in pdf.groupby(pdf.apply(key_fn, axis=1)):
             sub = pd.DataFrame(
                 {"query_id": grp["sid"].to_numpy(np.int32),
@@ -347,10 +441,11 @@ def query_string_topk(
             res, constant = call(key, sub)
             res = res.select("query_id", "doc_id") if constant \
                 else res.select("query_id", "doc_id", "score")
-            parts.append(_subcall_contribs(
+            out.append(_subcall_contribs(
                 spark, res,
-                grp[["sid", "orig_qid", "clause_id", "role", "boost"]],
+                grp[["sid", "orig_qid", "gid", "role", "boost"]],
                 constant))
+        return out
 
     if phrase_cl:
         # slop=0 -> exact phrase; slop>0 -> ordered NEAR with window =
@@ -367,26 +462,38 @@ def query_string_topk(
             return near_topk(spark, postings, sub, N, avgdl, cfg,
                              window=int(key), ordered=True), False
 
-        run_group(phrase_cl, phrase_key, phrase_call)
+        thunks.append(
+            lambda: run_group(phrase_cl, phrase_key, phrase_call))
     if fuzzy_cl:
         # docs_only: constant-score clauses need MEMBERSHIP, not the
         # summed-tf ranking — skips the expansion aggregate and both
         # top-k windows per sub-call
-        run_group(
+        thunks.append(lambda: run_group(
             fuzzy_cl, lambda r: int(r["extra"]),
             lambda key, sub: (fuzzy_topk(
                 spark, postings, sub, cfg, max_edits=int(key),
                 dictionary=dictionary, max_expansions=max_expansions,
                 docs_only=True,
-            ), True))
+            ), True)))
     if wild_cl:
-        run_group(
+        thunks.append(lambda: run_group(
             wild_cl, lambda r: 0,
             lambda key, sub: (wildcard_topk(
                 spark, postings, sub, cfg, dictionary=dictionary,
                 max_expansions=max_expansions, docs_only=True,
-            ), True))
+            ), True)))
 
+    if len(thunks) == 1:
+        part_lists = [thunks[0]()]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+            futures = [ex.submit(t) for t in thunks]
+            # result order == thunk order (term, phrase, fuzzy,
+            # wildcard) regardless of completion order
+            part_lists = [f.result() for f in futures]
+    parts: list[DataFrame] = [p for lst in part_lists for p in lst]
     contribs = parts[0]
     for p in parts[1:]:
         contribs = contribs.unionByName(p)
@@ -397,7 +504,7 @@ def query_string_topk(
         F.sum(F.when(F.col("role") != "not", F.col("contrib")))
          .alias("score"),
         F.count_distinct(
-            F.when(F.col("role") == "must", F.col("clause_id")))
+            F.when(F.col("role") == "must", F.col("gid")))
          .alias("nm"),
         F.max(F.when(F.col("role") == "not", F.lit(1)).otherwise(0))
          .alias("xnot"),

@@ -428,7 +428,8 @@ def bm25_topk(
             m, N, avgdl, cfg, prune, conjunctive, filt_bc, excl_bc),
         run_distributed=lambda m, dfm: _run_distributed(
             m, dfm, N, avgdl, cfg, conjunctive, doc_filter, doc_exclude,
-            collapse=collapse),
+            collapse=collapse, qt=qt, prune=prune,
+            filt_bc=filt_bc, excl_bc=excl_bc),
     )
 
 
@@ -646,23 +647,130 @@ def _salted_topk(df: DataFrame, rank_cols, out_cols,
     )
 
 
+def _distributed_rest_map(qt: pd.DataFrame, df_map: dict, N: int,
+                          cfg) -> dict:
+    """Per-(query_id, term) residual upper bound for the distributed
+    pruning kernel: Σ over the query's OTHER indexed terms of
+    (k1+1) * idf(t') * boost(t') — an upper bound on any doc's total
+    contribution from those terms, since each BM25 entry score is
+    idf * boost * tf(k1+1)/(tf + K) < idf * boost * (k1+1) (K > 0).
+    Terms absent from df_map have no posting rows and contribute
+    exactly 0. Summed per-pair EXCLUDING the own term (not total minus
+    own) so float rounding can never make the residual smaller than
+    the true sum it bounds."""
+    ub = {t: (cfg.k1 + 1.0) * float(idf_fn(N, d)) * 1.0
+          for t, d in df_map.items()}
+    has_boost = "boost" in qt.columns
+    per_q: dict[int, list[tuple[str, float]]] = {}
+    for r in qt.itertuples(index=False):
+        if r.term in ub:
+            b = float(r.boost) if has_boost else 1.0
+            per_q.setdefault(int(r.query_id), []).append(
+                (r.term, ub[r.term] * b))
+    rest: dict[tuple[int, str], float] = {}
+    for qid, pairs in per_q.items():
+        for t, _ in pairs:
+            rest[(qid, t)] = float(
+                sum(u for t2, u in pairs if t2 != t))
+    return rest
+
+
+# a task's distributed-scoring decode combines (doc, contrib) pairs
+# locally and re-compresses whenever this many raw pairs have
+# accumulated — task memory stays O(chunk + distinct docs in task),
+# never O(df mass) (same bound as _EXPANSION_COMBINE_CHUNK)
+_DIST_COMBINE_CHUNK = 4_000_000
+
+
 def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive,
                      doc_filter: DataFrame | None = None,
                      doc_exclude: DataFrame | None = None,
-                     collapse: DataFrame | None = None) -> DataFrame:
+                     collapse: DataFrame | None = None,
+                     qt: pd.DataFrame | None = None,
+                     prune: bool = True,
+                     filt_bc=None, excl_bc=None) -> DataFrame:
     # df_map: global df per term from _term_df_map (pre-query-join —
     # see its docstring); shipped in the task closure (tiny) instead of
     # a broadcast join
     # doc_filter: optional single-column (doc_id) DataFrame of allowed
-    # docs — semi-joined against the contrib rows BEFORE the aggregate,
-    # so with AQE a selective filter broadcasts and drops rows map-side
-    # ahead of the groupBy shuffle; a huge filter degrades to a
-    # sort-merge semi join, never a driver collect
+    # docs — when its sorted-id broadcast (filt_bc) exists it masks
+    # INSIDE the decode kernel (same set, zero post-pass join);
+    # otherwise it is semi-joined against the combined contribution
+    # rows BEFORE the aggregate (a huge filter degrades to a
+    # sort-merge semi join, never a driver collect). doc_exclude /
+    # excl_bc mirror it as the liveDocs anti set.
+    #
+    # Round 7 — the scale shape. Exact ENTRY-LEVEL pruning (the graft
+    # of the reference's bounded-skip search, Suffix_Array.cpp:261,
+    # strictly finer than block-max skipping since every decoded
+    # entry's EXACT contribution is already in hand):
+    #   θ_q  = max over this task's rows of the (k+off)-th highest
+    #          contribution within one row — a row's entries are
+    #          distinct docs (one posting row per (term, segment);
+    #          segments partition docs), each with full score >= its
+    #          contribution, so >= k+off docs score >= θ_q globally.
+    #   drop entry (t, d) iff sc + rest(q, t) < θ_q, where rest is
+    #          Σ_{t'≠t} (k1+1)·idf(t')·boost(t') over the query's
+    #          OTHER indexed terms (_distributed_rest_map).
+    # Any doc with a dropped entry has full score <= sc + rest < θ_q
+    # <= true (k+off)-th score, so it can neither enter the top-k nor
+    # (its partial sum only shrinks further) displace a survivor —
+    # identical ranking, tested rank-identical vs kernel and oracle.
+    # A single-term stopword query (the canonical distributed routing:
+    # Σdf > max_kernel_df) emits ~k rows per task instead of df rows.
+    # Pruning stays OFF when the result set is a sub-population whose
+    # k-th score θ cannot bound (conjunctive AND, collapse groups,
+    # doc filters that could not be masked in-kernel).
+    #
+    # The emission then COMBINES map-side (same idiom and chunk bound
+    # as _term_expansion_topk): one row per (query, distinct doc in
+    # task) with the contributions pre-summed and the matched-term
+    # count pre-counted, so the groupBy shuffle carries distinct-doc
+    # rows without the term string, not one row per (term, doc)
+    # posting entry.
+    do_prune = (
+        prune and not conjunctive and collapse is None
+        and (doc_filter is None or filt_bc is not None)
+        and (doc_exclude is None or excl_bc is not None)
+        and qt is not None
+    )
+    rest_map = (_distributed_rest_map(qt, df_map, N, cfg)
+                if do_prune else None)
+    filt_join = doc_filter if filt_bc is None else None
+    excl_join = doc_exclude if excl_bc is None else None
 
     def contribs(it):
+        filt = filt_bc.value if filt_bc is not None else None
+        excl = excl_bc.value if excl_bc is not None else None
+        # qid -> [doc_chunks, contrib_chunks, nmatch_chunks, n_raw]
+        acc: dict = {}
+        meta: dict = {}   # qid -> (k, n_query_terms, off)
+        theta: dict = {}  # qid -> running lower bound on (k+off)-th
+
+        def compress(ent):
+            docs = np.concatenate(ent[0])
+            scs = np.concatenate(ent[1])
+            nms = np.concatenate(ent[2])
+            uniq, inv = np.unique(docs, return_inverse=True)
+            ent[0] = [uniq]
+            # float64 bincount: contrib sums exact to normal float
+            # addition; nm counts are small ints (< 2^53) so exact
+            ent[1] = [np.bincount(inv, weights=scs)]
+            ent[2] = [np.bincount(inv, weights=nms)]
+            # count raw pairs APPENDED since the last compress (a
+            # compressed-size counter would re-trigger full passes
+            # once distinct docs >= chunk — quadratic)
+            ent[3] = 0
+
         for pdf in it:
             for row in pdf.itertuples(index=False):
                 docs, tfs, dls = _decode_posting(row)
+                if filt is not None and docs.size:
+                    keep = sorted_member_mask(filt, docs)
+                    docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+                if excl is not None and excl.size and docs.size:
+                    keep = ~sorted_member_mask(excl, docs)
+                    docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
                 sc = term_scores(
                     tfs, dls, float(idf_fn(N, df_map[row.term])),
                     avgdl, cfg.k1, cfg.b,
@@ -670,22 +778,48 @@ def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive,
                 boost = float(getattr(row, "boost", 1.0))
                 if boost != 1.0:
                     sc = sc * boost  # query-time term boost (^boost)
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.full(docs.size, row.query_id, np.int32),
-                        "term": np.full(docs.size, row.term, dtype=object),
-                        "doc_id": docs.astype(np.int64),
-                        "contrib": sc,
-                        "k": np.full(docs.size, row.k, np.int32),
-                        "n_query_terms": np.full(
-                            docs.size, row.n_query_terms, np.int32
-                        ),
-                        "off": np.full(
-                            docs.size, int(getattr(row, "off", 0)),
-                            np.int32
-                        ),
-                    }
-                )
+                qid = int(row.query_id)
+                if qid not in meta:
+                    meta[qid] = (int(row.k), int(row.n_query_terms),
+                                 int(getattr(row, "off", 0)))
+                if rest_map is not None and sc.size:
+                    kk = meta[qid][0] + meta[qid][2]
+                    if 0 < kk <= sc.size:
+                        th = np.partition(sc, sc.size - kk)[sc.size - kk]
+                        if th > theta.get(qid, -np.inf):
+                            theta[qid] = th
+                    cur = theta.get(qid, -np.inf)
+                    if cur > -np.inf:
+                        # unknown (qid, term) residual -> +inf (never
+                        # prune on missing information)
+                        rest = rest_map.get((qid, row.term), np.inf)
+                        keep = sc + rest >= cur
+                        if not keep.all():
+                            docs, sc = docs[keep], sc[keep]
+                if not docs.size:
+                    continue
+                ent = acc.setdefault(qid, [[], [], [], 0])
+                ent[0].append(docs.astype(np.int64))
+                ent[1].append(sc)
+                ent[2].append(np.ones(docs.size, np.float64))
+                ent[3] += docs.size
+                if ent[3] >= _DIST_COMBINE_CHUNK:
+                    compress(ent)
+        for qid, ent in acc.items():
+            compress(ent)
+            uniq, ssum, nsum = ent[0][0], ent[1][0], ent[2][0]
+            k, nq, off = meta[qid]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.full(uniq.size, qid, np.int32),
+                    "doc_id": uniq,
+                    "contrib": ssum,
+                    "nm": nsum.astype(np.int32),
+                    "k": np.full(uniq.size, k, np.int32),
+                    "n_query_terms": np.full(uniq.size, nq, np.int32),
+                    "off": np.full(uniq.size, off, np.int32),
+                }
+            )
 
     # explicit projection: Catalyst cannot prune through mapInPandas,
     # so without it block_max/cf/df ride the Arrow transfer unused
@@ -695,19 +829,22 @@ def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive,
             + [c_ for c_ in ("boost", "off") if c_ in matched.columns])
     c = matched.select(*need).mapInPandas(
         contribs,
-        schema="query_id int, term string, doc_id long, contrib double, "
+        schema="query_id int, doc_id long, contrib double, nm int, "
                "k int, n_query_terms int, off int",
     )
-    if doc_filter is not None:
-        c = c.join(doc_filter.select("doc_id"), "doc_id", "semi")
-    if doc_exclude is not None:
+    if filt_join is not None:
+        c = c.join(filt_join.select("doc_id"), "doc_id", "semi")
+    if excl_join is not None:
         # anti join = liveDocs mask; tombstone sets are small, so AQE
         # broadcasts and drops deleted rows map-side pre-shuffle
-        c = c.join(doc_exclude.select("doc_id"), "doc_id", "anti")
+        c = c.join(excl_join.select("doc_id"), "doc_id", "anti")
     scored = c.groupBy("query_id", "doc_id").agg(
         F.sum("contrib").alias("score"),
         F.first("k").alias("k"),
-        F.count_distinct(F.col("term")).alias("n_matched"),
+        # (term, doc) is globally unique (one posting row per (term,
+        # segment), segments partition docs), so summing the per-task
+        # matched-term partials equals the old count_distinct(term)
+        F.sum("nm").alias("n_matched"),
         F.first("n_query_terms").alias("nq"),
         F.first("off").alias("off"),
     )
@@ -1209,7 +1346,8 @@ def boolean_topk(
         run_kernel=lambda m: _run_boolean_kernel(
             m, N, avgdl, cfg, filt_bc, excl_bc),
         run_distributed=lambda m, dfm: _run_boolean_distributed(
-            m, dfm, N, avgdl, cfg, doc_filter, doc_exclude),
+            m, dfm, N, avgdl, cfg, doc_filter, doc_exclude,
+            filt_bc=filt_bc, excl_bc=excl_bc),
     )
 
 
@@ -1308,66 +1446,121 @@ def _run_boolean_kernel(matched, N, avgdl, cfg,
 
 def _run_boolean_distributed(matched, df_map, N, avgdl, cfg,
                              doc_filter: DataFrame | None = None,
-                             doc_exclude: DataFrame | None = None
-                             ) -> DataFrame:
-    # same narrow shape as _run_distributed, plus the role column: the
-    # aggregate enforces all-MUST-matched, no-NOT-matched, and sums
-    # contributions of positive terms only — every clause evaluated by
-    # built-in hash aggregation, no task ever holding a whole posting
+                             doc_exclude: DataFrame | None = None,
+                             filt_bc=None, excl_bc=None) -> DataFrame:
+    # same decode-and-combine shape as _run_distributed, with the
+    # clause roles folded into per-doc partial COUNTS map-side (round
+    # 7): each task emits one row per (query, distinct doc) carrying
+    # the summed positive contribution plus how many MUST / SHOULD /
+    # MUST_NOT terms matched in-task — (term, doc) is globally unique
+    # and a term has exactly one role per query, so summing partials
+    # equals the old per-(term, doc)-row count_distinct aggregate while
+    # the shuffle drops both string columns and the df-mass row count.
+    # No θ pruning here: MUST / min_should_match restrict the result
+    # to a sub-population whose k-th score a single-term floor cannot
+    # bound. doc_filter/doc_exclude mask INSIDE the kernel when their
+    # sorted-id broadcasts exist (same set as the joins they replace).
+    filt_join = doc_filter if filt_bc is None else None
+    excl_join = doc_exclude if excl_bc is None else None
+
     def contribs(it):
+        filt = filt_bc.value if filt_bc is not None else None
+        excl = excl_bc.value if excl_bc is not None else None
+        # qid -> [docs, contrib, nm, nsh, nn, raw-since-compress]
+        acc: dict = {}
+        meta: dict = {}  # qid -> (k, n_must, msm)
+
+        def compress(ent):
+            docs = np.concatenate(ent[0])
+            uniq, inv = np.unique(docs, return_inverse=True)
+            ent[0] = [uniq]
+            for i in range(1, 5):
+                ent[i] = [np.bincount(inv, weights=np.concatenate(ent[i]))]
+            ent[5] = 0
+
         for pdf in it:
             for row in pdf.itertuples(index=False):
-                if row.role == "not":
+                is_not = row.role == "not"
+                if is_not:
                     # membership only — skip the tf/dl varint decodes
                     # (MUST_NOT stopwords are the largest postings)
                     docs = delta_decode(row.doc_ids).astype(np.int64)
-                    sc = np.zeros(docs.size, dtype=np.float64)
+                    tfs = dls = None
                 else:
                     docs, tfs, dls = _decode_posting(row)
+                if filt is not None and docs.size:
+                    keep = sorted_member_mask(filt, docs)
+                    docs = docs[keep]
+                    if not is_not:
+                        tfs, dls = tfs[keep], dls[keep]
+                if excl is not None and excl.size and docs.size:
+                    keep = ~sorted_member_mask(excl, docs)
+                    docs = docs[keep]
+                    if not is_not:
+                        tfs, dls = tfs[keep], dls[keep]
+                if not docs.size:
+                    continue
+                if is_not:
+                    sc = np.zeros(docs.size, dtype=np.float64)
+                else:
                     sc = term_scores(
                         tfs, dls, float(idf_fn(N, df_map[row.term])),
                         avgdl, cfg.k1, cfg.b,
                     )
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.full(docs.size, row.query_id, np.int32),
-                        "term": np.full(docs.size, row.term, dtype=object),
-                        "role": np.full(docs.size, row.role, dtype=object),
-                        "doc_id": docs.astype(np.int64),
-                        "contrib": sc,
-                        "k": np.full(docs.size, row.k, np.int32),
-                        "n_must": np.full(docs.size, row.n_must, np.int32),
-                        "msm": np.full(
-                            docs.size, getattr(row, "msm", 0), np.int32),
-                    }
-                )
+                qid = int(row.query_id)
+                if qid not in meta:
+                    meta[qid] = (int(row.k), int(row.n_must),
+                                 int(getattr(row, "msm", 0)))
+                ent = acc.setdefault(
+                    qid, [[], [], [], [], [], 0])
+                one = np.ones(docs.size, np.float64)
+                zero = np.zeros(docs.size, np.float64)
+                ent[0].append(docs.astype(np.int64))
+                ent[1].append(sc)
+                ent[2].append(one if row.role == "must" else zero)
+                ent[3].append(one if row.role == "should" else zero)
+                ent[4].append(one if row.role == "not" else zero)
+                ent[5] += docs.size
+                if ent[5] >= _DIST_COMBINE_CHUNK:
+                    compress(ent)
+        for qid, ent in acc.items():
+            compress(ent)
+            uniq = ent[0][0]
+            k, n_must, msm = meta[qid]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.full(uniq.size, qid, np.int32),
+                    "doc_id": uniq,
+                    "contrib": ent[1][0],
+                    "nm": ent[2][0].astype(np.int32),
+                    "nsh": ent[3][0].astype(np.int32),
+                    "nn": ent[4][0].astype(np.int32),
+                    "k": np.full(uniq.size, k, np.int32),
+                    "n_must": np.full(uniq.size, n_must, np.int32),
+                    "msm": np.full(uniq.size, msm, np.int32),
+                }
+            )
 
     need = (["term", "role", "query_id", "k", "n_must",
              "doc_ids", "tfs", "dls"]
             + (["msm"] if "msm" in matched.columns else []))
     c = matched.select(*need).mapInPandas(
         contribs,
-        schema="query_id int, term string, role string, doc_id long, "
-               "contrib double, k int, n_must int, msm int",
+        schema="query_id int, doc_id long, contrib double, nm int, "
+               "nsh int, nn int, k int, n_must int, msm int",
     )
-    if doc_filter is not None:
-        c = c.join(doc_filter.select("doc_id"), "doc_id", "semi")
-    if doc_exclude is not None:
-        c = c.join(doc_exclude.select("doc_id"), "doc_id", "anti")
+    if filt_join is not None:
+        c = c.join(filt_join.select("doc_id"), "doc_id", "semi")
+    if excl_join is not None:
+        c = c.join(excl_join.select("doc_id"), "doc_id", "anti")
     scored = (
         c.groupBy("query_id", "doc_id")
         .agg(
-            F.sum(F.when(F.col("role") != "not", F.col("contrib"))
-                  .otherwise(F.lit(0.0))).alias("score"),
+            F.sum("contrib").alias("score"),
             F.first("k").alias("k"),
-            F.count_distinct(
-                F.when(F.col("role") == "must", F.col("term"))
-            ).alias("nm"),
-            F.sum(F.when(F.col("role") == "not", F.lit(1))
-                  .otherwise(F.lit(0))).alias("nn"),
-            F.count_distinct(
-                F.when(F.col("role") == "should", F.col("term"))
-            ).alias("nsh"),
+            F.sum("nm").alias("nm"),
+            F.sum("nn").alias("nn"),
+            F.sum("nsh").alias("nsh"),
             F.first("n_must").alias("n_must"),
             F.first("msm").alias("msm"),
         )

@@ -77,10 +77,38 @@ def test_parse_shapes():
 
 
 def test_parse_rejects_unsupported():
-    for bad in ('a AND b', '(a b)', 'field:x', 'a|b', '[a TO b]',
-                'a^0', 'w*~1', 'x~3', '"open quote'):
+    for bad in ('a AND b', 'field:x', 'a|b', '[a TO b]',
+                'a^0', 'w*~1', 'x~3', '"open quote',
+                # group edges: nesting, inner signs, empty, bad suffix,
+                # unclosed/bare parens, -( ) under AND semantics
+                '((a b))', '(+a b)', '()', '(a b)~2', '(a b', 'a)b'):
         with pytest.raises(ValueError):
             parse_query_string(bad, CFG)
+    with pytest.raises(ValueError, match="default_operator"):
+        parse_query_string('-(a b)', CFG, "and")
+
+
+def test_parse_groups():
+    """One nesting level of ( ) grouping (round 7): members share a
+    gid; +/- and ^boost apply to the whole group; bare clauses get
+    singleton gids."""
+    p = parse_query_string('+(a b) -(c d) (e "f g")^2 h', CFG)
+    roles = [c["role"] for c in p]
+    assert roles == ["must", "must", "not", "not",
+                     "should", "should", "should"]
+    gids = [c["gid"] for c in p]
+    assert gids[0] == gids[1] and gids[2] == gids[3] \
+        and gids[4] == gids[5]
+    assert len({gids[0], gids[2], gids[4], gids[6]}) == 4
+    assert [c["boost"] for c in p[4:6]] == [2.0, 2.0]
+    assert p[5]["kind"] == "phrase"
+    # member boost composes with the group boost
+    p2 = parse_query_string('(a^3 b)^2', CFG)
+    assert p2[0]["boost"] == 6.0 and p2[1]["boost"] == 2.0
+    # under default AND, a positive group flattens to per-member MUSTs
+    p3 = parse_query_string('(a b)', CFG, "and")
+    assert [c["role"] for c in p3] == ["must", "must"]
+    assert p3[0]["gid"] != p3[1]["gid"]
 
 
 def test_parse_two_word_fuzzy_raises():
@@ -106,6 +134,35 @@ def test_must_not_matches_boolean_oracle(ps_index):
     a, b, c, d = toks
     got = _run(ps_index, [f"+{a} {b} -{c}"], k=25)
     want = oracle.boolean_topk(a, b, c, 25)
+    _check(got, 0, want)
+
+
+def test_grouped_matches_naive_oracle(ps_index):
+    """`+(a b) c -(d e)`: candidates must contain a OR b, none of
+    d/e; score = BM25 contribs of the matched positive terms."""
+    oracle = ps_index["oracle"]
+    toks = sorted(oracle.postings, key=oracle.df, reverse=True)[:5]
+    a, b, c, d, e = toks
+    got = _run(ps_index, [f"+({a} {b}) {c} -({d} {e})"], k=25)
+    excl = set(oracle.postings.get(d, {})) | set(oracle.postings.get(e, {}))
+    cand = (set(oracle.postings.get(a, {}))
+            | set(oracle.postings.get(b, {}))) - excl
+    scored = [(doc, oracle.score_doc([a, b, c], doc))
+              for doc in sorted(cand)]
+    _check(got, 0, _rank(scored, 25))
+    # the must-group actually binds: docs with only c are absent
+    only_c = set(oracle.postings.get(c, {})) - cand - excl
+    assert only_c, "fixture too small to exercise the group"
+    assert not set(got[got.query_id == 0].doc_id) & only_c
+
+
+def test_group_boost_matches_oracle(ps_index):
+    """`(a b)^2 c` == term boosts {a:2, b:2} over the same OR set."""
+    oracle = ps_index["oracle"]
+    toks = sorted(oracle.postings, key=oracle.df, reverse=True)[:3]
+    a, b, c = toks
+    got = _run(ps_index, [f"({a} {b})^2 {c}"], k=20)
+    want = oracle.topk(f"{a} {b} {c}", 20, boosts={a: 2.0, b: 2.0})
     _check(got, 0, want)
 
 

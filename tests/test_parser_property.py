@@ -94,8 +94,41 @@ def _multi_token_bare(draw):
               "boost": bv, "extra": 0} for t in toks])
 
 
-_clause = st.one_of(_term_clause(), _fuzzy_clause(), _wildcard_clause(),
-                    _phrase_clause(), _multi_token_bare())
+_simple_clause = st.one_of(_term_clause(), _fuzzy_clause(),
+                           _wildcard_clause(), _phrase_clause(),
+                           _multi_token_bare())
+
+
+@st.composite
+def _group_clause(draw):
+    # (m1 m2)^boost with a whole-group sign: members are unsigned
+    # simple clauses sharing one gid; the group boost multiplies each
+    # member's own (round-7 grouping)
+    s, b = draw(_sign), draw(_boost)
+    members = draw(st.lists(_simple_clause, min_size=1, max_size=3))
+    members = [(c, ws) for c, ws in members
+               if not c.startswith(("+", "-")) and ws]
+    if not members:
+        members = [("g0", [{"role": "should", "kind": "term",
+                            "value": "g0", "boost": 1.0, "extra": 0}])]
+    sfx, bv = _boost_sfx(b)
+    chunk = f"{s}({' '.join(c for c, _ in members)}){sfx}"
+    want = [dict(w, role=_ROLE[s], boost=w["boost"] * bv)
+            for _, ws in members for w in ws]
+    return chunk, want
+
+
+_clause = st.one_of(_simple_clause, _group_clause())
+
+
+def _with_gids(clauses):
+    """Expected gid assignment: one gid per top-level chunk (group
+    members share their group's), allocated in chunk order — including
+    chunks whose clause list is empty (a gid is consumed either way)."""
+    want = []
+    for gid, (_, ws) in enumerate(clauses):
+        want.extend(dict(w, gid=gid) for w in ws)
+    return want
 
 
 @given(st.lists(_clause, min_size=0, max_size=6),
@@ -103,16 +136,16 @@ _clause = st.one_of(_term_clause(), _fuzzy_clause(), _wildcard_clause(),
 @settings(max_examples=300, deadline=None)
 def test_constructed_strings_parse_exactly(clauses, sep):
     text = sep.join(c for c, _ in clauses)
-    want = [w for _, ws in clauses for w in ws]
+    want = _with_gids(clauses)
     got = parse_query_string(text, CFG)
     assert got == want, text
 
 
-@given(st.lists(_clause, min_size=1, max_size=4))
+@given(st.lists(_simple_clause, min_size=1, max_size=4))
 @settings(max_examples=100, deadline=None)
 def test_default_operator_and_promotes_bare(clauses):
     text = " ".join(c for c, _ in clauses)
     got = parse_query_string(text, CFG, default_operator="and")
     want = [dict(w, role="must") if w["role"] == "should" else w
-            for _, ws in clauses for w in ws]
+            for w in _with_gids(clauses)]
     assert got == want, text
