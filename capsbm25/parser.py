@@ -75,6 +75,7 @@ from capsbm25.codec import delta_decode
 from capsbm25.config import BuildConfig
 from capsbm25.query import (
     MAX_EXPANSIONS_DEFAULT,
+    term_doc_ids,
     RESULT_SCHEMA,
     _decode_posting,
     _salted_topk,
@@ -299,14 +300,34 @@ def _parse_simple_chunk(chunk: str, role: str, cfg: BuildConfig,
                         "boost": boost, "extra": 0, "gid": gid})
 
 
-_CONTRIB_SCHEMA = ("query_id int, gid int, role string, "
-                   "doc_id long, contrib double")
+# fused per-doc contribution shape: contributions pre-summed, matched
+# MUST-group bits pre-OR'd (mb), prohibited flag pre-OR'd (xn)
+_CONTRIB_SCHEMA = ("query_id int, doc_id long, contrib double, "
+                   "mb long, cb long, xn int")
+
+# a query-string task re-compresses its per-doc accumulator at this
+# many raw (doc, contrib) pairs (same bound as the expansion combine)
+_QS_COMBINE_CHUNK = 4_000_000
+
+# MUST groups are tracked as bits of one int64 bitmask; 62 groups per
+# query is far past any real classic-parser query (Lucene's whole-query
+# default maxClauseCount is 1024); beyond it we raise loudly rather
+# than mis-count
+_MAX_MUST_BITS = 62
 
 
 def _term_contribs(spark, postings, rows: pd.DataFrame, N, avgdl, cfg):
     """One narrow pass scoring every term clause of the batch:
     In(term)-pruned scan, broadcast clause join, per-row decode ->
-    BM25 x boost (0 for MUST_NOT rows — only membership matters)."""
+    BM25 x boost (0 for MUST_NOT rows — only membership matters).
+
+    Emits the FUSED per-doc shape (round 7): the kernel combines
+    per (query, doc) in-task with the chunk-bounded accumulator —
+    contributions pre-summed, matched MUST groups pre-OR'd into the
+    `mb` bitmask (rows carry each clause's driver-assigned must bit),
+    the prohibited flag pre-OR'd into `xn` — so the combine stage is
+    one plain sum/bit_or/max aggregate over distinct-doc rows instead
+    of two count_distincts over one row per (clause, posting entry)."""
     qdf = spark.createDataFrame(rows)
     terms = sorted(rows["term"].unique().tolist())
     filtered = postings.where(F.col("term").isin(terms))
@@ -320,9 +341,30 @@ def _term_contribs(spark, postings, rows: pd.DataFrame, N, avgdl, cfg):
     k1, b = cfg.k1, cfg.b
 
     def gen(it):
+        # qid -> [docs, contrib, mb, xn chunks, raw-since-compress]
+        acc: dict = {}
+
+        def compress(ent):
+            docs = np.concatenate(ent[0])
+            order = np.argsort(docs, kind="stable")
+            d = docs[order]
+            new = np.ones(d.size, dtype=bool)
+            new[1:] = d[1:] != d[:-1]
+            starts = np.flatnonzero(new)
+            ent[0] = [d[starts]]
+            ent[1] = [np.add.reduceat(
+                np.concatenate(ent[1])[order], starts)]
+            ent[2] = [np.bitwise_or.reduceat(
+                np.concatenate(ent[2])[order], starts)]
+            ent[3] = [np.bitwise_or.reduceat(
+                np.concatenate(ent[3])[order], starts)]
+            ent[4] = 0  # raw appended since last compress (quadratic
+            #             re-trigger guard — see _term_expansion_topk)
+
         for pdf in it:
             for row in pdf.itertuples(index=False):
-                if row.role == "not":
+                is_not = row.role == "not"
+                if is_not:
                     # membership only — skip the tf/dl varint decodes
                     # (a MUST_NOT stopword is the largest posting in
                     # the batch and its contribution is hardcoded 0)
@@ -337,35 +379,64 @@ def _term_contribs(spark, postings, rows: pd.DataFrame, N, avgdl, cfg):
                     tidf = float(idf_fn(N, df_map[row.term]))
                     contrib = term_scores(
                         tfs, dls, tidf, avgdl, k1, b) * float(row.boost)
-                yield pd.DataFrame(
-                    {"query_id": np.full(docs.size, row.query_id,
-                                         np.int32),
-                     "gid": np.full(docs.size, row.gid,
-                                          np.int32),
-                     "role": np.full(docs.size, row.role, dtype=object),
-                     "doc_id": docs.astype(np.int64),
-                     "contrib": contrib})
+                ent = acc.setdefault(
+                    int(row.query_id), [[], [], [], [], 0])
+                ent[0].append(docs.astype(np.int64))
+                ent[1].append(contrib)
+                ent[2].append(np.full(docs.size, int(row.mbit),
+                                      np.int64))
+                ent[3].append(np.full(docs.size, 1 if is_not else 0,
+                                      np.int64))
+                ent[4] += docs.size
+                if ent[4] >= _QS_COMBINE_CHUNK:
+                    compress(ent)
+        for qid, ent in acc.items():
+            compress(ent)
+            uniq = ent[0][0]
+            yield pd.DataFrame(
+                {"query_id": np.full(uniq.size, qid, np.int32),
+                 "doc_id": uniq,
+                 "contrib": ent[1][0],
+                 "mb": ent[2][0],
+                 "cb": np.zeros(uniq.size, np.int64),
+                 "xn": ent[3][0].astype(np.int32)})
 
     return matched.mapInPandas(gen, schema=_CONTRIB_SCHEMA)
 
 
 def _subcall_contribs(spark, result: DataFrame, sid_map: pd.DataFrame,
                       constant: bool) -> DataFrame:
-    """Map a clause sub-call's rows back to the parent (query_id,
-    gid, role, contrib): score x boost for scoring clauses
-    (phrase — result carries a score), flat boost for constant-score
-    ones (expansion — result is the docs_only membership frame)."""
+    """Map a clause sub-call's rows back to the parent FUSED shape
+    (query_id, doc_id, contrib, mb, xn): score x boost for scoring
+    clauses (phrase — result carries a score), flat boost for
+    constant-score ones (expansion — docs_only membership); mb = the
+    clause's must bit (0 unless role=must), xn = 1 for MUST_NOT. The
+    sub-call results are already distinct per (sid, doc), so no
+    further in-task combine is needed."""
     mdf = F.broadcast(spark.createDataFrame(sid_map).select(
         F.col("sid").cast("int"), F.col("orig_qid").cast("int"),
-        F.col("gid").cast("int"), "role",
+        "role", F.col("mbit").cast("long").alias("mbit"),
+        F.col("cbit").cast("long").alias("cbit"),
         F.col("boost").cast("double")))
-    contrib = (F.col("boost") if constant
-               else F.col("score") * F.col("boost"))
+    # constant clauses score through the idempotent cb bit (their
+    # membership frames may carry cross-task duplicates — see
+    # _expansion_doc_ids distinct=False); scoring clauses (phrase)
+    # are already distinct per (sid, doc) and sum their contrib
+    contrib = (F.lit(0.0) if constant
+               else F.when(F.col("role") != "not",
+                           F.col("score") * F.col("boost"))
+                     .otherwise(F.lit(0.0)))
     return (
         result.withColumnRenamed("query_id", "sid")
         .join(mdf, "sid")
-        .select(F.col("orig_qid").alias("query_id"), "gid", "role",
-                "doc_id", contrib.cast("double").alias("contrib"))
+        .select(
+            F.col("orig_qid").alias("query_id"), "doc_id",
+            contrib.cast("double").alias("contrib"),
+            F.col("mbit").alias("mb"),
+            F.col("cbit").alias("cb"),
+            F.when(F.col("role") == "not", F.lit(1))
+             .otherwise(F.lit(0)).cast("int").alias("xn"),
+        )
     )
 
 
@@ -400,17 +471,85 @@ def query_string_topk(
         # `+(a b)` group is satisfied by ANY member, so a doc needs
         # one distinct matched gid per must-group (a bare must clause
         # is its own singleton group — identical to the old count)
-        n_must = len({c["gid"] for c in clauses if c["role"] == "must"})
-        meta.append((qid, n_must, k))
-        for c in clauses:
+        must_gids = sorted({c["gid"] for c in clauses
+                            if c["role"] == "must"})
+        if len(must_gids) > _MAX_MUST_BITS:
+            raise ValueError(
+                f"query {qid} has {len(must_gids)} MUST groups; the "
+                f"fused combine tracks at most {_MAX_MUST_BITS} "
+                "(Lucene's whole-query default maxClauseCount is 1024 "
+                "— split the query)"
+            )
+        bit = {g: 1 << i for i, g in enumerate(must_gids)}
+        # constant-score (expansion) clauses score through an
+        # IDEMPOTENT per-clause bit (cb) instead of a summed contrib,
+        # so their membership frames need no global dedup — bit_or
+        # absorbs cross-task duplicates; the boost per bit rides the
+        # query meta as an array and converts to score at the hits
+        # stage (a pure codegen expression, no extra shuffle)
+        cboosts: list[float] = []
+        cbits: dict[int, int] = {}  # clause index in list -> cbit
+        for ci, c in enumerate(clauses):
+            if c["kind"] in ("fuzzy", "wildcard") and c["role"] != "not":
+                if len(cboosts) >= _MAX_MUST_BITS:
+                    raise ValueError(
+                        f"query {qid} has more than {_MAX_MUST_BITS} "
+                        "constant-score clauses — split the query"
+                    )
+                cbits[ci] = 1 << len(cboosts)
+                cboosts.append(float(c["boost"]))
+        meta.append((qid, len(must_gids), k, cboosts))
+        for ci, c in enumerate(clauses):
             rec = (qid, c["gid"], c["role"], c["value"], c["boost"],
-                   c["extra"])
+                   c["extra"], bit.get(c["gid"], 0)
+                   if c["role"] == "must" else 0, cbits.get(ci, 0))
             {"term": term_rows, "phrase": phrase_cl, "fuzzy": fuzzy_cl,
              "wildcard": wild_cl}[c["kind"]].append(rec)
     if not (term_rows or phrase_cl or fuzzy_cl or wild_cl):
         return spark.createDataFrame([], RESULT_SCHEMA)
 
-    cols = ["orig_qid", "gid", "role", "value", "boost", "extra"]
+    cols = ["orig_qid", "gid", "role", "value", "boost", "extra",
+            "mbit", "cbit"]
+
+    # Round 7 — required-clause pushdown into the expansion clauses
+    # (Lucene's "required clauses drive the iteration"): every FINAL
+    # hit of a query must match each of its MUST groups, so when every
+    # expansion-carrying query has at least one MUST group of plain
+    # terms, the union of one chosen (smallest-Σdf) must group's doc
+    # sets per query is a SUPERSET of every possible hit — shipped as
+    # a doc_filter into the fuzzy/wildcard sub-calls, where it becomes
+    # an in-kernel broadcast mask (_expansion_masks), so the expansion
+    # membership frame shrinks from match-mass to candidate-mass.
+    # Bounded: built only when the chosen groups' Σdf <= 4M (the
+    # kernel-filter cap); correctness never depends on it (a doc
+    # outside the union fails its must group at the combine anyway).
+    exp_filter = None
+    if fuzzy_cl or wild_cl:
+        exp_qids = ({r[0] for r in fuzzy_cl} | {r[0] for r in wild_cl})
+        must_groups: dict[int, dict[int, list[str]]] = {}
+        for (qid, gid, role, value, _b, _e, _m, _c) in term_rows:
+            if role == "must" and qid in exp_qids:
+                must_groups.setdefault(qid, {}).setdefault(
+                    gid, []).append(value)
+        if exp_qids and all(q in must_groups for q in exp_qids):
+            all_terms = sorted({t for g in must_groups.values()
+                                for ts in g.values() for t in ts})
+            dfm = _term_df_map(
+                postings.where(F.col("term").isin(all_terms)))
+            chosen: set[str] = set()
+            for q in exp_qids:
+                best = min(must_groups[q].values(),
+                           key=lambda ts: sum(dfm.get(t, 0) for t in ts))
+                chosen.update(best)
+            est = sum(dfm.get(t, 0) for t in chosen)
+            # selectivity gate (measured at 1.05M turns): the filter
+            # costs one bounded collect + a per-entry mask in the
+            # expansion kernel, so it must actually be narrow — a
+            # must-union near corpus scale (e.g. a hot term) keeps
+            # most membership rows and loses outright
+            if 0 < est <= min(4_000_000, N // 16):
+                exp_filter = term_doc_ids(postings, sorted(chosen))
+
     # each thunk builds one clause-kind's contribution frame(s); they
     # run on a small thread pool (round 7) because every sub-surface
     # call contains DRIVER-blocking steps (df/stats collects, the
@@ -424,7 +563,7 @@ def query_string_topk(
             columns={"orig_qid": "query_id", "value": "term"})
         thunks.append(lambda: [_term_contribs(
             spark, postings,
-            tpdf[["query_id", "gid", "role", "term", "boost"]],
+            tpdf[["query_id", "role", "term", "boost", "mbit"]],
             N, avgdl, cfg)])
 
     def run_group(cl, key_fn, call):
@@ -443,7 +582,8 @@ def query_string_topk(
                 else res.select("query_id", "doc_id", "score")
             out.append(_subcall_contribs(
                 spark, res,
-                grp[["sid", "orig_qid", "gid", "role", "boost"]],
+                grp[["sid", "orig_qid", "role", "boost", "mbit",
+                     "cbit"]],
                 constant))
         return out
 
@@ -473,14 +613,15 @@ def query_string_topk(
             lambda key, sub: (fuzzy_topk(
                 spark, postings, sub, cfg, max_edits=int(key),
                 dictionary=dictionary, max_expansions=max_expansions,
-                docs_only=True,
+                docs_only="raw", doc_filter=exp_filter,
             ), True)))
     if wild_cl:
         thunks.append(lambda: run_group(
             wild_cl, lambda r: 0,
             lambda key, sub: (wildcard_topk(
                 spark, postings, sub, cfg, dictionary=dictionary,
-                max_expansions=max_expansions, docs_only=True,
+                max_expansions=max_expansions, docs_only="raw",
+                doc_filter=exp_filter,
             ), True)))
 
     if len(thunks) == 1:
@@ -497,22 +638,38 @@ def query_string_topk(
     contribs = parts[0]
     for p in parts[1:]:
         contribs = contribs.unionByName(p)
+    # explicit schema: cboosts is all-empty when no constant-score
+    # clauses exist in the batch and inference can't type []
     qmeta = F.broadcast(spark.createDataFrame(
-        pd.DataFrame(meta, columns=["query_id", "n_must", "k"])
-    ).select(F.col("query_id").cast("int"), "n_must", "k"))
+        pd.DataFrame(meta,
+                     columns=["query_id", "n_must", "k", "cboosts"]),
+        schema="query_id int, n_must long, k long, "
+               "cboosts array<double>"))
+    # fused combine (round 7): the producers pre-summed contributions
+    # and pre-OR'd the per-doc MUST-group bitmask and prohibited flag,
+    # so this is one plain hash aggregate — popcount(bit_or) replaces
+    # the old count_distinct-over-(clause, posting-entry) rows. A doc
+    # surviving xnot == 0 necessarily matched >= 1 positive clause
+    # (its rows exist and are not all MUST_NOT), preserving the old
+    # score-not-null condition.
     per_doc = contribs.groupBy("query_id", "doc_id").agg(
-        F.sum(F.when(F.col("role") != "not", F.col("contrib")))
-         .alias("score"),
-        F.count_distinct(
-            F.when(F.col("role") == "must", F.col("gid")))
-         .alias("nm"),
-        F.max(F.when(F.col("role") == "not", F.lit(1)).otherwise(0))
-         .alias("xnot"),
+        F.sum("contrib").alias("score0"),
+        F.bit_or("mb").alias("mb"),
+        F.bit_or("cb").alias("cb"),
+        F.max("xn").alias("xnot"),
     )
+    # constant-clause bits -> score: Σ over set bits of that clause's
+    # boost (whole-stage-codegen higher-order fns, nothing collected)
+    const_score = F.expr(
+        "IF(size(cboosts) = 0, 0d, aggregate("
+        "transform(cboosts, (b, i) -> IF(((cb >> i) & 1) = 1, b, 0d)),"
+        " 0d, (acc, x) -> acc + x))")
     hits = (
         per_doc.join(qmeta, "query_id")
-        .where((F.col("xnot") == 0) & (F.col("nm") == F.col("n_must"))
-               & F.col("score").isNotNull())
+        .where((F.col("xnot") == 0)
+               & (F.bit_count("mb") == F.col("n_must")))
+        .withColumn("score", F.col("score0")
+                    + F.coalesce(const_score, F.lit(0.0)))
     )
     if doc_filter is not None:
         hits = hits.join(doc_filter.select("doc_id"), "doc_id",

@@ -2612,6 +2612,23 @@ def _pruned_pair_join(spark, posts, pairs_pdf, has_part):
 _EXPANSION_COMBINE_CHUNK = 4_000_000
 
 
+def _expansion_masks(matched, doc_filter, doc_exclude):
+    """Kernel-mask routing for the expansion tails (round 7): bounded
+    doc_filter/doc_exclude sets become sorted-id broadcasts applied
+    INSIDE the decode kernels (before the per-task dedup/combine), so
+    the post-emission semi/anti joins disappear; oversized sets keep
+    the join path (same auto rules as _prep_doc_sets — nothing
+    unbounded is ever collected). Returns (doc_filter, doc_exclude,
+    filt_bc, excl_bc, empty); empty=True means a provably-empty
+    allowlist (the caller returns zero rows)."""
+    if doc_filter is None and doc_exclude is None:
+        return None, None, None, None, False
+    _, df_, de_, fb, eb, empty = _prep_doc_sets(
+        matched.sparkSession, "auto", doc_filter, doc_exclude,
+        4_000_000)
+    return df_, de_, fb, eb, empty
+
+
 def _term_expansion_topk(matched, doc_filter, doc_exclude) -> DataFrame:
     """Shared tail of the term-EXPANSION query family (prefix, fuzzy,
     wildcard): matched = posting rows joined to (query_id, k), docs
@@ -2633,8 +2650,18 @@ def _term_expansion_topk(matched, doc_filter, doc_exclude) -> DataFrame:
     distinct-docs-sized, and task memory is bounded at any doc-id
     cardinality (no dense corpus-sized array, works at 10^12 docs).
     Then filter joins -> built-in agg -> two-phase salted top-k; no
-    task ever holds more than one chunk of raw pairs."""
+    task ever holds more than one chunk of raw pairs. Bounded
+    doc_filter/doc_exclude sets mask INSIDE the kernel (round 7 —
+    _expansion_masks) ahead of the accumulate, so filtered pairs never
+    reach the shuffle; oversized sets keep the semi/anti joins."""
+    doc_filter, doc_exclude, filt_bc, excl_bc, empty = \
+        _expansion_masks(matched, doc_filter, doc_exclude)
+    if empty:
+        return matched.sparkSession.createDataFrame([], RESULT_SCHEMA)
+
     def doc_rows(it):
+        filt = filt_bc.value if filt_bc is not None else None
+        excl = excl_bc.value if excl_bc is not None else None
         # (query_id, k) -> [docs_chunks, tf_chunks, n_raw_since_compress]
         acc: dict = {}
 
@@ -2654,6 +2681,14 @@ def _term_expansion_topk(matched, doc_filter, doc_exclude) -> DataFrame:
             ent[2] = 0
 
         for row, docs, tfs in _iter_decoded_postings(it, with_tf=True):
+            if filt is not None and docs.size:
+                keep = sorted_member_mask(filt, docs)
+                docs, tfs = docs[keep], tfs[keep]
+            if excl is not None and excl.size and docs.size:
+                keep = ~sorted_member_mask(excl, docs)
+                docs, tfs = docs[keep], tfs[keep]
+            if not docs.size:
+                continue
             ent = acc.setdefault((row.query_id, row.k), [[], [], 0])
             ent[0].append(docs)
             ent[1].append(tfs)
@@ -2677,9 +2712,9 @@ def _term_expansion_topk(matched, doc_filter, doc_exclude) -> DataFrame:
     c = matched.select("query_id", "k", "doc_ids", "tfs").mapInPandas(
         doc_rows, schema="query_id int, doc_id long, tf long, k int"
     )
-    if doc_filter is not None:
+    if doc_filter is not None and filt_bc is None:
         c = c.join(doc_filter, "doc_id", "semi")
-    if doc_exclude is not None:
+    if doc_exclude is not None and excl_bc is None:
         c = c.join(doc_exclude, "doc_id", "anti")
     scored = c.groupBy("query_id", "doc_id").agg(
         F.sum("tf").cast("double").alias("score"),
@@ -2692,7 +2727,8 @@ _EXPANSION_DOCS_SCHEMA = "query_id int, doc_id long"
 
 
 def _expansion_doc_ids(matched, doc_filter=None,
-                       doc_exclude=None) -> DataFrame:
+                       doc_exclude=None,
+                       distinct: bool = True) -> DataFrame:
     """MEMBERSHIP of an expansion match — distinct (query_id, doc_id)
     over the matched posting rows, no tf decode, no ranking. This is
     what a CONSTANT-SCORE rewrite consumer (the query-string parser's
@@ -2702,19 +2738,64 @@ def _expansion_doc_ids(matched, doc_filter=None,
     scores flat. doc_filter/doc_exclude apply the same semi/anti
     joins as the ranked path — membership must respect liveDocs and
     filters identically (a constant-score consumer composing the set
-    into MUST clauses would otherwise resurrect excluded docs)."""
+    into MUST clauses would otherwise resurrect excluded docs).
+
+    Round 7: the decode loop DEDUPES per (query, task) with the
+    chunk-bounded accumulator idiom (adjacent expanded terms overlap
+    heavily on docs, so the raw per-(term, doc) frame was several
+    times the distinct membership — the dropDuplicates shuffle paid
+    for every duplicate), and when the filter/exclude sets arrive as
+    sorted-id broadcasts (filt_bc / excl_bc) they mask INSIDE the
+    kernel, replacing the post-emission joins entirely."""
+    doc_filter, doc_exclude, filt_bc, excl_bc, empty = \
+        _expansion_masks(matched, doc_filter, doc_exclude)
+    if empty:
+        return matched.sparkSession.createDataFrame(
+            [], _EXPANSION_DOCS_SCHEMA)
+
     def gen(it):
+        filt = filt_bc.value if filt_bc is not None else None
+        excl = excl_bc.value if excl_bc is not None else None
+        acc: dict = {}  # qid -> [doc chunks, raw-since-compress]
+
+        def compress(ent):
+            ent[0] = [np.unique(np.concatenate(ent[0]))]
+            # count raw ids APPENDED since the last compress (a
+            # compressed-size counter re-triggers full passes once
+            # distinct docs >= chunk — quadratic)
+            ent[1] = 0
+
         for row, docs, _ in _iter_decoded_postings(it):
+            if filt is not None and docs.size:
+                docs = docs[sorted_member_mask(filt, docs)]
+            if excl is not None and excl.size and docs.size:
+                docs = docs[~sorted_member_mask(excl, docs)]
+            if not docs.size:
+                continue
+            ent = acc.setdefault(int(row.query_id), [[], 0])
+            ent[0].append(docs)
+            ent[1] += docs.size
+            if ent[1] >= _EXPANSION_COMBINE_CHUNK:
+                compress(ent)
+        for qid, ent in acc.items():
+            compress(ent)
+            uniq = ent[0][0]
             yield pd.DataFrame(
-                {"query_id": np.full(docs.size, row.query_id, np.int32),
-                 "doc_id": docs})
+                {"query_id": np.full(uniq.size, qid, np.int32),
+                 "doc_id": uniq})
 
     out = matched.select("query_id", "doc_ids").mapInPandas(
         gen, schema=_EXPANSION_DOCS_SCHEMA)
-    if doc_filter is not None:
+    if doc_filter is not None and filt_bc is None:
         out = out.join(doc_filter, "doc_id", "semi")
-    if doc_exclude is not None:
+    if doc_exclude is not None and excl_bc is None:
         out = out.join(doc_exclude, "doc_id", "anti")
+    if not distinct:
+        # "raw" membership: per-task distinct only — an IDEMPOTENT
+        # consumer (the query-string parser's bit_or combine) absorbs
+        # cross-task duplicates, so the global dedup shuffle (the
+        # largest frame in a constant-score pipeline) is pure waste
+        return out
     return out.dropDuplicates(["query_id", "doc_id"])
 
 
@@ -2792,7 +2873,7 @@ def fuzzy_topk(
     dictionary: DataFrame | None = None,
     max_expansions: int | None = MAX_EXPANSIONS_DEFAULT,
     transpositions: bool = False,
-    docs_only: bool = False,
+    docs_only: bool | str = False,
 ) -> DataFrame:
     """Fuzzy term query (Lucene FuzzyQuery): docs containing ANY
     dictionary term within `max_edits` Levenshtein edits of the query
@@ -2907,7 +2988,8 @@ def fuzzy_topk(
     if matched is None:
         return spark.createDataFrame([], empty_schema)
     if docs_only:
-        return _expansion_doc_ids(matched, doc_filter, doc_exclude)
+        return _expansion_doc_ids(matched, doc_filter, doc_exclude,
+                                  distinct=docs_only != "raw")
     return _term_expansion_topk(matched, doc_filter, doc_exclude)
 
 
@@ -2920,7 +3002,7 @@ def wildcard_topk(
     doc_exclude: DataFrame | None = None,
     dictionary: DataFrame | None = None,
     max_expansions: int | None = MAX_EXPANSIONS_DEFAULT,
-    docs_only: bool = False,
+    docs_only: bool | str = False,
 ) -> DataFrame:
     """Wildcard term query (Lucene WildcardQuery): `*` matches any run
     of characters, `?` exactly one; docs containing ANY matching
@@ -2986,7 +3068,8 @@ def wildcard_topk(
     if matched is None:
         return spark.createDataFrame([], empty_schema)
     if docs_only:
-        return _expansion_doc_ids(matched, doc_filter, doc_exclude)
+        return _expansion_doc_ids(matched, doc_filter, doc_exclude,
+                                  distinct=docs_only != "raw")
     return _term_expansion_topk(matched, doc_filter, doc_exclude)
 
 

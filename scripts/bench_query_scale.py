@@ -23,6 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from capsbm25 import fixtures as fx
 from capsbm25.build import build_index, load_postings
@@ -58,10 +59,20 @@ for n_convs in SIZES:
     from capsbm25.query import (boolean_topk, fuzzy_topk, near_topk,
                                 wildcard_topk)
 
-    pdf = fx.gen_transcripts_pdf(n_convs, 42)
-    out = os.path.join(tempfile.mkdtemp(prefix="qscale_"), "idx")
+    scratch = os.path.join(tempfile.mkdtemp(prefix="qscale_"))
+    if n_convs > 200_000:
+        # driver-side pandas gen is fine at ladder sizes but takes
+        # minutes (and GBs) at 10.5M turns — generate in-Spark and
+        # read back, exactly like bench.py's headline path
+        tpath = os.path.join(scratch, "transcripts")
+        fx.gen_transcripts_spark(spark, n_convs, seed=42, partitions=64) \
+            .write.mode("overwrite").parquet(tpath)
+        corpus = spark.read.parquet(tpath)
+    else:
+        corpus = spark.createDataFrame(fx.gen_transcripts_pdf(n_convs, 42))
+    out = os.path.join(scratch, "idx")
     t0 = time.time()
-    res = build_index(spark, spark.createDataFrame(pdf), out, cfg)
+    res = build_index(spark, corpus, out, cfg)
     build_s = time.time() - t0
     postings = load_postings(spark, out)
     dictionary = load_dictionary(spark, out)
@@ -113,7 +124,14 @@ for n_convs in SIZES:
     qsug = qf.assign(text=[t[:3] for t in first_terms])
     qsp = qf.assign(text=["x" + t[1:] for t in first_terms])
     stats = load_doc_stats(spark, out)
+    fdf = stats.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0) \
+               .select("doc_id")
     surfaces = {
+        # bench.py's 1-in-3 metadata filter (auto mode: kernel-sized
+        # broadcasts below max_kernel_filter, distributed beyond)
+        "filtered": lambda: bm25_topk(
+            spark, postings, queries, res.N, res.avgdl, cfg,
+            doc_filter=fdf).count(),
         "boolean": lambda: boolean_topk(
             spark, postings, qb, res.N, res.avgdl, cfg).count(),
         "near": lambda: near_topk(

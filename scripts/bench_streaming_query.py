@@ -70,12 +70,29 @@ def main() -> None:
     bounds = [f"conv0042-{i * n_convs // nbatches:06d}"
               for i in range(nbatches + 1)]
 
+    wild = fx.queries_pdf(42).head(8)
+    wild = wild.assign(text=[t.split()[0][:3] + "*" for t in wild["text"]])
+
     def run_queries(out_dir: str) -> float:
         postings = load_segment_postings(spark, out_dir)
         N, avgdl = stream_corpus_stats(out_dir)
         t0 = time.time()
         n = bm25_topk(spark, postings, queries, N, avgdl, cfg,
                       mode="kernel").count()
+        dt = time.time() - t0
+        assert n > 0
+        return round(dt, 3)
+
+    def run_wildcard(out_dir: str) -> float:
+        # round-7 verdict item: expansion over a LIVE segmented index —
+        # no persisted dictionary, so the rewrite falls back to the
+        # 2-column postings projection; this row shows what that costs
+        # at 1 / mid / nbatches segments
+        from capsbm25.query import wildcard_topk
+
+        postings = load_segment_postings(spark, out_dir)
+        t0 = time.time()
+        n = wildcard_topk(spark, postings, wild, cfg).count()
         dt = time.time() - t0
         assert n > 0
         return round(dt, 3)
@@ -101,6 +118,8 @@ def main() -> None:
                     "segments": nseg,
                     "query_30_s": min(run_queries(out_dir),
                                       run_queries(out_dir)),
+                    "wildcard_8_s": min(run_wildcard(out_dir),
+                                        run_wildcard(out_dir)),
                 }
         return {"latency": lat, "ingest_s": round(ingest_s, 3)}
 

@@ -15,6 +15,9 @@ from pyspark.sql import SparkSession
 import __spark_entry__ as E
 
 _args = sys.argv[1:]
+# CHECK_ENTRY_JSON=<path> writes a driver-shaped per-entry record file
+# (the round's SELFCHECK artifact — rows/schema/hash flags per entry)
+JSON_OUT = os.environ.get("CHECK_ENTRY_JSON")
 SF = _args[0] if _args and os.path.isdir(_args[0]) else "/root/testdata/sf0.01"
 # remaining (non-directory) args filter which entries run; anything
 # that looks like a path but doesn't exist is a typo'd SF dir — fail
@@ -58,31 +61,44 @@ if unknown:
     sys.exit(f"unknown entry names: {sorted(unknown)} "
              f"(valid: {sorted(qs)})")
 fails = []
+records: dict = {}
 n_ran = 0
 for name, fn in qs.items():
     if ONLY and name not in ONLY:
         continue
     n_ran += 1
     t0 = time.time()
+    rec = {"rows_match": False, "schema_match": False,
+           "hash_match": False, "spark_rows": None,
+           "oracle_rows": None, "err": None}
+    records[name] = rec
     try:
         got = fn(spark, SF).toPandas()
+        rec["spark_rows"] = len(got)
     except Exception as ex:
+        rec["err"] = f"SPARK ERROR: {str(ex)[:300]}"
         fails.append((name, f"SPARK ERROR: {ex}"))
         print(f"{name:24s} SPARK ERROR: {str(ex)[:200]}")
         continue
     if name not in oracles:
+        rec["rows_only"] = True
+        rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = \
+            len(got) > 0
         print(f"{name:24s} rows-only: {len(got)} rows  ({time.time()-t0:.1f}s)")
         if len(got) == 0:
             fails.append((name, "0 rows"))
         continue
     try:
         want = con.sql(oracles[name]).df()
+        rec["oracle_rows"] = len(want)
     except Exception as ex:
+        rec["err"] = f"DUCKDB ERROR: {str(ex)[:300]}"
         fails.append((name, f"DUCKDB ERROR: {ex}"))
         print(f"{name:24s} DUCKDB ERROR: {str(ex)[:200]}")
         continue
     g, w = canon(got), canon(want)
     status = "OK"
+    rec["rows_match"] = len(g) == len(w)
     if len(g) != len(w):
         status = f"ROWCOUNT {len(g)} vs {len(w)}"
     elif list(g.columns) != list(w.columns):
@@ -92,13 +108,24 @@ for name, fn in qs.items():
         # is a hash miss even when numerically equal (round-1 lesson)
         status = f"DTYPES {[str(d) for d in g.dtypes]} vs {[str(d) for d in w.dtypes]}"
     else:
+        rec["schema_match"] = True
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False, atol=0, rtol=0)
+            rec["hash_match"] = True
         except AssertionError as ex:
             status = "VALUES DIFFER: " + str(ex).split("\n")[-2][:150]
     if status != "OK":
         fails.append((name, status))
+        rec["err"] = status[:300]
     print(f"{name:24s} {status}  rows={len(got)}  ({time.time()-t0:.1f}s)")
+
+if JSON_OUT:
+    import json
+    with open(JSON_OUT, "w") as fh:
+        json.dump({"sf_dir": SF, "n_ran": n_ran,
+                   "n_fail": len(fails), "entries": records}, fh,
+                  indent=1)
+    print(f"wrote {JSON_OUT}")
 
 print()
 if n_ran == 0:
