@@ -16,6 +16,11 @@ Syntax (whitespace-separated clauses):
                   move operations, this counts span slack)
   wild*  w?ld     wildcard / prefix expansion
   term~  term~1   fuzzy (Levenshtein <= N; ~ alone = 2, Lucene's default)
+  [a TO b]        term range (Lucene TermRangeQuery, round 7): docs
+  {a TO b}        containing ANY dictionary term in the range — [ ]
+  [a TO b}^2      inclusive, { } exclusive, mixed allowed; `*` opens
+                  a side ([a TO *]); TO must be uppercase (Lucene);
+                  constant-score like the other expansion clauses
   (a b)  +(a b)   boolean group, ONE nesting level (round 7): members
   -(c d) (a b)^2  combine by OR — `+( )` is satisfied by ANY member
                   (Lucene BooleanQuery-as-MUST), `-( )` excludes docs
@@ -26,8 +31,9 @@ Syntax (whitespace-separated clauses):
 A multi-token bare chunk contributes one clause PER TOKEN (same
 role/boost). Unsupported classic-parser syntax raises ValueError
 rather than silently mis-parsing: field: prefixes, AND/OR/NOT/TO
-operator keywords, | [ ] { } (ranges and synonym groups
-have dedicated surfaces: term_range_topk, synonym_topk), nested or
+operator keywords, | or stray [ ] { } inside a bare chunk (a range
+must be its own whitespace-separated chunk; synonym groups have a
+dedicated surface: synonym_topk), nested or
 signed-member groups, `-( )` under default_operator="and" (the
 default operator applies INSIDE groups, and NOT-of-AND has no
 per-member exclusion form), malformed
@@ -42,7 +48,7 @@ SCORING (per doc): sum over its matching positive clauses of
   term clause    -> BM25 contribution x boost (corpus-global stats)
   phrase clause  -> BM25 over the phrase's distinct terms x boost
                     (phrase_topk's scoring), for docs containing it
-  fuzzy/wildcard -> boost as a CONSTANT (Lucene's default
+  fuzzy/wildcard/range -> boost as a CONSTANT (Lucene's default
                     CONSTANT_SCORE_REWRITE for multi-term queries:
                     per-expanded-term idf is unstable, so an expansion
                     clause scores flat)
@@ -53,9 +59,10 @@ Returns the engine-wide (query_id, doc_id, score, rank) result shape.
 
 Scale shape: one In(term)-pruned narrow pass scores ALL term clauses
 of the batch (decode streams per posting row; nothing collected);
-phrase / NEAR / fuzzy / wildcard clauses batch into their existing
-surfaces (one call per kind — per distinct window for proximity, per
-distinct max_edits for fuzzy) with the full-match k, so each inherits
+phrase / NEAR / fuzzy / wildcard / range clauses batch into their
+existing surfaces (one call per kind — per distinct window for
+proximity, per distinct max_edits for fuzzy, one batched call for
+all ranges) with the full-match k, so each inherits
 its surface's scale path (chunked candidate masks, bounded expansion
 rewrite, dictionary pruning); the combine is one groupBy over
 (query, doc) contribution rows plus the two-phase salted top-k. A
@@ -83,6 +90,7 @@ from capsbm25.query import (
     fuzzy_topk,
     near_topk,
     phrase_topk,
+    term_range_topk,
     wildcard_topk,
 )
 from capsbm25.scoring import idf as idf_fn
@@ -97,16 +105,24 @@ _ALL_MATCHES_K = (1 << 31) - 1
 # nesting) plus whatever is glued to the closing paren, a quoted
 # phrase plus WHATEVER is glued to the closing quote (validated
 # against _QUOTED_RE below — anything else raises instead of
-# re-matching as spurious bare terms), or a bare \S+ run; every
-# non-space character lands in exactly one chunk, so nothing is
-# silently skipped
-_CHUNK_RE = re.compile(r'([+-]?)(\([^()]*\)\S*|"[^"]*"\S*|\S+)')
+# re-matching as spurious bare terms), a bracketed term range plus
+# whatever is glued to the closing bracket (validated against
+# _RANGE_RE — the range body contains a space around TO, so it needs
+# its own alternative), or a bare \S+ run; every non-space character
+# lands in exactly one chunk, so nothing is silently skipped
+_CHUNK_RE = re.compile(
+    r'([+-]?)(\([^()]*\)\S*|"[^"]*"\S*|[\[{][^\[\]{}]*[\]}]\S*|\S+)')
 # legal glued suffix after a closing paren: ^boost only
 _GROUP_RE = re.compile(r'^\(([^()]*)\)(?:\^(\d+(?:\.\d+)?))?$')
 # legal glued suffix after a closing quote: ~slop then ^boost, each
 # optional, in that order (Lucene's "a b"~2^3)
 _QUOTED_RE = re.compile(r'^"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?$')
 _BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$", re.S)
+# term range chunk: [lo TO hi] / {lo TO hi} / mixed, optional glued
+# ^boost; bounds are raw single tokens (Lucene does not analyze range
+# endpoints), `*` = open side
+_RANGE_RE = re.compile(
+    r'^([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])(?:\^(\d+(?:\.\d+)?))?$')
 _FUZZ_RE = re.compile(r"^(.+?)~(\d*)$", re.S)
 _PHRASE_RE = re.compile(r'^"([^"]*)"(?:~(\d+))?$', re.S)
 _REJECT_RE = re.compile(r"[()\[\]{}|:]")
@@ -118,8 +134,9 @@ def parse_query_string(
 ) -> list[dict]:
     """One query string -> clause list. Each clause: dict(role, kind,
     value, boost, extra, gid) with role in {must, should, not}, kind
-    in {term, phrase, fuzzy, wildcard}; extra = slop (phrase) or edits
-    (fuzzy). gid is the BOOLEAN GROUP the clause belongs to: clauses
+    in {term, phrase, fuzzy, wildcard, range}; extra = slop (phrase),
+    edits (fuzzy), or (include_lower, include_upper) for range, whose
+    value is the (lo, hi) bound pair (None = open side). gid is the BOOLEAN GROUP the clause belongs to: clauses
     sharing a gid satisfy their role together (a MUST group needs ANY
     member to match — Lucene's `+(a b)`; a NOT group's members each
     exclude); a bare clause is its own singleton group. Grouping
@@ -202,6 +219,37 @@ def _parse_simple_chunk(chunk: str, role: str, cfg: BuildConfig,
     `clauses` (a bare multi-token chunk contributes one clause per
     token with the same role/boost/gid). boost_mult: the enclosing
     group's ^boost (1.0 at top level) — multiplies the clause's own."""
+    if chunk[0] in "[{":
+        rm = _RANGE_RE.match(chunk)
+        if not rm:
+            raise ValueError(
+                f"malformed range clause {chunk!r}: expected "
+                "[lo TO hi] / {lo TO hi} (TO uppercase, single-token "
+                "bounds, * for an open side), optionally ^boost"
+            )
+        br_lo, lo, hi, br_hi, rboost = rm.groups()
+        boost = float(rboost or 1.0)
+        if boost <= 0:
+            raise ValueError(f"boost must be > 0 in {chunk!r}")
+        # bounds are NOT analyzed (Lucene TermRangeQuery semantics) —
+        # only case-folded to the index's lowercase term space
+        lo = None if lo == "*" else lo.lower()
+        hi = None if hi == "*" else hi.lower()
+        if lo is None and hi is None:
+            raise ValueError(
+                f"range {chunk!r} is open on both sides — it would "
+                "match the whole dictionary"
+            )
+        if any(c in '"^~()' for c in (lo or "") + (hi or "")):
+            raise ValueError(
+                f"unsupported character in range bound of {chunk!r}"
+            )
+        clauses.append({"role": role, "kind": "range",
+                        "value": (lo, hi),
+                        "boost": boost * boost_mult,
+                        "extra": (br_lo == "[", br_hi == "]"),
+                        "gid": gid})
+        return
     if chunk.startswith('"'):
         if not _QUOTED_RE.match(chunk):
             raise ValueError(
@@ -221,10 +269,10 @@ def _parse_simple_chunk(chunk: str, role: str, cfg: BuildConfig,
             )
         if _REJECT_RE.search(chunk):
             raise ValueError(
-                f"unsupported syntax in {chunk!r}: fields, ranges "
-                "and synonym groups have dedicated surfaces "
-                "(boolean_topk, term_range_topk, synonym_topk); "
-                "( ) groups must be whitespace-separated chunks"
+                f"unsupported syntax in {chunk!r}: fields and synonym "
+                "groups have dedicated surfaces (boolean_topk, "
+                "synonym_topk); ( ) groups and [a TO b] ranges must "
+                "be whitespace-separated chunks"
             )
     m = _BOOST_RE.match(chunk)
     body, boost = (m.group(1), float(m.group(2))) if m and m.group(2) \
@@ -463,7 +511,8 @@ def query_string_topk(
     expansion clauses accept the persisted `dictionary` and the
     bounded `max_expansions` rewrite like their dedicated surfaces."""
     cfg = cfg or BuildConfig()
-    term_rows, phrase_cl, fuzzy_cl, wild_cl, meta = [], [], [], [], []
+    term_rows, phrase_cl, fuzzy_cl, wild_cl = [], [], [], []
+    range_cl, meta = [], []
     for q in queries.itertuples(index=False):
         qid, k = int(q.query_id), int(q.k)
         clauses = parse_query_string(q.text, cfg, default_operator)
@@ -490,7 +539,8 @@ def query_string_topk(
         cboosts: list[float] = []
         cbits: dict[int, int] = {}  # clause index in list -> cbit
         for ci, c in enumerate(clauses):
-            if c["kind"] in ("fuzzy", "wildcard") and c["role"] != "not":
+            if (c["kind"] in ("fuzzy", "wildcard", "range")
+                    and c["role"] != "not"):
                 if len(cboosts) >= _MAX_MUST_BITS:
                     raise ValueError(
                         f"query {qid} has more than {_MAX_MUST_BITS} "
@@ -504,8 +554,9 @@ def query_string_topk(
                    c["extra"], bit.get(c["gid"], 0)
                    if c["role"] == "must" else 0, cbits.get(ci, 0))
             {"term": term_rows, "phrase": phrase_cl, "fuzzy": fuzzy_cl,
-             "wildcard": wild_cl}[c["kind"]].append(rec)
-    if not (term_rows or phrase_cl or fuzzy_cl or wild_cl):
+             "wildcard": wild_cl,
+             "range": range_cl}[c["kind"]].append(rec)
+    if not (term_rows or phrase_cl or fuzzy_cl or wild_cl or range_cl):
         return spark.createDataFrame([], RESULT_SCHEMA)
 
     cols = ["orig_qid", "gid", "role", "value", "boost", "extra",
@@ -524,8 +575,9 @@ def query_string_topk(
     # kernel-filter cap); correctness never depends on it (a doc
     # outside the union fails its must group at the combine anyway).
     exp_filter = None
-    if fuzzy_cl or wild_cl:
-        exp_qids = ({r[0] for r in fuzzy_cl} | {r[0] for r in wild_cl})
+    if fuzzy_cl or wild_cl or range_cl:
+        exp_qids = ({r[0] for r in fuzzy_cl} | {r[0] for r in wild_cl}
+                    | {r[0] for r in range_cl})
         must_groups: dict[int, dict[int, list[str]]] = {}
         for (qid, gid, role, value, _b, _e, _m, _c) in term_rows:
             if role == "must" and qid in exp_qids:
@@ -623,6 +675,32 @@ def query_string_topk(
                 max_expansions=max_expansions, docs_only="raw",
                 doc_filter=exp_filter,
             ), True)))
+    if range_cl:
+        # ONE call batches every range clause: term_range_topk takes
+        # per-query bounds + inclusivity columns, so no per-key split
+        # is needed (constant-score membership like fuzzy/wildcard)
+        def run_ranges():
+            pdf = pd.DataFrame(range_cl, columns=cols)
+            pdf["sid"] = np.arange(len(pdf), dtype=np.int32)
+            sub = pd.DataFrame(
+                {"query_id": pdf["sid"].to_numpy(np.int32),
+                 "lo": [v[0] for v in pdf["value"]],
+                 "hi": [v[1] for v in pdf["value"]],
+                 "include_lower": [e[0] for e in pdf["extra"]],
+                 "include_upper": [e[1] for e in pdf["extra"]],
+                 "k": np.full(len(pdf), _ALL_MATCHES_K, np.int32)})
+            res = term_range_topk(
+                spark, postings, sub, cfg, dictionary=dictionary,
+                max_expansions=max_expansions, docs_only="raw",
+                doc_filter=exp_filter,
+            ).select("query_id", "doc_id")
+            return [_subcall_contribs(
+                spark, res,
+                pdf[["sid", "orig_qid", "role", "boost", "mbit",
+                     "cbit"]],
+                True)]
+
+        thunks.append(run_ranges)
 
     if len(thunks) == 1:
         part_lists = [thunks[0]()]

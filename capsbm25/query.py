@@ -3192,11 +3192,16 @@ def term_range_topk(
     doc_exclude: DataFrame | None = None,
     dictionary: DataFrame | None = None,
     max_expansions: int | None = MAX_EXPANSIONS_DEFAULT,
+    docs_only: bool | str = False,
 ) -> DataFrame:
     """Term-range query (Lucene TermRangeQuery; the reference's sorted
     suffix-array range scan, /root/reference/src/Suffix_Array.cpp:
     252-297, is exactly this shape): docs containing ANY dictionary
     term in [lo, hi], ranked by summed tf, ties by doc_id.
+    docs_only=True returns the distinct (query_id, doc_id) MEMBERSHIP
+    instead (no scoring, no top-k) — the constant-score rewrite's
+    input; k is ignored ("raw" additionally skips the global dedup,
+    for consumers whose aggregate absorbs cross-task duplicates).
 
     queries: pandas (query_id, lo, hi, k) plus optional boolean
     columns include_lower / include_upper (default True — inclusive
@@ -3230,13 +3235,14 @@ def term_range_topk(
     qpdf = pd.DataFrame(
         rows,
         columns=["query_id", "lo", "hi", "inc_lo", "inc_hi", "k"])
+    empty_schema = _EXPANSION_DOCS_SCHEMA if docs_only else RESULT_SCHEMA
     if qpdf.empty:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return spark.createDataFrame([], empty_schema)
     _, doc_filter, doc_exclude, _, _, empty = _prep_doc_sets(
         spark, "distributed", doc_filter, doc_exclude, 0
     )
     if empty:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return spark.createDataFrame([], empty_schema)
     # coarse pushable envelope over the batch (open bounds drop a side)
     scan_cond = None
     los = [v for v in qpdf["lo"] if v is not None]
@@ -3269,7 +3275,10 @@ def term_range_topk(
         max_expansions=max_expansions,
     )
     if matched is None:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return spark.createDataFrame([], empty_schema)
+    if docs_only:
+        return _expansion_doc_ids(matched, doc_filter, doc_exclude,
+                                  distinct=docs_only != "raw")
     return _term_expansion_topk(matched, doc_filter, doc_exclude)
 
 

@@ -421,6 +421,34 @@ def test_term_range_matches_naive_expansion(built_index, spark):
     assert pushed or cached, plan[:1500]
 
 
+def test_term_range_docs_only_membership(built_index, spark):
+    """docs_only=True returns the distinct (query_id, doc_id)
+    membership (constant-score rewrite input); "raw" may carry
+    cross-task duplicates but the same distinct set."""
+    from capsbm25.query import term_range_topk
+
+    cfg, oracle = built_index["cfg"], built_index["oracle"]
+    vocab = sorted(oracle.postings)
+    lo, hi = vocab[len(vocab) // 3], vocab[2 * len(vocab) // 3]
+    queries = pd.DataFrame({
+        "query_id": np.array([0], dtype=np.int32),
+        "lo": [lo], "hi": [hi],
+        "k": np.array([5], dtype=np.int32),  # ignored for membership
+    })
+    want = set()
+    for t in vocab:
+        if lo <= t <= hi:
+            want |= oracle.postings[t].keys()
+    got = term_range_topk(spark, built_index["postings"], queries, cfg,
+                          max_expansions=None, docs_only=True).toPandas()
+    assert set(got.columns) == {"query_id", "doc_id"}
+    assert len(got) == len(want)  # distinct — no duplicate rows
+    assert set(got.doc_id) == want
+    raw = term_range_topk(spark, built_index["postings"], queries, cfg,
+                          max_expansions=None, docs_only="raw").toPandas()
+    assert set(raw.doc_id) == want
+
+
 def test_term_range_requires_a_bound(built_index, spark):
     from capsbm25.query import term_range_topk
 

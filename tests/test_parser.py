@@ -77,15 +77,38 @@ def test_parse_shapes():
 
 
 def test_parse_rejects_unsupported():
-    for bad in ('a AND b', 'field:x', 'a|b', '[a TO b]',
+    for bad in ('a AND b', 'field:x', 'a|b',
                 'a^0', 'w*~1', 'x~3', '"open quote',
                 # group edges: nesting, inner signs, empty, bad suffix,
                 # unclosed/bare parens, -( ) under AND semantics
-                '((a b))', '(+a b)', '()', '(a b)~2', '(a b', 'a)b'):
+                '((a b))', '(+a b)', '()', '(a b)~2', '(a b', 'a)b',
+                # range edges: glued garbage, no TO, lowercase to,
+                # both-open, zero boost, stray bracket in a bare chunk
+                '[a TO b]x', '[a b]', '[a to b]', '[* TO *]',
+                '[a TO b]^0', '[a TO]', 'a[b', '[a" TO b]'):
         with pytest.raises(ValueError):
             parse_query_string(bad, CFG)
     with pytest.raises(ValueError, match="default_operator"):
         parse_query_string('-(a b)', CFG, "and")
+
+
+def test_parse_ranges():
+    """[a TO b] / {a TO b} range clauses (round 7): inclusivity per
+    bracket, * = open side, ^boost, signs, group membership."""
+    p = parse_query_string('[aa TO bb] {cc TO dd} [ee TO ff}^2', CFG)
+    assert [c["kind"] for c in p] == ["range"] * 3
+    assert p[0]["value"] == ("aa", "bb") and p[0]["extra"] == (True, True)
+    assert p[1]["extra"] == (False, False)
+    assert p[2]["extra"] == (True, False) and p[2]["boost"] == 2.0
+    # open sides, case-folding of bounds, sign prefixes
+    p = parse_query_string('+[AA TO *] -{* TO zz}', CFG)
+    assert p[0]["role"] == "must" and p[0]["value"] == ("aa", None)
+    assert p[1]["role"] == "not" and p[1]["value"] == (None, "zz")
+    # inside a group: shares the gid, group boost composes
+    p = parse_query_string('+([aa TO bb] foo)^3', CFG)
+    assert p[0]["kind"] == "range" and p[1]["kind"] == "term"
+    assert p[0]["gid"] == p[1]["gid"]
+    assert p[0]["boost"] == 3.0
 
 
 def test_parse_groups():
@@ -209,6 +232,50 @@ def test_wildcard_constant_score(ps_index):
             [term], d)
     want = _rank(list(combined.items()), 40)
     _check(got, 0, want)
+
+
+def test_range_constant_score(ps_index):
+    """[lo TO hi] scores as a constant (like wildcard/fuzzy) and
+    combines with scored clauses; { } excludes the bounds."""
+    oracle = ps_index["oracle"]
+    vocab = sorted(oracle.postings)
+    lo, hi = vocab[len(vocab) // 3], vocab[len(vocab) // 3 + 4]
+    term = max(oracle.postings, key=oracle.df)
+    got = _run(ps_index, [f"[{lo} TO {hi}] {term}^1.5"], k=40)
+    range_docs = set()
+    for t in vocab:
+        if lo <= t <= hi:
+            range_docs |= oracle.postings[t].keys()
+    combined = {d: 1.0 for d in range_docs}  # constant-score rewrite
+    for d in oracle.postings.get(term, {}):
+        combined[d] = combined.get(d, 0.0) + 1.5 * oracle.score_doc(
+            [term], d)
+    _check(got, 0, _rank(list(combined.items()), 40))
+    # exclusive bounds drop lo and hi themselves
+    got_x = _run(ps_index, ["{%s TO %s}" % (lo, hi)], k=oracle.N)
+    want_x = set()
+    for t in vocab:
+        if lo < t < hi:
+            want_x |= oracle.postings[t].keys()
+    assert set(got_x[got_x.query_id == 0].doc_id) == want_x
+
+
+def test_range_must_and_not(ps_index):
+    """+[range] restricts membership; -[range] excludes any doc
+    containing a term in the range."""
+    oracle = ps_index["oracle"]
+    vocab = sorted(oracle.postings)
+    lo, hi = vocab[2], vocab[6]
+    term = max(oracle.postings, key=oracle.df)
+    range_docs = set()
+    for t in vocab:
+        if lo <= t <= hi:
+            range_docs |= oracle.postings[t].keys()
+    got = _run(ps_index, [f"+[{lo} TO {hi}] {term}"], k=oracle.N)
+    assert set(got[got.query_id == 0].doc_id) == range_docs
+    got_n = _run(ps_index, [f"{term} -[{lo} TO {hi}]"], k=oracle.N)
+    want_n = set(oracle.postings[term]) - range_docs
+    assert set(got_n[got_n.query_id == 0].doc_id) == want_n
 
 
 def test_fuzzy_must_doc_set(ps_index):
