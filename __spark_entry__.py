@@ -1299,6 +1299,41 @@ def q_query_string_range(spark, sf_dir):
         F.round("g.score", 6).alias("score_r"))
 
 
+QSF_QUERY = '+conv_id:src3 hash sort^1.5'
+QSF_K = 15
+
+
+def q_query_string_field(spark, sf_dir):
+    """Query-string metadata field clause (round 7 — Lucene classic
+    parser `field:value` on a keyword field): `+conv_id:src3` requires
+    docs whose metadata conv_id (= the documents table's source)
+    equals 'src3' exactly — evaluated in ONE pushed-predicate scan of
+    the doc_stats frame, constant-score like the expansion clauses —
+    combined with a bare scored term and a boosted term. Ties by
+    dense-id order."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.build import load_doc_stats
+    from capsbm25.parser import query_string_topk
+
+    b = _pos_index_for(spark, sf_dir)
+    res = b["res"]
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [QSF_QUERY],
+         "k": np.array([QSF_K], dtype=np.int32)}
+    )
+    got = query_string_topk(
+        spark, load_postings(spark, b["out"]), queries, res.N,
+        res.avgdl, b["cfg"],
+        doc_fields=load_doc_stats(spark, b["out"]),
+    )
+    return _to_original(
+        spark, b, got,
+        F.round("g.score", 6).alias("score_r"))
+
+
 def q_facet_counts(spark, sf_dir):
     """Facet counts (Lucene faceting analog): matching docs per source
     for the reference BM25 query — narrow (query, term, doc) pass,
@@ -1517,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_string": q_query_string,
         "query_string_grouped": q_query_string_grouped,
         "query_string_range": q_query_string_range,
+        "query_string_field": q_query_string_field,
         "suggest_terms": q_suggest_terms,
         "suggest_spelling": q_suggest_spelling,
         "sorted_topk": q_sorted_topk,
@@ -2560,6 +2596,52 @@ def oracle_sql() -> dict[str, str]:
             -- ties break by the ENGINE dense-id order
             ORDER BY c.score DESC, d.source ASC, d.doc_id ASC
             LIMIT {QSR_K}""",
+        "query_string_field": f"""
+            WITH tl AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            flat AS (SELECT doc_id, unnest(t) AS term FROM tl),
+            dl AS (
+              SELECT doc_id, count(*) AS dl FROM flat GROUP BY doc_id
+            ),
+            corpus AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl)::DOUBLE
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            tf AS (
+              SELECT term, doc_id, count(*) AS tf FROM flat
+              WHERE term IN ('hash', 'sort') GROUP BY 1, 2
+            ),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            bm25 AS (
+              -- idf/avgdl stay CORPUS-GLOBAL (Lucene filter semantics:
+              -- the required field clause restricts candidates only)
+              SELECT tf.term, tf.doc_id,
+                     ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+                     * tf.tf * ({_K1} + 1)
+                     / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / c.avgdl))
+                     -- sort^1.5: the clause boost
+                     * (CASE WHEN tf.term = 'sort'
+                             THEN 1.5 ELSE 1.0 END) AS contrib
+              FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN corpus c
+            ),
+            contribs AS (
+              SELECT doc_id, contrib FROM bm25
+              UNION ALL  -- +conv_id:src3 scores its boost as a CONSTANT
+              SELECT doc_id, 1.0 FROM documents WHERE source = 'src3'
+            ),
+            combined AS (
+              SELECT doc_id, sum(contrib) AS score FROM contribs
+              GROUP BY doc_id
+            )
+            SELECT c.doc_id, round(c.score, 6) AS score_r
+            FROM combined c
+            -- the MUST field clause: only src3 docs can hit
+            JOIN documents d ON d.doc_id = c.doc_id
+              AND d.source = 'src3'
+            -- ties break by the ENGINE dense-id order
+            ORDER BY c.score DESC, d.source ASC, d.doc_id ASC
+            LIMIT {QSF_K}""",
         "suggest_terms": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOK}) AS term FROM documents

@@ -27,13 +27,25 @@ Syntax (whitespace-separated clauses):
                   matching ANY member, `^boost` scales every member;
                   members may be any clause shape above, but signs
                   inside a group and nested groups raise
+  field:value     field clause (round 7): `text:...` re-dispatches to
+  +conv_id:c7^2   the default-field shapes above (Lucene's field-
+                  scoped sub-query); any OTHER field is a METADATA
+                  match — exact, unanalyzed equality against that
+                  column of the engine's per-doc metadata
+                  (query_string_topk's doc_fields frame, e.g.
+                  load_doc_stats' conv_id / turn_idx) — constant-score
+                  like the expansion clauses; +field:v filters,
+                  -field:v excludes (Lucene keyword-field TermQuery)
 
 A multi-token bare chunk contributes one clause PER TOKEN (same
 role/boost). Unsupported classic-parser syntax raises ValueError
-rather than silently mis-parsing: field: prefixes, AND/OR/NOT/TO
+rather than silently mis-parsing: AND/OR/NOT/TO
 operator keywords, | or stray [ ] { } inside a bare chunk (a range
 must be its own whitespace-separated chunk; synonym groups have a
-dedicated surface: synonym_topk), nested or
+dedicated surface: synonym_topk), a quoted /
+wildcarded / empty metadata-field value (keyword fields are
+unanalyzed — only exact equality is supported), a `:` that is not a
+legal field prefix, nested or
 signed-member groups, `-( )` under default_operator="and" (the
 default operator applies INSIDE groups, and NOT-of-AND has no
 per-member exclusion form), malformed
@@ -52,6 +64,10 @@ SCORING (per doc): sum over its matching positive clauses of
                     CONSTANT_SCORE_REWRITE for multi-term queries:
                     per-expanded-term idf is unstable, so an expansion
                     clause scores flat)
+  field clause   -> boost as a CONSTANT (Lucene scores keyword-field
+                    term queries via their own field statistics, which
+                    metadata columns don't carry — a filter-shaped
+                    clause scores flat, as with ES constant_score)
 Docs must match every MUST group (any member satisfies a `+( )`
 group; a bare MUST clause is its own singleton group), no MUST_NOT
 clause, and at least one positive clause. Ties break doc_id ASC.
@@ -64,7 +80,9 @@ existing surfaces (one call per kind — per distinct window for
 proximity, per distinct max_edits for fuzzy, one batched call for
 all ranges) with the full-match k, so each inherits
 its surface's scale path (chunked candidate masks, bounded expansion
-rewrite, dictionary pruning); the combine is one groupBy over
+rewrite, dictionary pruning); ALL metadata field clauses evaluate in
+one pushed-predicate scan of the doc_fields frame (posting payloads
+never read); the combine is one groupBy over
 (query, doc) contribution rows plus the two-phase salted top-k. A
 clause kind absent from the batch costs nothing.
 """
@@ -127,6 +145,13 @@ _FUZZ_RE = re.compile(r"^(.+?)~(\d*)$", re.S)
 _PHRASE_RE = re.compile(r'^"([^"]*)"(?:~(\d+))?$', re.S)
 _REJECT_RE = re.compile(r"[()\[\]{}|:]")
 _KEYWORDS = {"AND", "OR", "NOT", "TO"}
+# field clause prefix: identifier + colon + non-empty rest (round 7);
+# the value's own charset is validated in _parse_simple_chunk
+_FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", re.S)
+# the indexed default field — `text:...` strips the prefix and
+# re-dispatches to the normal clause shapes (Lucene field-scoped query
+# on the default field is the query itself)
+_TEXT_FIELD = "text"
 
 
 def parse_query_string(
@@ -134,9 +159,12 @@ def parse_query_string(
 ) -> list[dict]:
     """One query string -> clause list. Each clause: dict(role, kind,
     value, boost, extra, gid) with role in {must, should, not}, kind
-    in {term, phrase, fuzzy, wildcard, range}; extra = slop (phrase),
-    edits (fuzzy), or (include_lower, include_upper) for range, whose
-    value is the (lo, hi) bound pair (None = open side). gid is the BOOLEAN GROUP the clause belongs to: clauses
+    in {term, phrase, fuzzy, wildcard, range, field}; extra = slop
+    (phrase), edits (fuzzy), or (include_lower, include_upper) for
+    range, whose value is the (lo, hi) bound pair (None = open side);
+    a field clause's value is the (field, value) pair (exact
+    unanalyzed metadata equality — `text:` re-dispatches to the
+    default-field shapes instead). gid is the BOOLEAN GROUP the clause belongs to: clauses
     sharing a gid satisfy their role together (a MUST group needs ANY
     member to match — Lucene's `+(a b)`; a NOT group's members each
     exclude); a bare clause is its own singleton group. Grouping
@@ -250,6 +278,39 @@ def _parse_simple_chunk(chunk: str, role: str, cfg: BuildConfig,
                         "extra": (br_lo == "[", br_hi == "]"),
                         "gid": gid})
         return
+    fdm = _FIELD_RE.match(chunk)
+    if fdm:
+        fname, rest = fdm.groups()
+        if fname == _TEXT_FIELD:
+            # the default field: the rest is an ordinary clause (term /
+            # wildcard / fuzzy / ^boost); a nested field prefix raises
+            # here, so the re-dispatch cannot recurse more than once
+            if _FIELD_RE.match(rest):
+                raise ValueError(
+                    f"nested field prefix in {chunk!r}"
+                )
+            _parse_simple_chunk(rest, role, cfg, clauses, gid,
+                                boost_mult)
+            return
+        m = _BOOST_RE.match(rest)
+        value, boost = (m.group(1), float(m.group(2))) \
+            if m and m.group(2) else (rest, 1.0)
+        if boost <= 0:
+            raise ValueError(f"boost must be > 0 in {chunk!r}")
+        # metadata values are UNANALYZED (keyword-field semantics):
+        # exact equality only — no quotes, wildcards, fuzziness,
+        # ranges, or a second field prefix
+        if not value or any(c in '"^~()[]{}|:*? ' for c in value):
+            raise ValueError(
+                f"unsupported metadata-field value in {chunk!r}: "
+                "exact unanalyzed equality only (no quotes, wildcards, "
+                "~, or a second ':'); use text: for analyzed clauses"
+            )
+        clauses.append({"role": role, "kind": "field",
+                        "value": (fname, value),
+                        "boost": boost * boost_mult,
+                        "extra": None, "gid": gid})
+        return
     if chunk.startswith('"'):
         if not _QUOTED_RE.match(chunk):
             raise ValueError(
@@ -269,10 +330,11 @@ def _parse_simple_chunk(chunk: str, role: str, cfg: BuildConfig,
             )
         if _REJECT_RE.search(chunk):
             raise ValueError(
-                f"unsupported syntax in {chunk!r}: fields and synonym "
-                "groups have dedicated surfaces (boolean_topk, "
-                "synonym_topk); ( ) groups and [a TO b] ranges must "
-                "be whitespace-separated chunks"
+                f"unsupported syntax in {chunk!r}: a field prefix must "
+                "be identifier: with a bare value, ( ) groups and "
+                "[a TO b] ranges must be whitespace-separated chunks, "
+                "and synonym groups have a dedicated surface "
+                "(synonym_topk)"
             )
     m = _BOOST_RE.match(chunk)
     body, boost = (m.group(1), float(m.group(2))) if m and m.group(2) \
@@ -500,6 +562,7 @@ def query_string_topk(
     doc_exclude: DataFrame | None = None,
     dictionary: DataFrame | None = None,
     max_expansions: int | None = MAX_EXPANSIONS_DEFAULT,
+    doc_fields: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k over user-facing query STRINGS (see the module docstring
     for syntax and scoring). queries: pandas (query_id, text, k);
@@ -509,10 +572,18 @@ def query_string_topk(
     (Lucene filter + liveDocs: candidates restricted, scoring stats
     stay corpus-global). Phrase clauses need a positional index;
     expansion clauses accept the persisted `dictionary` and the
-    bounded `max_expansions` rewrite like their dedicated surfaces."""
+    bounded `max_expansions` rewrite like their dedicated surfaces.
+
+    doc_fields: per-doc metadata frame (doc_id + one column per
+    queryable field), e.g. load_doc_stats(spark, out) for
+    conv_id / turn_idx / dl — required when the batch contains
+    metadata field clauses (`conv_id:c42`); a clause naming a column
+    absent from it raises. ALL field clauses of the batch evaluate in
+    ONE scan of this frame (equality predicates pushed to its source),
+    so a field clause costs one metadata read, never a postings pass."""
     cfg = cfg or BuildConfig()
     term_rows, phrase_cl, fuzzy_cl, wild_cl = [], [], [], []
-    range_cl, meta = [], []
+    range_cl, field_cl, meta = [], [], []
     for q in queries.itertuples(index=False):
         qid, k = int(q.query_id), int(q.k)
         clauses = parse_query_string(q.text, cfg, default_operator)
@@ -539,7 +610,7 @@ def query_string_topk(
         cboosts: list[float] = []
         cbits: dict[int, int] = {}  # clause index in list -> cbit
         for ci, c in enumerate(clauses):
-            if (c["kind"] in ("fuzzy", "wildcard", "range")
+            if (c["kind"] in ("fuzzy", "wildcard", "range", "field")
                     and c["role"] != "not"):
                 if len(cboosts) >= _MAX_MUST_BITS:
                     raise ValueError(
@@ -554,10 +625,27 @@ def query_string_topk(
                    c["extra"], bit.get(c["gid"], 0)
                    if c["role"] == "must" else 0, cbits.get(ci, 0))
             {"term": term_rows, "phrase": phrase_cl, "fuzzy": fuzzy_cl,
-             "wildcard": wild_cl,
-             "range": range_cl}[c["kind"]].append(rec)
-    if not (term_rows or phrase_cl or fuzzy_cl or wild_cl or range_cl):
+             "wildcard": wild_cl, "range": range_cl,
+             "field": field_cl}[c["kind"]].append(rec)
+    if not (term_rows or phrase_cl or fuzzy_cl or wild_cl or range_cl
+            or field_cl):
         return spark.createDataFrame([], RESULT_SCHEMA)
+    if field_cl:
+        if doc_fields is None:
+            raise ValueError(
+                "the batch contains metadata field clauses "
+                f"({sorted({r[3][0] for r in field_cl})}) but no "
+                "doc_fields frame was given — pass "
+                "doc_fields=load_doc_stats(spark, out) (or any "
+                "(doc_id, metadata...) frame)"
+            )
+        valid = set(doc_fields.columns) - {"doc_id"}
+        bad = sorted({r[3][0] for r in field_cl} - valid)
+        if bad:
+            raise ValueError(
+                f"unknown metadata field(s) {bad}: doc_fields has "
+                f"{sorted(valid)} (use text: for the indexed field)"
+            )
 
     cols = ["orig_qid", "gid", "role", "value", "boost", "extra",
             "mbit", "cbit"]
@@ -701,6 +789,39 @@ def query_string_topk(
                 True)]
 
         thunks.append(run_ranges)
+    if field_cl:
+        # ONE scan of the metadata frame evaluates EVERY field clause
+        # of the batch: the coarse OR of the equality predicates pushes
+        # to the metadata source's scan, and each surviving row explodes
+        # into the clause ids it satisfies. Rows are already distinct
+        # per (clause, doc) — doc_fields is one row per doc — and the
+        # idempotent cb bit absorbs anything anyway.
+        def run_fields():
+            pdf = pd.DataFrame(field_cl, columns=cols)
+            pdf["sid"] = np.arange(len(pdf), dtype=np.int32)
+            preds = [
+                (int(r.sid),
+                 F.col(r.value[0]).cast("string") == F.lit(r.value[1]))
+                for r in pdf.itertuples(index=False)
+            ]
+            coarse = preds[0][1]
+            for _, p in preds[1:]:
+                coarse = coarse | p
+            sid_arr = F.array(*[
+                F.when(p, F.lit(s)).cast("int") for s, p in preds])
+            res = (
+                doc_fields.where(coarse)
+                .select(F.col("doc_id").cast("long").alias("doc_id"),
+                        F.explode(sid_arr).alias("query_id"))
+                .where(F.col("query_id").isNotNull())
+            )
+            return [_subcall_contribs(
+                spark, res,
+                pdf[["sid", "orig_qid", "role", "boost", "mbit",
+                     "cbit"]],
+                True)]
+
+        thunks.append(run_fields)
 
     if len(thunks) == 1:
         part_lists = [thunks[0]()]
@@ -710,7 +831,7 @@ def query_string_topk(
         with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
             futures = [ex.submit(t) for t in thunks]
             # result order == thunk order (term, phrase, fuzzy,
-            # wildcard) regardless of completion order
+            # wildcard, range, field) regardless of completion order
             part_lists = [f.result() for f in futures]
     parts: list[DataFrame] = [p for lst in part_lists for p in lst]
     contribs = parts[0]

@@ -8,7 +8,7 @@ import pandas as pd
 import pytest
 
 from capsbm25 import fixtures as fx
-from capsbm25.build import build_index, load_postings
+from capsbm25.build import build_index, load_doc_stats, load_postings
 from capsbm25.config import BuildConfig
 from capsbm25.parser import parse_query_string, query_string_topk
 from oracle import OracleIndex
@@ -26,6 +26,7 @@ def ps_index(spark, tmp_path_factory):
     res = build_index(spark, spark.createDataFrame(pdf), out, cfg)
     return {"pdf": pdf, "cfg": cfg, "res": res,
             "postings": load_postings(spark, out),
+            "doc_fields": load_doc_stats(spark, out),
             "oracle": OracleIndex(pdf)}
 
 
@@ -77,7 +78,7 @@ def test_parse_shapes():
 
 
 def test_parse_rejects_unsupported():
-    for bad in ('a AND b', 'field:x', 'a|b',
+    for bad in ('a AND b', 'a|b',
                 'a^0', 'w*~1', 'x~3', '"open quote',
                 # group edges: nesting, inner signs, empty, bad suffix,
                 # unclosed/bare parens, -( ) under AND semantics
@@ -85,7 +86,13 @@ def test_parse_rejects_unsupported():
                 # range edges: glued garbage, no TO, lowercase to,
                 # both-open, zero boost, stray bracket in a bare chunk
                 '[a TO b]x', '[a b]', '[a to b]', '[* TO *]',
-                '[a TO b]^0', '[a TO]', 'a[b', '[a" TO b]'):
+                '[a TO b]^0', '[a TO]', 'a[b', '[a" TO b]',
+                # field edges: empty value, bad prefix, second colon,
+                # quoted/wildcard/fuzzy metadata value, zero boost,
+                # text: with a nested field prefix
+                'conv_id:', ':x', '9x:a', 'a:b:c', 'conv_id:"a b"',
+                'conv_id:v*', 'conv_id:v~1', 'conv_id:v^0',
+                'text:conv_id:v'):
         with pytest.raises(ValueError):
             parse_query_string(bad, CFG)
     with pytest.raises(ValueError, match="default_operator"):
@@ -109,6 +116,29 @@ def test_parse_ranges():
     assert p[0]["kind"] == "range" and p[1]["kind"] == "term"
     assert p[0]["gid"] == p[1]["gid"]
     assert p[0]["boost"] == 3.0
+
+
+def test_parse_fields():
+    """field:value clauses (round 7): metadata fields parse to exact
+    unanalyzed (field, value) pairs; text: re-dispatches to the
+    default-field shapes; boosts, signs, and group membership work."""
+    p = parse_query_string('+conv_id:c042 turn_idx:7^2 -tool:none', CFG)
+    assert [c["kind"] for c in p] == ["field"] * 3
+    assert [c["role"] for c in p] == ["must", "should", "not"]
+    assert p[0]["value"] == ("conv_id", "c042")
+    assert p[1]["value"] == ("turn_idx", "7") and p[1]["boost"] == 2.0
+    # metadata values are NOT case-folded (unanalyzed keyword field)
+    assert parse_query_string("conv_id:MiXeD", CFG)[0]["value"] == \
+        ("conv_id", "MiXeD")
+    # text: is the default field — ordinary clause shapes re-dispatch
+    p = parse_query_string('text:Foo^2 +text:wild* text:fz~1', CFG)
+    assert [c["kind"] for c in p] == ["term", "wildcard", "fuzzy"]
+    assert p[0]["value"] == "foo" and p[0]["boost"] == 2.0
+    assert p[1]["role"] == "must"
+    # inside a group: shares the gid, group boost composes
+    p = parse_query_string('+(conv_id:a conv_id:b)^3', CFG)
+    assert [c["kind"] for c in p] == ["field", "field"]
+    assert p[0]["gid"] == p[1]["gid"] and p[0]["boost"] == 3.0
 
 
 def test_parse_groups():
@@ -276,6 +306,72 @@ def test_range_must_and_not(ps_index):
     got_n = _run(ps_index, [f"{term} -[{lo} TO {hi}]"], k=oracle.N)
     want_n = set(oracle.postings[term]) - range_docs
     assert set(got_n[got_n.query_id == 0].doc_id) == want_n
+
+
+def test_field_constant_score(ps_index):
+    """A bare metadata field clause scores as a constant (x boost) and
+    combines with scored clauses; values compare unanalyzed against
+    the doc_fields frame (engine dense ids == oracle ids)."""
+    oracle = ps_index["oracle"]
+    conv = oracle.doc_meta.conv_id.iloc[0]
+    in_conv = set(oracle.doc_meta.index[oracle.doc_meta.conv_id == conv])
+    term = max(oracle.postings, key=oracle.df)
+    got = _run(ps_index, [f"conv_id:{conv}^2 {term}^1.5"], k=40,
+               doc_fields=ps_index["doc_fields"])
+    combined = {d: 2.0 for d in in_conv}
+    for d in oracle.postings.get(term, {}):
+        combined[d] = combined.get(d, 0.0) + 1.5 * oracle.score_doc(
+            [term], d)
+    _check(got, 0, _rank(list(combined.items()), 40))
+
+
+def test_field_must_and_not(ps_index):
+    """+field:v restricts membership (and still contributes its
+    constant, Lucene MUST-scoring); -field:v excludes; numeric
+    metadata columns compare via string equality."""
+    oracle = ps_index["oracle"]
+    conv = oracle.doc_meta.conv_id.iloc[0]
+    in_conv = set(oracle.doc_meta.index[oracle.doc_meta.conv_id == conv])
+    term = max(oracle.postings, key=oracle.df)
+    tdocs = oracle.postings[term]
+    got = _run(ps_index, [f"+conv_id:{conv} {term}"], k=oracle.N,
+               doc_fields=ps_index["doc_fields"])
+    want = [(d, 1.0 + (oracle.score_doc([term], d) if d in tdocs
+                       else 0.0)) for d in in_conv]
+    _check(got, 0, _rank(want, oracle.N))
+    got_n = _run(ps_index, [f"{term} -conv_id:{conv}"], k=oracle.N,
+                 doc_fields=ps_index["doc_fields"])
+    assert set(got_n[got_n.query_id == 0].doc_id) == \
+        set(tdocs) - in_conv
+    # numeric field: turn_idx compares via cast-to-string equality
+    at_turn = set(oracle.doc_meta.index[oracle.doc_meta.turn_idx == 3])
+    got_t = _run(ps_index, [f"+turn_idx:3 {term}"], k=oracle.N,
+                 doc_fields=ps_index["doc_fields"])
+    assert set(got_t[got_t.query_id == 0].doc_id) == at_turn
+
+
+def test_field_predicate_pushdown(ps_index):
+    """The field-clause membership scan pushes its equality predicate
+    to the metadata parquet scan (cast-to-string on a string column is
+    eliminated, so EqualTo reaches PushedFilters)."""
+    from capsbm25.parser import query_string_topk
+
+    conv = ps_index["oracle"].doc_meta.conv_id.iloc[0]
+    got = query_string_topk(
+        ps_index["postings"].sparkSession, ps_index["postings"],
+        _q([f"+conv_id:{conv} foo"]), ps_index["res"].N,
+        ps_index["res"].avgdl, ps_index["cfg"],
+        doc_fields=ps_index["doc_fields"])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert f"EqualTo(conv_id,{conv})" in plan, plan[:2000]
+
+
+def test_field_requires_doc_fields(ps_index):
+    with pytest.raises(ValueError, match="doc_fields"):
+        _run(ps_index, ["conv_id:x foo"])
+    with pytest.raises(ValueError, match="unknown metadata field"):
+        _run(ps_index, ["nosuch:x foo"],
+             doc_fields=ps_index["doc_fields"])
 
 
 def test_fuzzy_must_doc_set(ps_index):
