@@ -508,10 +508,17 @@ def _prep_doc_sets(spark, mode, doc_filter, doc_exclude,
         cols[i] = df.select("doc_id")
         if mode == "distributed":
             continue
-        # distinct BEFORE the limit: a join-derived set with duplicate
-        # doc_ids would otherwise count dup rows against the cap and be
-        # demoted (or raise) despite few distinct ids
-        head = cols[i].distinct().limit(max_kernel_filter + 1).toPandas()
+        # one raw bounded collect first: the typical set (a WHERE over
+        # doc_stats) is already distinct, and np.unique below dedups
+        # driver-side anyway — a distinct() here would charge every
+        # caller a full exchange + hash aggregate of the id set. The
+        # cap accounting still can't over-demote: only when RAW rows
+        # exceed the cap (a join-derived set with duplicate doc_ids
+        # could still be small) does one distinct pass decide.
+        head = cols[i].limit(max_kernel_filter + 1).toPandas()
+        if len(head) > max_kernel_filter:
+            head = cols[i].distinct().limit(
+                max_kernel_filter + 1).toPandas()
         if len(head) > max_kernel_filter:
             if mode == "kernel":
                 raise ValueError(
