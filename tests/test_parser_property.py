@@ -94,9 +94,50 @@ def _multi_token_bare(draw):
               "boost": bv, "extra": 0} for t in toks])
 
 
+@st.composite
+def _range_clause(draw):
+    # [lo TO hi] / {lo TO hi} / mixed, * opens one side (round 7)
+    s, b = draw(_sign), draw(_boost)
+    lo, hi = draw(_term), draw(_term)
+    open_side = draw(st.sampled_from([None, "lo", "hi"]))
+    lo_s = "*" if open_side == "lo" else lo
+    hi_s = "*" if open_side == "hi" else hi
+    br_lo = draw(st.sampled_from("[{"))
+    br_hi = draw(st.sampled_from("]}"))
+    sfx, bv = _boost_sfx(b)
+    return (f"{s}{br_lo}{lo_s} TO {hi_s}{br_hi}{sfx}",
+            [{"role": _ROLE[s], "kind": "range",
+              "value": (None if open_side == "lo" else lo,
+                        None if open_side == "hi" else hi),
+              "boost": bv, "extra": (br_lo == "[", br_hi == "]")}])
+
+
+@st.composite
+def _field_clause(draw):
+    # fname:value metadata clause; text: re-dispatches to a term
+    # clause on the default field (round 7)
+    s, b = draw(_sign), draw(_boost)
+    sfx, bv = _boost_sfx(b)
+    if draw(st.booleans()):
+        t = draw(_term)
+        return (f"{s}text:{t}{sfx}",
+                [{"role": _ROLE[s], "kind": "term", "value": t,
+                  "boost": bv, "extra": 0}])
+    fname = draw(st.from_regex(r"[a-z_][a-z0-9_]{0,9}",
+                               fullmatch=True).filter(
+        lambda f: f != "text"))
+    # values stay unanalyzed: mixed case must round-trip verbatim
+    value = draw(st.from_regex(r"[A-Za-z][A-Za-z0-9_.-]{0,9}",
+                               fullmatch=True))
+    return (f"{s}{fname}:{value}{sfx}",
+            [{"role": _ROLE[s], "kind": "field",
+              "value": (fname, value), "boost": bv, "extra": None}])
+
+
 _simple_clause = st.one_of(_term_clause(), _fuzzy_clause(),
                            _wildcard_clause(), _phrase_clause(),
-                           _multi_token_bare())
+                           _multi_token_bare(), _range_clause(),
+                           _field_clause())
 
 
 @st.composite
