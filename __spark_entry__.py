@@ -1334,6 +1334,42 @@ def q_query_string_field(spark, sf_dir):
         F.round("g.score", 6).alias("score_r"))
 
 
+QSFR_QUERY = '+turn_idx:[100 TO 140} hash sort^1.5'
+QSFR_K = 15
+
+
+def q_query_string_field_range(spark, sf_dir):
+    """Query-string metadata RANGE clause (round 7 — the Lucene
+    IntPoint/LongPoint range analog): `+turn_idx:[100 TO 140}` keeps
+    docs whose numeric turn_idx (= the original documents.doc_id) is
+    in [100, 140) — bounds compare in the column's OWN bigint type
+    (string comparison would also reject 120 > "140"[lexicographic]),
+    evaluated in the same single pushed-predicate metadata scan as
+    field equality — combined with scored terms. Ties by dense-id
+    order."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.build import load_doc_stats
+    from capsbm25.parser import query_string_topk
+
+    b = _pos_index_for(spark, sf_dir)
+    res = b["res"]
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [QSFR_QUERY],
+         "k": np.array([QSFR_K], dtype=np.int32)}
+    )
+    got = query_string_topk(
+        spark, load_postings(spark, b["out"]), queries, res.N,
+        res.avgdl, b["cfg"],
+        doc_fields=load_doc_stats(spark, b["out"]),
+    )
+    return _to_original(
+        spark, b, got,
+        F.round("g.score", 6).alias("score_r"))
+
+
 def q_facet_counts(spark, sf_dir):
     """Facet counts (Lucene faceting analog): matching docs per source
     for the reference BM25 query — narrow (query, term, doc) pass,
@@ -1553,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_string_grouped": q_query_string_grouped,
         "query_string_range": q_query_string_range,
         "query_string_field": q_query_string_field,
+        "query_string_field_range": q_query_string_field_range,
         "suggest_terms": q_suggest_terms,
         "suggest_spelling": q_suggest_spelling,
         "sorted_topk": q_sorted_topk,
@@ -2642,6 +2679,52 @@ def oracle_sql() -> dict[str, str]:
             -- ties break by the ENGINE dense-id order
             ORDER BY c.score DESC, d.source ASC, d.doc_id ASC
             LIMIT {QSF_K}""",
+        "query_string_field_range": f"""
+            WITH tl AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            flat AS (SELECT doc_id, unnest(t) AS term FROM tl),
+            dl AS (
+              SELECT doc_id, count(*) AS dl FROM flat GROUP BY doc_id
+            ),
+            corpus AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl)::DOUBLE
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            tf AS (
+              SELECT term, doc_id, count(*) AS tf FROM flat
+              WHERE term IN ('hash', 'sort') GROUP BY 1, 2
+            ),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            bm25 AS (
+              -- idf/avgdl stay CORPUS-GLOBAL (the required range
+              -- clause restricts candidates only)
+              SELECT tf.term, tf.doc_id,
+                     ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+                     * tf.tf * ({_K1} + 1)
+                     / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / c.avgdl))
+                     * (CASE WHEN tf.term = 'sort'
+                             THEN 1.5 ELSE 1.0 END) AS contrib
+              FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN corpus c
+            ),
+            contribs AS (
+              SELECT doc_id, contrib FROM bm25
+              UNION ALL  -- +turn_idx:[100 TO 140}}: constant boost 1.0
+              SELECT doc_id, 1.0 FROM documents
+              WHERE doc_id >= 100 AND doc_id < 140  -- NUMERIC compare
+            ),
+            combined AS (
+              SELECT doc_id, sum(contrib) AS score FROM contribs
+              GROUP BY doc_id
+            )
+            SELECT c.doc_id, round(c.score, 6) AS score_r
+            FROM combined c
+            -- the MUST range clause: only [100, 140) docs can hit
+            JOIN documents d ON d.doc_id = c.doc_id
+              AND d.doc_id >= 100 AND d.doc_id < 140
+            -- ties break by the ENGINE dense-id order
+            ORDER BY c.score DESC, d.source ASC, d.doc_id ASC
+            LIMIT {QSFR_K}""",
         "suggest_terms": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOK}) AS term FROM documents

@@ -36,6 +36,14 @@ Syntax (whitespace-separated clauses):
                   load_doc_stats' conv_id / turn_idx) — constant-score
                   like the expansion clauses; +field:v filters,
                   -field:v excludes (Lucene keyword-field TermQuery)
+  f:[2 TO 10]     metadata RANGE clause (Lucene IntPoint/LongPoint
+  f:{a TO z}^2    range analog, round 7): bounds compare in the
+                  metadata column's OWN type — numeric columns
+                  numerically (10 > 2, not "10" < "2"), timestamps as
+                  timestamps, strings lexicographically; [ ] / { }
+                  inclusivity, `*` opens a side, same roles/boost as
+                  field equality; an unparseable bound for the
+                  column's type raises
 
 A multi-token bare chunk contributes one clause PER TOKEN (same
 role/boost). Unsupported classic-parser syntax raises ValueError
@@ -129,7 +137,8 @@ _ALL_MATCHES_K = (1 << 31) - 1
 # its own alternative), or a bare \S+ run; every non-space character
 # lands in exactly one chunk, so nothing is silently skipped
 _CHUNK_RE = re.compile(
-    r'([+-]?)(\([^()]*\)\S*|"[^"]*"\S*|[\[{][^\[\]{}]*[\]}]\S*|\S+)')
+    r'([+-]?)(\([^()]*\)\S*|"[^"]*"\S*'
+    r'|(?:[A-Za-z_][A-Za-z0-9_]*:)?[\[{][^\[\]{}]*[\]}]\S*|\S+)')
 # legal glued suffix after a closing paren: ^boost only
 _GROUP_RE = re.compile(r'^\(([^()]*)\)(?:\^(\d+(?:\.\d+)?))?$')
 # legal glued suffix after a closing quote: ~slop then ^boost, each
@@ -292,6 +301,43 @@ def _parse_simple_chunk(chunk: str, role: str, cfg: BuildConfig,
             _parse_simple_chunk(rest, role, cfg, clauses, gid,
                                 boost_mult)
             return
+        if rest[0] in "[{":
+            # metadata RANGE clause (round 7): fname:[lo TO hi] — the
+            # Lucene Point-range analog; bounds compare in the metadata
+            # COLUMN's own type (numeric fields numerically, timestamps
+            # as timestamps — converted engine-side where the dtype is
+            # known), NOT lexicographically
+            rm = _RANGE_RE.match(rest)
+            if not rm:
+                raise ValueError(
+                    f"malformed metadata range in {chunk!r}: expected "
+                    "field:[lo TO hi] / field:{lo TO hi} (TO uppercase, "
+                    "single-token bounds, * for an open side), "
+                    "optionally ^boost"
+                )
+            br_lo, lo, hi, br_hi, rboost = rm.groups()
+            boost = float(rboost or 1.0)
+            if boost <= 0:
+                raise ValueError(f"boost must be > 0 in {chunk!r}")
+            # metadata bounds stay VERBATIM (no case folding — the
+            # column is unanalyzed; '*' opens a side)
+            lo = None if lo == "*" else lo
+            hi = None if hi == "*" else hi
+            if lo is None and hi is None:
+                raise ValueError(
+                    f"range {chunk!r} is open on both sides — it "
+                    "would match every doc with a non-NULL value"
+                )
+            if any(c in '"^~()' for c in (lo or "") + (hi or "")):
+                raise ValueError(
+                    f"unsupported character in range bound of {chunk!r}"
+                )
+            clauses.append({"role": role, "kind": "field_range",
+                            "value": (fname, lo, hi),
+                            "boost": boost * boost_mult,
+                            "extra": (br_lo == "[", br_hi == "]"),
+                            "gid": gid})
+            return
         m = _BOOST_RE.match(rest)
         value, boost = (m.group(1), float(m.group(2))) \
             if m and m.group(2) else (rest, 1.0)
@@ -299,7 +345,7 @@ def _parse_simple_chunk(chunk: str, role: str, cfg: BuildConfig,
             raise ValueError(f"boost must be > 0 in {chunk!r}")
         # metadata values are UNANALYZED (keyword-field semantics):
         # exact equality only — no quotes, wildcards, fuzziness,
-        # ranges, or a second field prefix
+        # or a second field prefix
         if not value or any(c in '"^~()[]{}|:*? ' for c in value):
             raise ValueError(
                 f"unsupported metadata-field value in {chunk!r}: "
@@ -514,6 +560,38 @@ def _term_contribs(spark, postings, rows: pd.DataFrame, N, avgdl, cfg):
     return matched.mapInPandas(gen, schema=_CONTRIB_SCHEMA)
 
 
+_RANGEABLE_INTS = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _convert_bound(fname: str, bound: str | None, dtype: str):
+    """One metadata range bound -> a Python literal of the COLUMN's
+    Spark type, so the comparison runs natively (numerics compare
+    numerically, never lexicographically). Raises on a bound the type
+    can't parse — a silent NULL comparison would make the clause match
+    nothing and mis-answer the query."""
+    if bound is None:
+        return None
+    try:
+        if dtype in _RANGEABLE_INTS:
+            return int(bound)
+        if dtype in ("float", "double"):
+            return float(bound)
+        if dtype in ("timestamp", "timestamp_ntz", "date"):
+            ts = pd.Timestamp(bound)
+            return ts.date() if dtype == "date" else ts.to_pydatetime()
+        if dtype == "string":
+            return bound
+    except (ValueError, OverflowError) as exc:
+        raise ValueError(
+            f"range bound {bound!r} does not parse as the {dtype} "
+            f"type of metadata field {fname!r}"
+        ) from exc
+    raise ValueError(
+        f"metadata field {fname!r} has type {dtype}, which range "
+        "clauses do not support (numeric, string, timestamp, date)"
+    )
+
+
 def _subcall_contribs(spark, result: DataFrame, sid_map: pd.DataFrame,
                       constant: bool) -> DataFrame:
     """Map a clause sub-call's rows back to the parent FUSED shape
@@ -583,7 +661,7 @@ def query_string_topk(
     so a field clause costs one metadata read, never a postings pass."""
     cfg = cfg or BuildConfig()
     term_rows, phrase_cl, fuzzy_cl, wild_cl = [], [], [], []
-    range_cl, field_cl, meta = [], [], []
+    range_cl, field_cl, frange_cl, meta = [], [], [], []
     for q in queries.itertuples(index=False):
         qid, k = int(q.query_id), int(q.k)
         clauses = parse_query_string(q.text, cfg, default_operator)
@@ -610,7 +688,8 @@ def query_string_topk(
         cboosts: list[float] = []
         cbits: dict[int, int] = {}  # clause index in list -> cbit
         for ci, c in enumerate(clauses):
-            if (c["kind"] in ("fuzzy", "wildcard", "range", "field")
+            if (c["kind"] in ("fuzzy", "wildcard", "range", "field",
+                              "field_range")
                     and c["role"] != "not"):
                 if len(cboosts) >= _MAX_MUST_BITS:
                     raise ValueError(
@@ -625,22 +704,24 @@ def query_string_topk(
                    c["extra"], bit.get(c["gid"], 0)
                    if c["role"] == "must" else 0, cbits.get(ci, 0))
             {"term": term_rows, "phrase": phrase_cl, "fuzzy": fuzzy_cl,
-             "wildcard": wild_cl, "range": range_cl,
-             "field": field_cl}[c["kind"]].append(rec)
+             "wildcard": wild_cl, "range": range_cl, "field": field_cl,
+             "field_range": frange_cl}[c["kind"]].append(rec)
     if not (term_rows or phrase_cl or fuzzy_cl or wild_cl or range_cl
-            or field_cl):
+            or field_cl or frange_cl):
         return spark.createDataFrame([], RESULT_SCHEMA)
-    if field_cl:
+    if field_cl or frange_cl:
+        fnames = ({r[3][0] for r in field_cl}
+                  | {r[3][0] for r in frange_cl})
         if doc_fields is None:
             raise ValueError(
                 "the batch contains metadata field clauses "
-                f"({sorted({r[3][0] for r in field_cl})}) but no "
+                f"({sorted(fnames)}) but no "
                 "doc_fields frame was given — pass "
                 "doc_fields=load_doc_stats(spark, out) (or any "
                 "(doc_id, metadata...) frame)"
             )
         valid = set(doc_fields.columns) - {"doc_id"}
-        bad = sorted({r[3][0] for r in field_cl} - valid)
+        bad = sorted(fnames - valid)
         if bad:
             raise ValueError(
                 f"unknown metadata field(s) {bad}: doc_fields has "
@@ -789,21 +870,39 @@ def query_string_topk(
                 True)]
 
         thunks.append(run_ranges)
-    if field_cl:
+    if field_cl or frange_cl:
         # ONE scan of the metadata frame evaluates EVERY field clause
-        # of the batch: the coarse OR of the equality predicates pushes
-        # to the metadata source's scan, and each surviving row explodes
-        # into the clause ids it satisfies. Rows are already distinct
-        # per (clause, doc) — doc_fields is one row per doc — and the
-        # idempotent cb bit absorbs anything anyway.
+        # of the batch — equality AND range: the coarse OR of the
+        # predicates pushes to the metadata source's scan, and each
+        # surviving row explodes into the clause ids it satisfies.
+        # Range bounds convert to the column's OWN Spark type first
+        # (numerics compare numerically — Lucene Point-range
+        # semantics). Rows are already distinct per (clause, doc) —
+        # doc_fields is one row per doc — and the idempotent cb bit
+        # absorbs anything anyway.
         def run_fields():
-            pdf = pd.DataFrame(field_cl, columns=cols)
+            pdf = pd.DataFrame(field_cl + frange_cl, columns=cols)
             pdf["sid"] = np.arange(len(pdf), dtype=np.int32)
-            preds = [
-                (int(r.sid),
-                 F.col(r.value[0]).cast("string") == F.lit(r.value[1]))
-                for r in pdf.itertuples(index=False)
-            ]
+            dtypes = dict(doc_fields.dtypes)
+            preds = []
+            for r in pdf.itertuples(index=False):
+                col = F.col(r.value[0])
+                if len(r.value) == 2:  # equality clause
+                    preds.append((int(r.sid),
+                                  col.cast("string") == F.lit(r.value[1])))
+                    continue
+                fname, lo, hi = r.value
+                inc_lo, inc_hi = r.extra
+                dt = dtypes[fname]
+                p = None
+                if lo is not None:
+                    b = _convert_bound(fname, lo, dt)
+                    p = col >= F.lit(b) if inc_lo else col > F.lit(b)
+                if hi is not None:
+                    b = _convert_bound(fname, hi, dt)
+                    c2 = col <= F.lit(b) if inc_hi else col < F.lit(b)
+                    p = c2 if p is None else (p & c2)
+                preds.append((int(r.sid), p))
             coarse = preds[0][1]
             for _, p in preds[1:]:
                 coarse = coarse | p

@@ -366,6 +366,54 @@ def test_field_predicate_pushdown(ps_index):
     assert f"EqualTo(conv_id,{conv})" in plan, plan[:2000]
 
 
+def test_parse_field_ranges():
+    """field:[lo TO hi] metadata ranges (round 7): bounds verbatim,
+    bracket inclusivity, * open sides, boost; text:[..] re-dispatches
+    to a TERM range."""
+    p = parse_query_string(
+        '+turn_idx:[2 TO 10] ts:{2026-01-01 TO *}^2 -dl:[* TO 5}', CFG)
+    assert [c["kind"] for c in p] == ["field_range"] * 3
+    assert p[0]["value"] == ("turn_idx", "2", "10")
+    assert p[0]["extra"] == (True, True) and p[0]["role"] == "must"
+    assert p[1]["value"] == ("ts", "2026-01-01", None)
+    assert p[1]["boost"] == 2.0
+    assert p[2]["value"] == ("dl", None, "5")
+    assert p[2]["extra"] == (True, False) and p[2]["role"] == "not"
+    assert parse_query_string('text:[aa TO bb]', CFG)[0]["kind"] == \
+        "range"
+    for bad in ('turn_idx:[2 TO]', 'turn_idx:[* TO *]',
+                'turn_idx:[2 TO 3]x', 'turn_idx:[2 TO 3]^0',
+                'f:[a" TO b]'):
+        with pytest.raises(ValueError):
+            parse_query_string(bad, CFG)
+
+
+def test_field_range_numeric(ps_index):
+    """+turn_idx:[2 TO 5] compares NUMERICALLY (2 <= v <= 5 as ints —
+    string comparison would also admit nothing past "5"); exclusive
+    brackets drop the bounds; an unparseable numeric bound raises."""
+    oracle = ps_index["oracle"]
+    term = max(oracle.postings, key=oracle.df)
+    meta = oracle.doc_meta
+    want = set(meta.index[(meta.turn_idx >= 2) & (meta.turn_idx <= 5)])
+    got = _run(ps_index, [f"+turn_idx:[2 TO 5] {term}"], k=oracle.N,
+               doc_fields=ps_index["doc_fields"])
+    assert set(got[got.query_id == 0].doc_id) == want
+    want_x = set(meta.index[(meta.turn_idx > 0) & (meta.turn_idx < 3)])
+    got_x = _run(ps_index, ["+turn_idx:{0 TO 3}"], k=oracle.N,
+                 doc_fields=ps_index["doc_fields"])
+    assert set(got_x[got_x.query_id == 0].doc_id) == want_x
+    # open side + string-typed column range (lexicographic on strings)
+    conv = sorted(meta.conv_id.unique())[1]
+    want_s = set(meta.index[meta.conv_id <= conv])
+    got_s = _run(ps_index, [f"+conv_id:[* TO {conv}]"], k=oracle.N,
+                 doc_fields=ps_index["doc_fields"])
+    assert set(got_s[got_s.query_id == 0].doc_id) == want_s
+    with pytest.raises(ValueError, match="does not parse"):
+        _run(ps_index, [f"+turn_idx:[x TO 5] {term}"],
+             doc_fields=ps_index["doc_fields"])
+
+
 def test_field_requires_doc_fields(ps_index):
     with pytest.raises(ValueError, match="doc_fields"):
         _run(ps_index, ["conv_id:x foo"])

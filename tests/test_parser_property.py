@@ -134,10 +134,34 @@ def _field_clause(draw):
               "value": (fname, value), "boost": bv, "extra": None}])
 
 
+@st.composite
+def _field_range_clause(draw):
+    # fname:[lo TO hi] metadata range (round 7): bounds verbatim,
+    # bracket inclusivity, * opens one side
+    s, b = draw(_sign), draw(_boost)
+    fname = draw(st.from_regex(r"[a-z_][a-z0-9_]{0,9}",
+                               fullmatch=True).filter(
+        lambda f: f != "text"))
+    lo, hi = draw(_term), draw(st.from_regex(r"[A-Z0-9][A-Za-z0-9.-]{0,8}",
+                                             fullmatch=True))
+    open_side = draw(st.sampled_from([None, "lo", "hi"]))
+    lo_s = "*" if open_side == "lo" else lo
+    hi_s = "*" if open_side == "hi" else hi
+    br_lo = draw(st.sampled_from("[{"))
+    br_hi = draw(st.sampled_from("]}"))
+    sfx, bv = _boost_sfx(b)
+    return (f"{s}{fname}:{br_lo}{lo_s} TO {hi_s}{br_hi}{sfx}",
+            [{"role": _ROLE[s], "kind": "field_range",
+              "value": (fname,
+                        None if open_side == "lo" else lo,
+                        None if open_side == "hi" else hi),
+              "boost": bv, "extra": (br_lo == "[", br_hi == "]")}])
+
+
 _simple_clause = st.one_of(_term_clause(), _fuzzy_clause(),
                            _wildcard_clause(), _phrase_clause(),
                            _multi_token_bare(), _range_clause(),
-                           _field_clause())
+                           _field_clause(), _field_range_clause())
 
 
 @st.composite
