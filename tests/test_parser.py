@@ -414,6 +414,27 @@ def test_field_range_numeric(ps_index):
              doc_fields=ps_index["doc_fields"])
 
 
+def test_field_range_timestamp(ps_index):
+    """Timestamp-typed metadata ranges convert bounds via
+    pd.Timestamp and compare as timestamps (doc_fields is ANY
+    (doc_id, metadata) frame, not only load_doc_stats)."""
+    import datetime
+
+    oracle = ps_index["oracle"]
+    spark_s = ps_index["postings"].sparkSession
+    base = datetime.datetime(2026, 1, 1)
+    tsf = spark_s.createDataFrame(
+        [(int(d), base + datetime.timedelta(days=int(d)))
+         for d in range(oracle.N)],
+        "doc_id long, ts timestamp")
+    got = _run(ps_index, ["+ts:[2026-01-05 TO 2026-01-10}"],
+               k=oracle.N, doc_fields=tsf)
+    # days 4..8 (doc_id = days offset; upper bound exclusive)
+    assert set(got[got.query_id == 0].doc_id) == {4, 5, 6, 7, 8}
+    with pytest.raises(ValueError, match="does not parse"):
+        _run(ps_index, ["+ts:[notadate TO *]"], doc_fields=tsf)
+
+
 def test_field_requires_doc_fields(ps_index):
     with pytest.raises(ValueError, match="doc_fields"):
         _run(ps_index, ["conv_id:x foo"])
