@@ -234,28 +234,36 @@ def parse_query_string(
                         "NOT-of-AND is not a per-member exclusion"
                     )
                 # AND inside the group: every member required — each
-                # member is its own MUST singleton (flattening is the
-                # exact semantics, not an approximation)
+                # CLAUSE is its own MUST singleton (flattening is the
+                # exact semantics, not an approximation; a multi-token
+                # member's tokens each bind separately, like bare
+                # chunks under AND)
                 for _, mchunk in members:
                     _parse_simple_chunk(
-                        mchunk, "must", cfg, clauses, next_gid(), gboost)
+                        mchunk, "must", cfg, clauses, next_gid, gboost)
             else:
                 gid = next_gid()
                 for _, mchunk in members:
                     _parse_simple_chunk(
-                        mchunk, role, cfg, clauses, gid, gboost)
+                        mchunk, role, cfg, clauses, lambda: gid, gboost)
             continue
-        _parse_simple_chunk(chunk, role, cfg, clauses, next_gid(), 1.0)
+        _parse_simple_chunk(chunk, role, cfg, clauses, next_gid, 1.0)
     return clauses
 
 
 def _parse_simple_chunk(chunk: str, role: str, cfg: BuildConfig,
-                        clauses: list, gid: int,
+                        clauses: list, gid_fn,
                         boost_mult: float) -> None:
     """Parse one non-group chunk into clause dicts appended to
     `clauses` (a bare multi-token chunk contributes one clause per
-    token with the same role/boost/gid). boost_mult: the enclosing
-    group's ^boost (1.0 at top level) — multiplies the clause's own."""
+    token with the same role/boost). gid_fn is called once per
+    appended clause: at top level it mints a FRESH gid each time, so
+    each token of a multi-token chunk is its own singleton group
+    (all tokens bind under MUST — pre-round-7 and Lucene-under-AND
+    behavior); inside an OR group it returns the group's fixed gid,
+    so every member token shares the group's any-member semantics.
+    boost_mult: the enclosing group's ^boost (1.0 at top level) —
+    multiplies the clause's own."""
     if chunk[0] in "[{":
         rm = _RANGE_RE.match(chunk)
         if not rm:
@@ -285,7 +293,7 @@ def _parse_simple_chunk(chunk: str, role: str, cfg: BuildConfig,
                         "value": (lo, hi),
                         "boost": boost * boost_mult,
                         "extra": (br_lo == "[", br_hi == "]"),
-                        "gid": gid})
+                        "gid": gid_fn()})
         return
     fdm = _FIELD_RE.match(chunk)
     if fdm:
@@ -298,7 +306,7 @@ def _parse_simple_chunk(chunk: str, role: str, cfg: BuildConfig,
                 raise ValueError(
                     f"nested field prefix in {chunk!r}"
                 )
-            _parse_simple_chunk(rest, role, cfg, clauses, gid,
+            _parse_simple_chunk(rest, role, cfg, clauses, gid_fn,
                                 boost_mult)
             return
         if rest[0] in "[{":
@@ -336,7 +344,7 @@ def _parse_simple_chunk(chunk: str, role: str, cfg: BuildConfig,
                             "value": (fname, lo, hi),
                             "boost": boost * boost_mult,
                             "extra": (br_lo == "[", br_hi == "]"),
-                            "gid": gid})
+                            "gid": gid_fn()})
             return
         m = _BOOST_RE.match(rest)
         value, boost = (m.group(1), float(m.group(2))) \
@@ -355,7 +363,7 @@ def _parse_simple_chunk(chunk: str, role: str, cfg: BuildConfig,
         clauses.append({"role": role, "kind": "field",
                         "value": (fname, value),
                         "boost": boost * boost_mult,
-                        "extra": None, "gid": gid})
+                        "extra": None, "gid": gid_fn()})
         return
     if chunk.startswith('"'):
         if not _QUOTED_RE.match(chunk):
@@ -413,11 +421,11 @@ def _parse_simple_chunk(chunk: str, role: str, cfg: BuildConfig,
         if len(toks) == 1:  # 1-token phrase degrades to a term
             clauses.append({"role": role, "kind": "term",
                             "value": toks[0], "boost": boost,
-                            "extra": 0, "gid": gid})
+                            "extra": 0, "gid": gid_fn()})
             return
         clauses.append({"role": role, "kind": "phrase",
                         "value": " ".join(toks), "boost": boost,
-                        "extra": slop, "gid": gid})
+                        "extra": slop, "gid": gid_fn()})
         return
     if "*" in body or "?" in body:
         if "~" in body:
@@ -427,7 +435,7 @@ def _parse_simple_chunk(chunk: str, role: str, cfg: BuildConfig,
             )
         clauses.append({"role": role, "kind": "wildcard",
                         "value": body.lower(), "boost": boost,
-                        "extra": 0, "gid": gid})
+                        "extra": 0, "gid": gid_fn()})
         return
     fm = _FUZZ_RE.match(body)
     if fm:
@@ -445,15 +453,15 @@ def _parse_simple_chunk(chunk: str, role: str, cfg: BuildConfig,
         if edits == 0:  # ~0 is an exact term (Lucene)
             clauses.append({"role": role, "kind": "term",
                             "value": toks[0], "boost": boost,
-                            "extra": 0, "gid": gid})
+                            "extra": 0, "gid": gid_fn()})
         else:
             clauses.append({"role": role, "kind": "fuzzy",
                             "value": toks[0], "boost": boost,
-                            "extra": edits, "gid": gid})
+                            "extra": edits, "gid": gid_fn()})
         return
     for t in tokenize_py(body, cfg):
         clauses.append({"role": role, "kind": "term", "value": t,
-                        "boost": boost, "extra": 0, "gid": gid})
+                        "boost": boost, "extra": 0, "gid": gid_fn()})
 
 
 # fused per-doc contribution shape: contributions pre-summed, matched
@@ -472,7 +480,8 @@ _QS_COMBINE_CHUNK = 4_000_000
 _MAX_MUST_BITS = 62
 
 
-def _term_contribs(spark, postings, rows: pd.DataFrame, N, avgdl, cfg):
+def _term_contribs(spark, postings, rows: pd.DataFrame, N, avgdl, cfg,
+                    df_map: dict | None = None):
     """One narrow pass scoring every term clause of the batch:
     In(term)-pruned scan, broadcast clause join, per-row decode ->
     BM25 x boost (0 for MUST_NOT rows — only membership matters).
@@ -489,7 +498,8 @@ def _term_contribs(spark, postings, rows: pd.DataFrame, N, avgdl, cfg):
     filtered = postings.where(F.col("term").isin(terms))
     if "pos" in filtered.columns:
         filtered = filtered.drop("pos")
-    df_map = _term_df_map(filtered)
+    if df_map is None:
+        df_map = _term_df_map(filtered)
     # explicit projection (Catalyst cannot prune through mapInPandas):
     # block_max/cf/df would otherwise ride the Arrow transfer unused
     matched = filtered.select("term", "doc_ids", "tfs", "dls").join(
@@ -564,11 +574,12 @@ _RANGEABLE_INTS = {"tinyint", "smallint", "int", "bigint"}
 
 
 def _convert_bound(fname: str, bound: str | None, dtype: str):
-    """One metadata range bound -> a Python literal of the COLUMN's
-    Spark type, so the comparison runs natively (numerics compare
-    numerically, never lexicographically). Raises on a bound the type
-    can't parse — a silent NULL comparison would make the clause match
-    nothing and mis-answer the query."""
+    """One metadata comparison value (range bound OR equality literal)
+    -> a Python literal of the COLUMN's Spark type, so the comparison
+    runs natively (numerics compare numerically, never
+    lexicographically) and pushes to the metadata source's scan.
+    Raises on a value the type can't parse — a silent NULL comparison
+    would make the clause match nothing and mis-answer the query."""
     if bound is None:
         return None
     try:
@@ -583,11 +594,11 @@ def _convert_bound(fname: str, bound: str | None, dtype: str):
             return bound
     except (ValueError, OverflowError) as exc:
         raise ValueError(
-            f"range bound {bound!r} does not parse as the {dtype} "
+            f"value {bound!r} does not parse as the {dtype} "
             f"type of metadata field {fname!r}"
         ) from exc
     raise ValueError(
-        f"metadata field {fname!r} has type {dtype}, which range "
+        f"metadata field {fname!r} has type {dtype}, which field "
         "clauses do not support (numeric, string, timestamp, date)"
     )
 
@@ -742,20 +753,34 @@ def query_string_topk(
     # membership frame shrinks from match-mass to candidate-mass.
     # Bounded: built only when the chosen groups' Σdf <= 4M (the
     # kernel-filter cap); correctness never depends on it (a doc
-    # outside the union fails its must group at the combine anyway).
+    # outside the union fails its must group at the combine anyway)
+    # — PROVIDED the group is pure-term: a MUST group that also
+    # carries an expansion/phrase/field member is satisfied by ANY
+    # member, so its term-docs union is NOT a hit superset (a doc
+    # matching only the non-term member is a legitimate hit) and such
+    # groups are ineligible for the pushdown.
     exp_filter = None
+    shared_dfm: dict | None = None
     if fuzzy_cl or wild_cl or range_cl:
         exp_qids = ({r[0] for r in fuzzy_cl} | {r[0] for r in wild_cl}
                     | {r[0] for r in range_cl})
+        non_term_gids = {(r[0], r[1])
+                         for lst in (phrase_cl, fuzzy_cl, wild_cl,
+                                     range_cl, field_cl, frange_cl)
+                         for r in lst}
         must_groups: dict[int, dict[int, list[str]]] = {}
         for (qid, gid, role, value, _b, _e, _m, _c) in term_rows:
-            if role == "must" and qid in exp_qids:
+            if (role == "must" and qid in exp_qids
+                    and (qid, gid) not in non_term_gids):
                 must_groups.setdefault(qid, {}).setdefault(
                     gid, []).append(value)
         if exp_qids and all(q in must_groups for q in exp_qids):
-            all_terms = sorted({t for g in must_groups.values()
-                                for ts in g.values() for t in ts})
-            dfm = _term_df_map(
+            # one df aggregate over ALL batch terms: the same map
+            # feeds _term_contribs below (the gate's must terms are a
+            # subset), so the batch pays one In(term) scan+groupBy
+            # for df, not two
+            all_terms = sorted({r[3] for r in term_rows})
+            shared_dfm = dfm = _term_df_map(
                 postings.where(F.col("term").isin(all_terms)))
             chosen: set[str] = set()
             for q in exp_qids:
@@ -769,7 +794,17 @@ def query_string_topk(
             # must-union near corpus scale (e.g. a hot term) keeps
             # most membership rows and loses outright
             if 0 < est <= min(4_000_000, N // 16):
-                exp_filter = term_doc_ids(postings, sorted(chosen))
+                # materialize the id union ONCE: the lazy plan would
+                # re-run its scan + bounded collect inside EVERY
+                # expansion sub-call's _prep_doc_sets (up to three
+                # concurrent identical jobs); a LocalRelation makes
+                # each sub-call's fetch a driver-local read
+                ids = np.unique(
+                    term_doc_ids(postings, sorted(chosen))
+                    .toPandas()["doc_id"].to_numpy(np.int64))
+                if ids.size:
+                    exp_filter = spark.createDataFrame(
+                        pd.DataFrame({"doc_id": ids}))
 
     # each thunk builds one clause-kind's contribution frame(s); they
     # run on a small thread pool (round 7) because every sub-surface
@@ -785,7 +820,7 @@ def query_string_topk(
         thunks.append(lambda: [_term_contribs(
             spark, postings,
             tpdf[["query_id", "role", "term", "boost", "mbit"]],
-            N, avgdl, cfg)])
+            N, avgdl, cfg, df_map=shared_dfm)])
 
     def run_group(cl, key_fn, call):
         """Batch one clause kind through its surface, one call per
@@ -888,8 +923,15 @@ def query_string_topk(
             for r in pdf.itertuples(index=False):
                 col = F.col(r.value[0])
                 if len(r.value) == 2:  # equality clause
-                    preds.append((int(r.sid),
-                                  col.cast("string") == F.lit(r.value[1])))
+                    # the literal converts to the column's OWN type
+                    # exactly like range bounds: a native comparison
+                    # pushes to the parquet scan, and an int column
+                    # matched as a string would diverge from the same
+                    # value in a range clause (cast("string") also
+                    # breaks on doubles: "100" != "100.0")
+                    b = _convert_bound(r.value[0], r.value[1],
+                                       dtypes[r.value[0]])
+                    preds.append((int(r.sid), col == F.lit(b)))
                     continue
                 fname, lo, hi = r.value
                 inc_lo, inc_hi = r.extra

@@ -328,7 +328,8 @@ def test_field_constant_score(ps_index):
 def test_field_must_and_not(ps_index):
     """+field:v restricts membership (and still contributes its
     constant, Lucene MUST-scoring); -field:v excludes; numeric
-    metadata columns compare via string equality."""
+    metadata columns compare in their OWN type (round-7 review —
+    like range bounds)."""
     oracle = ps_index["oracle"]
     conv = oracle.doc_meta.conv_id.iloc[0]
     in_conv = set(oracle.doc_meta.index[oracle.doc_meta.conv_id == conv])
@@ -343,7 +344,7 @@ def test_field_must_and_not(ps_index):
                  doc_fields=ps_index["doc_fields"])
     assert set(got_n[got_n.query_id == 0].doc_id) == \
         set(tdocs) - in_conv
-    # numeric field: turn_idx compares via cast-to-string equality
+    # numeric field: turn_idx compares as its native integer type
     at_turn = set(oracle.doc_meta.index[oracle.doc_meta.turn_idx == 3])
     got_t = _run(ps_index, [f"+turn_idx:3 {term}"], k=oracle.N,
                  doc_fields=ps_index["doc_fields"])
@@ -352,8 +353,9 @@ def test_field_must_and_not(ps_index):
 
 def test_field_predicate_pushdown(ps_index):
     """The field-clause membership scan pushes its equality predicate
-    to the metadata parquet scan (cast-to-string on a string column is
-    eliminated, so EqualTo reaches PushedFilters)."""
+    to the metadata parquet scan — on string AND numeric columns (the
+    literal converts to the column's type, so no cast blocks the
+    pushdown; round-7 review)."""
     from capsbm25.parser import query_string_topk
 
     conv = ps_index["oracle"].doc_meta.conv_id.iloc[0]
@@ -364,6 +366,13 @@ def test_field_predicate_pushdown(ps_index):
         doc_fields=ps_index["doc_fields"])
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert f"EqualTo(conv_id,{conv})" in plan, plan[:2000]
+    got_n = query_string_topk(
+        ps_index["postings"].sparkSession, ps_index["postings"],
+        _q(["+turn_idx:3 foo"]), ps_index["res"].N,
+        ps_index["res"].avgdl, ps_index["cfg"],
+        doc_fields=ps_index["doc_fields"])
+    plan_n = got_n._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(turn_idx,3)" in plan_n, plan_n[:2000]
 
 
 def test_parse_field_ranges():
@@ -506,6 +515,60 @@ def test_parse_rejects_silent_misparse_shapes():
     p = parse_query_string('"one two"~2^3', CFG)
     assert p[0]["kind"] == "phrase"
     assert p[0]["extra"] == 2 and p[0]["boost"] == 3.0
+
+
+def test_field_equality_typed(ps_index):
+    """Round-7 review: field EQUALITY converts the literal to the
+    column's own type exactly like range bounds — `score:2` on a
+    double column matches 2.0 (the cast-to-string compare saw
+    "2.0" != "2" and silently matched nothing) — and an unparseable
+    literal raises instead of NULL-matching nothing."""
+    oracle = ps_index["oracle"]
+    spark_s = ps_index["postings"].sparkSession
+    dbl = spark_s.createDataFrame(
+        [(int(d), float(d % 4)) for d in range(oracle.N)],
+        "doc_id long, score double")
+    got = _run(ps_index, ["+score:2"], k=oracle.N, doc_fields=dbl)
+    want = {d for d in range(oracle.N) if d % 4 == 2}
+    assert set(got[got.query_id == 0].doc_id) == want
+    with pytest.raises(ValueError, match="does not parse"):
+        _run(ps_index, ["+score:notanumber"], doc_fields=dbl)
+
+
+def test_multi_token_chunk_binds_all_tokens(ps_index):
+    """Round-7 review: a bare multi-token chunk under MUST ('+a.b'
+    tokenizes to two terms) requires ALL its tokens — each token is
+    its own singleton group (the old shared gid weakened it to
+    any-token)."""
+    oracle = ps_index["oracle"]
+    a, b = sorted(oracle.postings, key=oracle.df, reverse=True)[:2]
+    want = set(oracle.postings[a]) & set(oracle.postings[b])
+    # the fixture must distinguish ALL-tokens from ANY-token
+    assert want != set(oracle.postings[a]) | set(oracle.postings[b])
+    got = _run(ps_index, [f"+{a}.{b}"], k=oracle.N)
+    assert set(got[got.query_id == 0].doc_id) == want
+
+
+def test_mixed_must_group_keeps_expansion_hits(ps_index):
+    """Round-7 review: the expansion doc-set pushdown must skip MUST
+    groups carrying a non-term member — +(t w*) is satisfied by
+    EITHER member, so a doc matching only w* is a legitimate hit; the
+    old pure-term union filter silently dropped it."""
+    oracle = ps_index["oracle"]
+    vocab = sorted(oracle.postings)
+    # a rare term (small df => the old pushdown's selectivity gate
+    # would have accepted its doc-set union as the filter)
+    t = min(oracle.postings, key=oracle.df)
+    pfx = vocab[len(vocab) // 3][:2]
+    wild_docs = set()
+    for w in vocab:
+        if w.startswith(pfx):
+            wild_docs |= oracle.postings[w].keys()
+    # the docs the bug dropped: match the wildcard, lack the term
+    assert wild_docs - set(oracle.postings[t])
+    got = _run(ps_index, [f"+({t} {pfx}*)"], k=oracle.N)
+    assert set(got[got.query_id == 0].doc_id) == \
+        wild_docs | set(oracle.postings[t])
 
 
 def test_parse_sloppy_repeat_and_chargram_guard():

@@ -187,12 +187,21 @@ _clause = st.one_of(_simple_clause, _group_clause())
 
 
 def _with_gids(clauses):
-    """Expected gid assignment: one gid per top-level chunk (group
-    members share their group's), allocated in chunk order — including
-    chunks whose clause list is empty (a gid is consumed either way)."""
+    """Expected gid assignment (round 7): a fresh gid per APPENDED
+    CLAUSE at top level — so each token of a multi-token bare chunk is
+    its own singleton group (all tokens bind under MUST, the
+    Lucene-under-AND behavior) — while an OR group mints ONE gid up
+    front that every member clause shares (any-member semantics)."""
     want = []
-    for gid, (_, ws) in enumerate(clauses):
-        want.extend(dict(w, gid=gid) for w in ws)
+    ctr = 0
+    for chunk, ws in clauses:
+        if chunk.lstrip("+-").startswith("("):
+            gid, ctr = ctr, ctr + 1
+            want.extend(dict(w, gid=gid) for w in ws)
+        else:
+            for w in ws:
+                want.append(dict(w, gid=ctr))
+                ctr += 1
     return want
 
 
