@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from capsbm25.config import BuildConfig
 from capsbm25.docids import assign_doc_ids
 from capsbm25.partition import PartitionPlan, plan_from_sample
-from capsbm25.catalog import write_table
+from capsbm25.catalog import arrow_collect, write_table
 from capsbm25.postings import (
     assemble_postings,
     extract_pairs,
@@ -225,7 +225,8 @@ def build_index(
             F.monotonically_increasing_id().alias("doc_id"), "text"
         )
         sample = extract_pairs(sample_src, cfg)
-        plan = plan_from_sample(sample.select("term", "tf").toPandas(), cfg)
+        plan = plan_from_sample(
+            arrow_collect(sample.select("term", "tf")), cfg)
         return {"plan": plan.to_json(), "sample_fraction": frac}
 
     timed("plan", stage_plan)

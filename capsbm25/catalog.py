@@ -20,9 +20,55 @@ from __future__ import annotations
 
 import threading
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 
 _WRITER_CONF_LOCK = threading.Lock()
+
+# Driver<->JVM transfer helpers. PySpark's default toPandas() /
+# createDataFrame(pandas) serialize ROW-AT-A-TIME through the pickle
+# path unless spark.sql.execution.arrow.pyspark.enabled is set — and
+# it defaults to FALSE, so every driver fetch that scales with data
+# size (doc-filter id sets, tombstone probes, splitter samples,
+# candidate collects) pays ~10x: 13.4s pickle vs 1.3s Arrow for a
+# 3.5M-row single-long-column fetch on this hardware. DataFrame.toArrow
+# (Spark 4.0+) and createDataFrame(pyarrow.Table) use Arrow batches
+# UNCONDITIONALLY, without flipping the session conf — flipping it
+# globally would also change toPandas dtype behavior under the CALLER's
+# session (the driver harness hashes dtypes), so the engine opts in
+# per call site instead.
+
+
+def arrow_collect(df: DataFrame) -> pd.DataFrame:
+    """Bounded driver fetch via Arrow batches; falls back to the pickle
+    path on runtimes without DataFrame.toArrow (Spark < 4.0). Use for
+    every collect whose row count scales with data size; cosmetic
+    fetches (top-k results, aggregates) don't care."""
+    to_arrow = getattr(df, "toArrow", None)
+    if to_arrow is None:  # pragma: no cover - Spark < 4.0 only
+        return df.toPandas()
+    return to_arrow().to_pandas()
+
+
+def arrow_frame(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
+    """pandas -> DataFrame via an Arrow table (the reverse direction of
+    arrow_collect, ~4x over pickled createDataFrame at 100k+ rows).
+    Same Spark < 4.0 fallback."""
+    if not hasattr(DataFrame, "toArrow"):  # pragma: no cover
+        return spark.createDataFrame(pdf)
+    import pyarrow as pa
+
+    return spark.createDataFrame(pa.Table.from_pandas(
+        pdf, preserve_index=False))
+
+
+def ids_frame(spark: SparkSession, ids: np.ndarray) -> DataFrame:
+    """A single-column (doc_id long) DataFrame from a driver-side id
+    array — the join-shaped form of a collected doc set."""
+    return arrow_frame(spark, pd.DataFrame({"doc_id":
+                                            np.asarray(ids, np.int64)}))
 
 
 def is_table_ident(dest: str) -> bool:

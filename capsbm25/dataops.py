@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from capsbm25.catalog import arrow_collect
 from capsbm25.config import BuildConfig
 from capsbm25.tokenize import tokens_expr
 
@@ -635,11 +636,10 @@ def ann_ivf_topk(
     # list containing None); drop them like the LSH path
     v = emb.where(F.col("embedding").isNotNull()).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    sample_pdf = (
+    sample_pdf = arrow_collect(
         v.select("v")
         .orderBy(F.xxhash64("vec_id", F.lit(seed)))
         .limit(train_sample)
-        .toPandas()
     )
     if sample_pdf.empty:
         # empty input: no neighbours (the LSH sibling degrades the

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from capsbm25.catalog import arrow_collect
 from capsbm25.config import BuildConfig
 
 # Separator must sort below every character that can appear in conv_id
@@ -154,12 +155,11 @@ def compute_id_plan(df: DataFrame, cfg: BuildConfig) -> IdPlan:
     target = n_parts * cfg.samples_per_part
     obs = Observation()
     pri = F.xxhash64("conv_id", "turn_idx", F.lit(cfg.seed))
-    sample = (
+    sample = arrow_collect(
         df.select("conv_id", "turn_idx")
         .observe(obs, F.count(F.lit(1)).alias("n"))
         .orderBy(pri, "conv_id", "turn_idx")
         .limit(int(target * 1.2))
-        .toPandas()
     )
     n_rows = int(obs.get["n"])
     if n_rows == 0:

@@ -104,6 +104,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from capsbm25.catalog import arrow_collect
 from capsbm25.codec import delta_decode
 from capsbm25.config import BuildConfig
 from capsbm25.query import (
@@ -794,17 +795,18 @@ def query_string_topk(
             # must-union near corpus scale (e.g. a hot term) keeps
             # most membership rows and loses outright
             if 0 < est <= min(4_000_000, N // 16):
-                # materialize the id union ONCE: the lazy plan would
-                # re-run its scan + bounded collect inside EVERY
-                # expansion sub-call's _prep_doc_sets (up to three
-                # concurrent identical jobs); a LocalRelation makes
-                # each sub-call's fetch a driver-local read
-                ids = np.unique(
+                # collect the id union ONCE (Arrow-batched) and pass
+                # the ARRAY down: the lazy plan would re-run its scan
+                # + bounded collect inside EVERY expansion sub-call's
+                # _prep_doc_sets (up to three concurrent identical
+                # jobs), and a LocalRelation round-trip would pay a
+                # driver->JVM serialize per sub-call — an ndarray
+                # doc_filter broadcasts straight from the driver
+                ids = np.unique(arrow_collect(
                     term_doc_ids(postings, sorted(chosen))
-                    .toPandas()["doc_id"].to_numpy(np.int64))
+                )["doc_id"].to_numpy(np.int64))
                 if ids.size:
-                    exp_filter = spark.createDataFrame(
-                        pd.DataFrame({"doc_id": ids}))
+                    exp_filter = ids
 
     # each thunk builds one clause-kind's contribution frame(s); they
     # run on a small thread pool (round 7) because every sub-surface

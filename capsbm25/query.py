@@ -43,6 +43,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from capsbm25.catalog import arrow_collect, arrow_frame, ids_frame
 from capsbm25.codec import decode_varints, delta_decode, sorted_member_mask
 from capsbm25.config import BuildConfig
 from capsbm25.scoring import idf as idf_fn
@@ -364,11 +365,13 @@ def bm25_topk(
     alone under-estimates task memory), in which case that query is
     routed to the distributed path (both rank-identical, tested).
 
-    doc_filter: optional DataFrame with a doc_id column — Lucene-filter
-    semantics: candidates are restricted to these docs for EVERY query
-    in the batch, while scoring stats (idf, avgdl, N) stay corpus-
-    global, so a doc scores identically filtered or not. Build one from
-    index metadata, e.g. load_doc_stats(...).where(...). Up to
+    doc_filter: optional DataFrame with a doc_id column (or a
+    driver-side numpy id array, which skips the bounded fetch) —
+    Lucene-filter semantics: candidates are restricted to these docs
+    for EVERY query in the batch, while scoring stats (idf, avgdl, N)
+    stay corpus-global, so a doc scores identically filtered or not.
+    Build one from index metadata, e.g.
+    load_doc_stats(...).where(...). Up to
     max_kernel_filter ids the filter ships to kernel tasks as one
     sorted broadcast array (bounded driver fetch, one job); beyond
     that, auto mode falls back to the distributed path where the
@@ -488,15 +491,22 @@ def _prep_doc_sets(spark, mode, doc_filter, doc_exclude,
                    max_kernel_filter):
     """Shared doc_filter/doc_exclude routing for the query entry points.
 
+    Each set is a single-column (doc_id) DataFrame OR a driver-side
+    numpy id array (round 7): a caller that already holds the ids —
+    the query-string expansion pushdown collects its must-term union
+    once — passes the array straight through, so no LocalRelation is
+    built and no re-collect job runs per sub-call.
+
     Returns (mode, doc_filter, doc_exclude, filt_bc, excl_bc, empty):
     the possibly-demoted mode, single-column DataFrames for the
-    distributed semi/anti joins, sorted-array Broadcasts for the kernel
-    masks (None when absent or routed distributed), and empty=True when
-    the filter is provably empty (the caller returns zero rows). The
-    driver fetch is bounded: one job, never more than
-    max_kernel_filter + 1 rows per set; oversized sets demote auto mode
-    to distributed and make explicit kernel mode raise (collecting an
-    unbounded id set on the driver is never silent)."""
+    distributed semi/anti joins (None when a broadcast mask covers
+    every consumer), sorted-array Broadcasts for the kernel masks
+    (None when absent or routed distributed), and empty=True when the
+    filter is provably empty (the caller returns zero rows). The
+    driver fetch is bounded: one Arrow-batched job, never more than
+    max_kernel_filter + 1 rows per set; oversized sets demote auto
+    mode to distributed and make explicit kernel mode raise
+    (collecting an unbounded id set on the driver is never silent)."""
     cols: list = [None, None]
     bcs: list = [None, None]
     empty = False
@@ -504,6 +514,30 @@ def _prep_doc_sets(spark, mode, doc_filter, doc_exclude,
             ("doc_exclude", doc_exclude, "anti-join")]
     for i, (name, df, join_kind) in enumerate(sets):
         if df is None:
+            continue
+        if isinstance(df, np.ndarray):
+            if mode == "distributed" and max_kernel_filter <= 0:
+                # normalization pass of an expansion entry point (its
+                # real routing is _expansion_masks' later auto
+                # re-entry): keep the array as-is
+                cols[i] = df
+                continue
+            ids = np.unique(np.asarray(df, dtype=np.int64))
+            if ids.size > max_kernel_filter or mode == "distributed":
+                if mode == "kernel":
+                    raise ValueError(
+                        f"{name} exceeds max_kernel_filter="
+                        f"{max_kernel_filter}; use mode='distributed' "
+                        f"(or 'auto') so the set stays a {join_kind}"
+                    )
+                # the join path needs a real frame — materialize once
+                cols[i] = ids_frame(spark, ids)
+                mode = "distributed"
+                continue
+            if ids.size:
+                bcs[i] = spark.sparkContext.broadcast(ids)
+            elif name == "doc_filter":
+                empty = True
             continue
         cols[i] = df.select("doc_id")
         if mode == "distributed":
@@ -515,10 +549,10 @@ def _prep_doc_sets(spark, mode, doc_filter, doc_exclude,
         # cap accounting still can't over-demote: only when RAW rows
         # exceed the cap (a join-derived set with duplicate doc_ids
         # could still be small) does one distinct pass decide.
-        head = cols[i].limit(max_kernel_filter + 1).toPandas()
+        head = arrow_collect(cols[i].limit(max_kernel_filter + 1))
         if len(head) > max_kernel_filter:
-            head = cols[i].distinct().limit(
-                max_kernel_filter + 1).toPandas()
+            head = arrow_collect(cols[i].distinct().limit(
+                max_kernel_filter + 1))
         if len(head) > max_kernel_filter:
             if mode == "kernel":
                 raise ValueError(
@@ -1255,8 +1289,8 @@ def boolean_topk(
     mode: str = "auto",
     max_kernel_df: int = 20_000_000,
     max_kernel_bytes: int = 32 << 20,
-    doc_filter: DataFrame | None = None,
-    doc_exclude: DataFrame | None = None,
+    doc_filter: DataFrame | np.ndarray | None = None,
+    doc_exclude: DataFrame | np.ndarray | None = None,
     max_kernel_filter: int = 4_000_000,
 ) -> DataFrame:
     """Lucene BooleanQuery: per-query MUST / SHOULD / MUST_NOT clauses.
@@ -1617,8 +1651,8 @@ def phrase_topk(
     max_kernel_df: int = 20_000_000,
     max_kernel_bytes: int = 32 << 20,
     count_scores: bool = False,
-    doc_filter: DataFrame | None = None,
-    doc_exclude: DataFrame | None = None,
+    doc_filter: DataFrame | np.ndarray | None = None,
+    doc_exclude: DataFrame | np.ndarray | None = None,
     max_kernel_filter: int = 4_000_000,
     near: tuple | None = None,
 ) -> DataFrame:
@@ -1693,8 +1727,8 @@ def near_topk(
     mode: str = "auto",
     max_kernel_df: int = 20_000_000,
     max_kernel_bytes: int = 32 << 20,
-    doc_filter: DataFrame | None = None,
-    doc_exclude: DataFrame | None = None,
+    doc_filter: DataFrame | np.ndarray | None = None,
+    doc_exclude: DataFrame | np.ndarray | None = None,
     max_kernel_filter: int = 4_000_000,
 ) -> DataFrame:
     """Proximity top-k (Lucene SpanNearQuery / the NEAR operator): docs
@@ -2042,7 +2076,7 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
     # first: the probe, the over-cap candidate-list build, and the final
     # join would each re-execute the narrow n1 aggregate otherwise.
     and_docs = and_docs.persist()
-    cand_pdf = and_docs.limit(MAX_CAND_COLLECT + 1).toPandas()
+    cand_pdf = arrow_collect(and_docs.limit(MAX_CAND_COLLECT + 1))
     cand_bc = None
     if len(cand_pdf) <= MAX_CAND_COLLECT:
         and_docs.unpersist()
@@ -2053,7 +2087,7 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
             for qid, g in cand_pdf.groupby("query_id")
         }
         cand_bc = session.sparkContext.broadcast(cand_map)
-        and_docs = F.broadcast(session.createDataFrame(cand_pdf))
+        and_docs = F.broadcast(arrow_frame(session, cand_pdf))
         pos_src = matched
     else:
         # Over the collect cap the candidate set stays DISTRIBUTED and
@@ -2263,8 +2297,8 @@ def more_like_this(
     k: int = 10,
     max_terms: int = 10,
     mode: str = "auto",
-    doc_filter: DataFrame | None = None,
-    doc_exclude: DataFrame | None = None,
+    doc_filter: DataFrame | np.ndarray | None = None,
+    doc_exclude: DataFrame | np.ndarray | None = None,
 ) -> DataFrame:
     """More-like-this (Lucene MLT): for each source doc, select its
     top max_terms terms by tf x idf (idf = the engine's BM25 idf over
@@ -2306,19 +2340,19 @@ def more_like_this(
     if not srcs:
         return spark.createDataFrame(
             [], "src_doc_id long, doc_id long, score double, rank int")
-    md = (
+    md = arrow_collect(
         doc_map.where(F.col("doc_id").isin(srcs))
-        .select("doc_id", "conv_id", "turn_idx").toPandas()
+        .select("doc_id", "conv_id", "turn_idx")
     )
     if md.empty:
         return spark.createDataFrame(
             [], "src_doc_id long, doc_id long, score double, rank int")
-    texts = (
+    texts = arrow_collect(
         corpus.where(F.col("conv_id").isin(sorted(set(md["conv_id"]))))
         .select("conv_id", "turn_idx", "text")
-        .join(F.broadcast(spark.createDataFrame(md)),
+        .join(F.broadcast(arrow_frame(spark, md)),
               ["conv_id", "turn_idx"])
-        .select("doc_id", "text").toPandas()
+        .select("doc_id", "text")
     )
     tf_by_src = {
         int(r.doc_id): pd.Series(tokenize_py(r.text or "", cfg))
@@ -2407,8 +2441,8 @@ def prefix_topk(
     postings: DataFrame,
     queries: pd.DataFrame,
     cfg: BuildConfig | None = None,
-    doc_filter: DataFrame | None = None,
-    doc_exclude: DataFrame | None = None,
+    doc_filter: DataFrame | np.ndarray | None = None,
+    doc_exclude: DataFrame | np.ndarray | None = None,
     dictionary: DataFrame | None = None,
     max_expansions: int | None = MAX_EXPANSIONS_DEFAULT,
 ) -> DataFrame:
@@ -2559,8 +2593,8 @@ def _expansion_matched(
             .withColumn("_rn", F.dense_rank().over(w2))
             .where(F.col("_rn") <= int(max_expansions))
             .drop("_rn")
-            .toPandas()
         )
+        pairs_pdf = arrow_collect(pairs_pdf)
         if pairs_pdf.empty:
             return None
         hit = pairs_pdf.groupby("query_id")["term"].nunique()
@@ -2574,8 +2608,8 @@ def _expansion_matched(
             )
         return _pruned_pair_join(spark, posts, pairs_pdf, has_part)
 
-    pairs_pdf = dm.select(*sel_cols).limit(
-        MAX_EXPANSION_COLLECT + 1).toPandas()
+    pairs_pdf = arrow_collect(dm.select(*sel_cols).limit(
+        MAX_EXPANSION_COLLECT + 1))
     if len(pairs_pdf) <= MAX_EXPANSION_COLLECT:
         if pairs_pdf.empty:
             return None
@@ -2875,8 +2909,8 @@ def fuzzy_topk(
     cfg: BuildConfig | None = None,
     max_edits: int = 2,
     prefix_len: int = 0,
-    doc_filter: DataFrame | None = None,
-    doc_exclude: DataFrame | None = None,
+    doc_filter: DataFrame | np.ndarray | None = None,
+    doc_exclude: DataFrame | np.ndarray | None = None,
     dictionary: DataFrame | None = None,
     max_expansions: int | None = MAX_EXPANSIONS_DEFAULT,
     transpositions: bool = False,
@@ -3005,8 +3039,8 @@ def wildcard_topk(
     postings: DataFrame,
     queries: pd.DataFrame,
     cfg: BuildConfig | None = None,
-    doc_filter: DataFrame | None = None,
-    doc_exclude: DataFrame | None = None,
+    doc_filter: DataFrame | np.ndarray | None = None,
+    doc_exclude: DataFrame | np.ndarray | None = None,
     dictionary: DataFrame | None = None,
     max_expansions: int | None = MAX_EXPANSIONS_DEFAULT,
     docs_only: bool | str = False,
@@ -3092,8 +3126,8 @@ def regexp_topk(
     postings: DataFrame,
     queries: pd.DataFrame,
     cfg: BuildConfig | None = None,
-    doc_filter: DataFrame | None = None,
-    doc_exclude: DataFrame | None = None,
+    doc_filter: DataFrame | np.ndarray | None = None,
+    doc_exclude: DataFrame | np.ndarray | None = None,
     dictionary: DataFrame | None = None,
     max_expansions: int | None = MAX_EXPANSIONS_DEFAULT,
 ) -> DataFrame:
@@ -3195,8 +3229,8 @@ def term_range_topk(
     postings: DataFrame,
     queries: pd.DataFrame,
     cfg: BuildConfig | None = None,
-    doc_filter: DataFrame | None = None,
-    doc_exclude: DataFrame | None = None,
+    doc_filter: DataFrame | np.ndarray | None = None,
+    doc_exclude: DataFrame | np.ndarray | None = None,
     dictionary: DataFrame | None = None,
     max_expansions: int | None = MAX_EXPANSIONS_DEFAULT,
     docs_only: bool | str = False,
@@ -3369,8 +3403,8 @@ def substring_topk(
     mode: str = "auto",
     max_kernel_df: int = 20_000_000,
     max_kernel_bytes: int = 32 << 20,
-    doc_filter: DataFrame | None = None,
-    doc_exclude: DataFrame | None = None,
+    doc_filter: DataFrame | np.ndarray | None = None,
+    doc_exclude: DataFrame | np.ndarray | None = None,
     corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Char-granular substring top-k — the direct graft of the

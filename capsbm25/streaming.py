@@ -34,6 +34,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from capsbm25.catalog import arrow_collect, arrow_frame
 from capsbm25.config import BuildConfig
 from capsbm25.docids import assign_doc_ids
 from capsbm25.partition import plan_from_sample
@@ -168,7 +169,8 @@ def process_batch(
             docs.sample(fraction=min(1.0, 20000 / max(n_rows, 1)),
                         seed=cfg.seed), cfg
         )
-        plan = plan_from_sample(sample.select("term", "tf").toPandas(), cfg)
+        plan = plan_from_sample(
+            arrow_collect(sample.select("term", "tf")), cfg)
 
         # block maxima inside a segment use segment-local stats; the
         # query kernel recomputes bounds when merging segments (query.py)
@@ -474,11 +476,10 @@ def delete_docs(spark: SparkSession, out_dir: str,
     for _ in range(5):
         stats0 = load_stream_stats(out_dir)
         before = _marker(stats0)
-        resolved = (
+        resolved = arrow_collect(
             segment_docs(spark, out_dir)
             .where(F.col("conv_id").isin(list(conv_ids)))
             .select("doc_id", "dl")
-            .toPandas()
         )
         with _stats_lock(out_dir):
             cur = load_stream_stats(out_dir)
@@ -603,7 +604,8 @@ def _compact_full(spark, out_dir, cfg, stats, max_tombstone_collect) -> dict:
 
         tomb_all = spark.read.parquet(*tomb_files_at_start).dropDuplicates(
             ["doc_id"])
-        probe = tomb_all.limit(max_tombstone_collect + 1).toPandas()
+        probe = arrow_collect(
+            tomb_all.limit(max_tombstone_collect + 1))
         if len(probe) > max_tombstone_collect:
             rebuild = True  # mass delete: never collect to the driver
             agg = tomb_all.agg(
@@ -753,7 +755,8 @@ def _rebuild_from_live_docs(spark, out_dir, cfg, tomb_files, tmp_seg_dir,
     sample = extract_pairs(
         live.sample(fraction=min(1.0, 20000 / max(N_live, 1)),
                     seed=cfg.seed), cfg)
-    plan = plan_from_sample(sample.select("term", "tf").toPandas(), cfg)
+    plan = plan_from_sample(
+        arrow_collect(sample.select("term", "tf")), cfg)
     # the anti-join shuffle leaves doc_ids unordered within partitions;
     # extract_runs flushes at every doc-order restart, so sort first or
     # runs degenerate to one row per pair
@@ -820,7 +823,8 @@ def _compact_tiered(spark, out_dir, cfg, stats, merge_factor,
         # cache each of those re-reads and re-dedups EVERY pending file
         tomb_all = spark.read.parquet(*tomb_files_at_start).dropDuplicates(
             ["doc_id"]).cache()
-        if len(tomb_all.limit(max_tombstone_collect + 1).toPandas()) \
+        if len(arrow_collect(
+                tomb_all.limit(max_tombstone_collect + 1))) \
                 > max_tombstone_collect:
             # a mass delete is pending: leave ALL tombstones to the
             # full policy's distributed rebuild (applying per-tier
@@ -846,7 +850,8 @@ def _compact_tiered(spark, out_dir, cfg, stats, merge_factor,
             # in-group subset is collected, and an over-cap subset
             # (mass delete) simply stays pending for the rebuild path
             ing = tomb_all.join(g_docs.select("doc_id"), "doc_id", "semi")
-            probe = ing.limit(max_tombstone_collect + 1).toPandas()
+            probe = arrow_collect(
+                ing.limit(max_tombstone_collect + 1))
             if len(probe) <= max_tombstone_collect and len(probe):
                 g_del = probe
                 drop_bc = spark.sparkContext.broadcast(
@@ -938,11 +943,10 @@ def _compact_tiered(spark, out_dir, cfg, stats, merge_factor,
                    if applied_frames else None)
         rem = None
         if applied is not None:
-            rem = (
+            rem = arrow_collect(
                 tomb_all
-                .join(spark.createDataFrame(applied[["doc_id"]]),
+                .join(arrow_frame(spark, applied[["doc_id"]]),
                       "doc_id", "anti")
-                .toPandas()
             )
     except BaseException:
         for m in merges:

@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from capsbm25.catalog import arrow_collect
 from capsbm25.codec import decode_varints, delta_decode
 from capsbm25.config import BuildConfig
 
@@ -95,9 +96,9 @@ def validate_postings(
             {"n": [n], "violations": [len(bad)], "examples": [bad[:5]]}
         )
 
-    agg = postings.mapInPandas(
+    agg = arrow_collect(postings.mapInPandas(
         check, schema="n long, violations long, examples array<string>"
-    ).toPandas()
+    ))
     dup = 0
     if unique_terms:
         dup = (

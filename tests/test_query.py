@@ -415,6 +415,78 @@ def test_filter_and_exclude_combined(built_index, spark):
         _assert_rank_identical(got, want, queries)
 
 
+def test_ndarray_doc_sets(built_index, spark):
+    """Round-7 fast path: doc_filter/doc_exclude given as driver-side
+    numpy id arrays (what query_string's expansion pushdown passes) —
+    must route and rank exactly like the DataFrame form on every mode,
+    refuse oversized arrays in kernel mode, demote in auto, and treat
+    an empty array as a provably-empty allowlist."""
+    import pytest
+
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import wildcard_topk
+
+    res, cfg, oracle = (built_index["res"], built_index["cfg"],
+                        built_index["oracle"])
+    queries = fx.queries_pdf(42)
+    _, fset = _conv_filter(built_index, spark, stride=2)
+    farr = np.array(sorted(fset), dtype=np.int64)
+    eset = {
+        i for i, t in enumerate(oracle.doc_meta["turn_idx"]) if t % 3 == 0
+    }
+    earr = np.array(sorted(eset), dtype=np.int64)
+
+    want = oracle.topk_pdf(queries, doc_filter=fset - eset)
+    assert len(want) > 0
+    for mode in ("kernel", "distributed", "auto"):
+        got = bm25_topk(
+            spark, built_index["postings"], queries, res.N, res.avgdl,
+            cfg, mode=mode, doc_filter=farr, doc_exclude=earr,
+        ).toPandas()
+        assert len(got) == len(want), mode
+        _assert_rank_identical(got, want, queries)
+
+    # oversized array: kernel refuses, auto demotes to the join path
+    # (the array is materialized as ONE single-column frame) and still
+    # matches the oracle
+    with pytest.raises(ValueError, match="max_kernel_filter"):
+        bm25_topk(
+            spark, built_index["postings"], queries, res.N, res.avgdl,
+            cfg, mode="kernel", doc_filter=farr, max_kernel_filter=3,
+        )
+    want_f = oracle.topk_pdf(queries, doc_filter=fset)
+    got = bm25_topk(
+        spark, built_index["postings"], queries, res.N, res.avgdl, cfg,
+        mode="auto", doc_filter=farr, max_kernel_filter=3,
+    ).toPandas()
+    _assert_rank_identical(got, want_f, queries)
+
+    # empty array allowlist -> zero rows, no job
+    got = bm25_topk(
+        spark, built_index["postings"], queries, res.N, res.avgdl, cfg,
+        doc_filter=np.array([], dtype=np.int64),
+    ).toPandas()
+    assert len(got) == 0
+
+    # expansion entry point (the passthrough branch: normalization pass
+    # keeps the array, _expansion_masks routes it): ndarray filter ==
+    # DataFrame filter on wildcard
+    wq = pd.DataFrame({"query_id": np.array([0], dtype=np.int64),
+                       "text": ["w00*"],
+                       "k": np.array([8], dtype=np.int64)})
+    fdf = (load_doc_stats(spark, res.out_dir)
+           .where(F.col("doc_id").isin([int(x) for x in farr]))
+           .select("doc_id"))
+    got_a = wildcard_topk(spark, built_index["postings"], wq, cfg,
+                          doc_filter=farr).toPandas()
+    got_d = wildcard_topk(spark, built_index["postings"], wq, cfg,
+                          doc_filter=fdf).toPandas()
+    g = got_a.sort_values(["query_id", "rank"], ignore_index=True)
+    d = got_d.sort_values(["query_id", "rank"], ignore_index=True)
+    assert list(g.doc_id) == list(d.doc_id) and len(g)
+    assert np.allclose(g.score, d.score, atol=1e-9)
+
+
 def test_prefix_empty_and_all_empty(built_index, spark):
     from capsbm25.query import prefix_topk
 
