@@ -1299,6 +1299,38 @@ def q_query_string_range(spark, sf_dir):
         F.round("g.score", 6).alias("score_r"))
 
 
+QSX_QUERY = '+hash /s.*(m|t)/ merge^1.5'
+QSX_K = 15
+
+
+def q_query_string_regexp(spark, sf_dir):
+    """Query-string regexp clause (round 7 — Lucene RegexpQuery syntax
+    `/re/` in the classic parser): `/s.*(m|t)/` matches any dictionary
+    term the anchored pattern fully matches ({"sort","stream"} at
+    sf0.01; constant-score, the multi-term default rewrite) and
+    combines with a MUST term and a boosted scored term. Ties by
+    dense-id order."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.parser import query_string_topk
+
+    b = _pos_index_for(spark, sf_dir)
+    res = b["res"]
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [QSX_QUERY],
+         "k": np.array([QSX_K], dtype=np.int32)}
+    )
+    got = query_string_topk(
+        spark, load_postings(spark, b["out"]), queries, res.N,
+        res.avgdl, b["cfg"],
+    )
+    return _to_original(
+        spark, b, got,
+        F.round("g.score", 6).alias("score_r"))
+
+
 QSF_QUERY = '+conv_id:src3 hash sort^1.5'
 QSF_K = 15
 
@@ -1588,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_string": q_query_string,
         "query_string_grouped": q_query_string_grouped,
         "query_string_range": q_query_string_range,
+        "query_string_regexp": q_query_string_regexp,
         "query_string_field": q_query_string_field,
         "query_string_field_range": q_query_string_field_range,
         "suggest_terms": q_suggest_terms,
@@ -2633,6 +2666,53 @@ def oracle_sql() -> dict[str, str]:
             -- ties break by the ENGINE dense-id order
             ORDER BY c.score DESC, d.source ASC, d.doc_id ASC
             LIMIT {QSR_K}""",
+        "query_string_regexp": f"""
+            WITH tl AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            flat AS (SELECT doc_id, unnest(t) AS term FROM tl),
+            dl AS (
+              SELECT doc_id, count(*) AS dl FROM flat GROUP BY doc_id
+            ),
+            corpus AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl)::DOUBLE
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            tf AS (
+              SELECT term, doc_id, count(*) AS tf FROM flat
+              WHERE term IN ('hash', 'merge') GROUP BY 1, 2
+            ),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            bm25 AS (
+              SELECT tf.term, tf.doc_id,
+                     ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+                     * tf.tf * ({_K1} + 1)
+                     / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / c.avgdl))
+                     -- merge^1.5: the clause boost
+                     * (CASE WHEN tf.term = 'merge'
+                             THEN 1.5 ELSE 1.0 END) AS contrib
+              FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN corpus c
+            ),
+            contribs AS (
+              SELECT doc_id, contrib FROM bm25
+              UNION ALL  -- /s.*(m|t)/: anchored regexp, constant-score
+              SELECT DISTINCT doc_id, 1.0 FROM flat
+              WHERE regexp_full_match(term, 's.*(m|t)')
+            ),
+            combined AS (
+              SELECT doc_id, sum(contrib) AS score FROM contribs
+              GROUP BY doc_id
+            ),
+            must_hash AS (
+              SELECT DISTINCT doc_id FROM flat WHERE term = 'hash'
+            )
+            SELECT c.doc_id, round(c.score, 6) AS score_r
+            FROM combined c
+            JOIN must_hash USING (doc_id)
+            JOIN documents d ON d.doc_id = c.doc_id
+            -- ties break by the ENGINE dense-id order
+            ORDER BY c.score DESC, d.source ASC, d.doc_id ASC
+            LIMIT {QSX_K}""",
         "query_string_field": f"""
             WITH tl AS (SELECT doc_id, {_TOK} AS t FROM documents),
             flat AS (SELECT doc_id, unnest(t) AS term FROM tl),

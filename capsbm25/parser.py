@@ -16,6 +16,15 @@ Syntax (whitespace-separated clauses):
                   move operations, this counts span slack)
   wild*  w?ld     wildcard / prefix expansion
   term~  term~1   fuzzy (Levenshtein <= N; ~ alone = 2, Lucene's default)
+  /so.t/          regexp clause (Lucene RegexpQuery syntax, round 7):
+  /s.*(m|t)/^2    docs containing ANY dictionary term the pattern
+                  FULLY matches (anchored) — the Java-regex/RE2 common
+                  subset regexp_topk accepts (lowercase, no backslash
+                  escapes / lookaround / backreferences; braces only
+                  as {m}/{m,}/{m,n} quantifiers); constant-score like
+                  the other expansion clauses; the pattern itself may
+                  not contain whitespace or `/` (neither is in the
+                  accepted charset)
   [a TO b]        term range (Lucene TermRangeQuery, round 7): docs
   {a TO b}        containing ANY dictionary term in the range — [ ]
   [a TO b}^2      inclusive, { } exclusive, mixed allowed; `*` opens
@@ -68,7 +77,7 @@ SCORING (per doc): sum over its matching positive clauses of
   term clause    -> BM25 contribution x boost (corpus-global stats)
   phrase clause  -> BM25 over the phrase's distinct terms x boost
                     (phrase_topk's scoring), for docs containing it
-  fuzzy/wildcard/range -> boost as a CONSTANT (Lucene's default
+  fuzzy/wildcard/regexp/range -> boost as a CONSTANT (Lucene's default
                     CONSTANT_SCORE_REWRITE for multi-term queries:
                     per-expanded-term idf is unstable, so an expansion
                     clause scores flat)
@@ -83,8 +92,8 @@ Returns the engine-wide (query_id, doc_id, score, rank) result shape.
 
 Scale shape: one In(term)-pruned narrow pass scores ALL term clauses
 of the batch (decode streams per posting row; nothing collected);
-phrase / NEAR / fuzzy / wildcard / range clauses batch into their
-existing surfaces (one call per kind — per distinct window for
+phrase / NEAR / fuzzy / wildcard / regexp / range clauses batch into
+their existing surfaces (one call per kind — per distinct window for
 proximity, per distinct max_edits for fuzzy, one batched call for
 all ranges) with the full-match k, so each inherits
 its surface's scale path (chunked candidate masks, bounded expansion
@@ -117,7 +126,9 @@ from capsbm25.query import (
     fuzzy_topk,
     near_topk,
     phrase_topk,
+    regexp_topk,
     term_range_topk,
+    validate_regexp_pattern,
     wildcard_topk,
 )
 from capsbm25.scoring import idf as idf_fn
@@ -152,6 +163,11 @@ _BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$", re.S)
 _RANGE_RE = re.compile(
     r'^([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])(?:\^(\d+(?:\.\d+)?))?$')
 _FUZZ_RE = re.compile(r"^(.+?)~(\d*)$", re.S)
+# regexp clause: /pattern/ plus optional glued ^boost (Lucene
+# RegexpQuery syntax); the pattern body is validated against
+# regexp_topk's Java/RE2 common subset (which admits neither '/' nor
+# whitespace, so [^/]+ cannot under-capture a legal pattern)
+_REGEX_CLAUSE_RE = re.compile(r"^/([^/]+)/(?:\^(\d+(?:\.\d+)?))?$")
 _PHRASE_RE = re.compile(r'^"([^"]*)"(?:~(\d+))?$', re.S)
 _REJECT_RE = re.compile(r"[()\[\]{}|:]")
 _KEYWORDS = {"AND", "OR", "NOT", "TO"}
@@ -169,7 +185,8 @@ def parse_query_string(
 ) -> list[dict]:
     """One query string -> clause list. Each clause: dict(role, kind,
     value, boost, extra, gid) with role in {must, should, not}, kind
-    in {term, phrase, fuzzy, wildcard, range, field}; extra = slop
+    in {term, phrase, fuzzy, wildcard, regexp, range, field,
+    field_range}; extra = slop
     (phrase), edits (fuzzy), or (include_lower, include_upper) for
     range, whose value is the (lo, hi) bound pair (None = open side);
     a field clause's value is the (field, value) pair (exact
@@ -355,6 +372,12 @@ def _parse_simple_chunk(chunk: str, role: str, cfg: BuildConfig,
         # metadata values are UNANALYZED (keyword-field semantics):
         # exact equality only — no quotes, wildcards, fuzziness,
         # or a second field prefix
+        if len(value) > 1 and value[0] == "/" and value[-1] == "/":
+            raise ValueError(
+                f"regexp on a metadata field in {chunk!r}: keyword "
+                "fields match by exact equality only — /re/ clauses "
+                "apply to the default text field"
+            )
         if not value or any(c in '"^~()[]{}|:*? ' for c in value):
             raise ValueError(
                 f"unsupported metadata-field value in {chunk!r}: "
@@ -365,6 +388,22 @@ def _parse_simple_chunk(chunk: str, role: str, cfg: BuildConfig,
                         "value": (fname, value),
                         "boost": boost * boost_mult,
                         "extra": None, "gid": gid_fn()})
+        return
+    if chunk.startswith("/"):
+        rm = _REGEX_CLAUSE_RE.match(chunk)
+        if not rm:
+            raise ValueError(
+                f"malformed regexp clause {chunk!r}: expected "
+                "/pattern/ optionally followed by ^boost (the pattern "
+                "may not contain '/' or whitespace)"
+            )
+        pat = validate_regexp_pattern(rm.group(1))
+        boost = float(rm.group(2) or 1.0)
+        if boost <= 0:
+            raise ValueError(f"boost must be > 0 in {chunk!r}")
+        clauses.append({"role": role, "kind": "regexp", "value": pat,
+                        "boost": boost * boost_mult, "extra": 0,
+                        "gid": gid_fn()})
         return
     if chunk.startswith('"'):
         if not _QUOTED_RE.match(chunk):
@@ -673,7 +712,7 @@ def query_string_topk(
     so a field clause costs one metadata read, never a postings pass."""
     cfg = cfg or BuildConfig()
     term_rows, phrase_cl, fuzzy_cl, wild_cl = [], [], [], []
-    range_cl, field_cl, frange_cl, meta = [], [], [], []
+    rx_cl, range_cl, field_cl, frange_cl, meta = [], [], [], [], []
     for q in queries.itertuples(index=False):
         qid, k = int(q.query_id), int(q.k)
         clauses = parse_query_string(q.text, cfg, default_operator)
@@ -700,8 +739,8 @@ def query_string_topk(
         cboosts: list[float] = []
         cbits: dict[int, int] = {}  # clause index in list -> cbit
         for ci, c in enumerate(clauses):
-            if (c["kind"] in ("fuzzy", "wildcard", "range", "field",
-                              "field_range")
+            if (c["kind"] in ("fuzzy", "wildcard", "regexp", "range",
+                              "field", "field_range")
                     and c["role"] != "not"):
                 if len(cboosts) >= _MAX_MUST_BITS:
                     raise ValueError(
@@ -716,10 +755,11 @@ def query_string_topk(
                    c["extra"], bit.get(c["gid"], 0)
                    if c["role"] == "must" else 0, cbits.get(ci, 0))
             {"term": term_rows, "phrase": phrase_cl, "fuzzy": fuzzy_cl,
-             "wildcard": wild_cl, "range": range_cl, "field": field_cl,
+             "wildcard": wild_cl, "regexp": rx_cl, "range": range_cl,
+             "field": field_cl,
              "field_range": frange_cl}[c["kind"]].append(rec)
-    if not (term_rows or phrase_cl or fuzzy_cl or wild_cl or range_cl
-            or field_cl or frange_cl):
+    if not (term_rows or phrase_cl or fuzzy_cl or wild_cl or rx_cl
+            or range_cl or field_cl or frange_cl):
         return spark.createDataFrame([], RESULT_SCHEMA)
     if field_cl or frange_cl:
         fnames = ({r[3][0] for r in field_cl}
@@ -762,12 +802,13 @@ def query_string_topk(
     # groups are ineligible for the pushdown.
     exp_filter = None
     shared_dfm: dict | None = None
-    if fuzzy_cl or wild_cl or range_cl:
+    if fuzzy_cl or wild_cl or rx_cl or range_cl:
         exp_qids = ({r[0] for r in fuzzy_cl} | {r[0] for r in wild_cl}
-                    | {r[0] for r in range_cl})
+                    | {r[0] for r in rx_cl} | {r[0] for r in range_cl})
         non_term_gids = {(r[0], r[1])
                          for lst in (phrase_cl, fuzzy_cl, wild_cl,
-                                     range_cl, field_cl, frange_cl)
+                                     rx_cl, range_cl, field_cl,
+                                     frange_cl)
                          for r in lst}
         must_groups: dict[int, dict[int, list[str]]] = {}
         for (qid, gid, role, value, _b, _e, _m, _c) in term_rows:
@@ -881,6 +922,14 @@ def query_string_topk(
                 max_expansions=max_expansions, docs_only="raw",
                 doc_filter=exp_filter,
             ), True)))
+    if rx_cl:
+        thunks.append(lambda: run_group(
+            rx_cl, lambda r: 0,
+            lambda key, sub: (regexp_topk(
+                spark, postings, sub, cfg, dictionary=dictionary,
+                max_expansions=max_expansions, docs_only="raw",
+                doc_filter=exp_filter,
+            ), True)))
     if range_cl:
         # ONE call batches every range clause: term_range_topk takes
         # per-query bounds + inclusivity columns, so no per-key split
@@ -974,7 +1023,8 @@ def query_string_topk(
         with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
             futures = [ex.submit(t) for t in thunks]
             # result order == thunk order (term, phrase, fuzzy,
-            # wildcard, range, field) regardless of completion order
+            # wildcard, regexp, range, field) regardless of
+            # completion order
             part_lists = [f.result() for f in futures]
     parts: list[DataFrame] = [p for lst in part_lists for p in lst]
     contribs = parts[0]

@@ -3121,6 +3121,37 @@ def wildcard_topk(
 _REGEXP_SAFE = r"[a-z0-9.*+?|()\[\]{},\-]+"
 
 
+def validate_regexp_pattern(text) -> str:
+    """Validate one regexp-query pattern and return it lowercased.
+    Shared by regexp_topk and the query-string parser's `/re/` clause
+    so both surfaces accept exactly the same dialect. Raises
+    ValueError outside the Java-regex/RE2 common subset."""
+    pat = str(text or "").lower()
+    if not pat or not re.fullmatch(_REGEXP_SAFE, pat):
+        raise ValueError(
+            "regexp pattern must be non-empty, lowercase, and "
+            f"within the Java/RE2 common subset {_REGEXP_SAFE}: "
+            f"{text!r}"
+        )
+    try:
+        re.compile(pat)
+    except re.error as e:
+        raise ValueError(f"invalid regexp {text!r}: {e}") from e
+    # Python/RE2 treat a stray brace as a literal ('a{2' matches
+    # "a{2") where Java throws PatternSyntaxException at RLIKE
+    # time, and '{,n}' is a Java error but an RE2 literal — so the
+    # upfront-error and oracle-parity guarantees both require every
+    # brace to be part of a canonical {m} / {m,} / {m,n} quantifier
+    depat = re.sub(r"\{\d+(?:,\d*)?\}", "", pat)
+    if "{" in depat or "}" in depat:
+        raise ValueError(
+            "braces must form {m}, {m,} or {m,n} quantifiers "
+            "(stray braces are Java/RE2-divergent): "
+            f"{text!r}"
+        )
+    return pat
+
+
 def regexp_topk(
     spark: SparkSession,
     postings: DataFrame,
@@ -3130,11 +3161,16 @@ def regexp_topk(
     doc_exclude: DataFrame | np.ndarray | None = None,
     dictionary: DataFrame | None = None,
     max_expansions: int | None = MAX_EXPANSIONS_DEFAULT,
+    docs_only: bool | str = False,
 ) -> DataFrame:
     """Regexp term query (Lucene RegexpQuery): docs containing ANY
     dictionary term the pattern FULLY matches (anchored, like Lucene —
     `so.*` matches "sort" but "os.*" does not), ranked by summed tf of
-    the matched terms, ties by doc_id.
+    the matched terms, ties by doc_id. docs_only=True returns the
+    distinct (query_id, doc_id) MEMBERSHIP instead (no scoring, no
+    top-k) — the constant-score rewrite's input; k is ignored ("raw"
+    additionally skips the global dedup, for consumers whose
+    aggregate absorbs cross-task duplicates).
 
     queries: pandas (query_id, text, k) — text is the regex,
     lowercased against the normalized dictionary. Patterns are
@@ -3158,38 +3194,18 @@ def regexp_topk(
         )
     rows = []
     for q in queries.itertuples(index=False):
-        pat = str(q.text or "").lower()
-        if not pat or not re.fullmatch(_REGEXP_SAFE, pat):
-            raise ValueError(
-                "regexp pattern must be non-empty, lowercase, and "
-                f"within the Java/RE2 common subset {_REGEXP_SAFE}: "
-                f"{q.text!r}"
-            )
-        try:
-            re.compile(pat)
-        except re.error as e:
-            raise ValueError(f"invalid regexp {q.text!r}: {e}") from e
-        # Python/RE2 treat a stray brace as a literal ('a{2' matches
-        # "a{2") where Java throws PatternSyntaxException at RLIKE
-        # time, and '{,n}' is a Java error but an RE2 literal — so the
-        # upfront-error and oracle-parity guarantees both require every
-        # brace to be part of a canonical {m} / {m,} / {m,n} quantifier
-        depat = re.sub(r"\{\d+(?:,\d*)?\}", "", pat)
-        if "{" in depat or "}" in depat:
-            raise ValueError(
-                "braces must form {m}, {m,} or {m,n} quantifiers "
-                "(stray braces are Java/RE2-divergent): "
-                f"{q.text!r}"
-            )
+        pat = validate_regexp_pattern(q.text)
         rows.append((int(q.query_id), pat, f"^(?:{pat})$", int(q.k)))
     qpdf = pd.DataFrame(rows, columns=["query_id", "pat", "rx", "k"])
+    empty_schema = _EXPANSION_DOCS_SCHEMA if docs_only else RESULT_SCHEMA
     if qpdf.empty:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return spark.createDataFrame([], empty_schema)
     _, doc_filter, doc_exclude, _, _, empty = _prep_doc_sets(
         spark, "distributed", doc_filter, doc_exclude, 0
     )
     if empty:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return spark.createDataFrame([], empty_schema)
+
     def _lead(p: str) -> str:
         """Longest literal prefix every match must start with — SOUND,
         possibly empty. Any '|' disables the pushdown ('sort|row'
@@ -3220,7 +3236,10 @@ def regexp_topk(
         max_expansions=max_expansions,
     )
     if matched is None:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return spark.createDataFrame([], empty_schema)
+    if docs_only:
+        return _expansion_doc_ids(matched, doc_filter, doc_exclude,
+                                  distinct=docs_only != "raw")
     return _term_expansion_topk(matched, doc_filter, doc_exclude)
 
 

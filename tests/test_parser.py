@@ -580,3 +580,88 @@ def test_parse_sloppy_repeat_and_chargram_guard():
     assert parse_query_string('"big data big"', CFG)[0]["kind"] == "phrase"
     with pytest.raises(ValueError, match="word-tokenizer"):
         parse_query_string("abc", BuildConfig(tokenizer="chargram"))
+
+
+# ------------------------------------------------------------- regexp
+
+
+def test_parse_regexp():
+    p = parse_query_string('+/so.t/ /s.*(m|t)/^2 -/a{1,2}b/', CFG)
+    assert [c["kind"] for c in p] == ["regexp"] * 3
+    assert [c["role"] for c in p] == ["must", "should", "not"]
+    assert [c["value"] for c in p] == ["so.t", "s.*(m|t)", "a{1,2}b"]
+    assert [c["boost"] for c in p] == [1.0, 2.0, 1.0]
+    # distinct singleton groups at top level
+    assert len({c["gid"] for c in p}) == 3
+    # text: re-dispatches to the default-field regexp shape; inside a
+    # group the members share the group's gid and boost
+    g = parse_query_string('(text:/so.t/ merge)^3', CFG)
+    assert [c["kind"] for c in g] == ["regexp", "term"]
+    assert g[0]["gid"] == g[1]["gid"] and g[0]["boost"] == 3.0
+    # patterns lowercase like wildcard clauses (the dictionary is
+    # normalized)
+    assert parse_query_string('/SO.T/', CFG)[0]["value"] == "so.t"
+
+
+def test_parse_regexp_rejects():
+    for bad in (
+            '/a b/',        # whitespace splits the chunk -> malformed
+            '/a(/',         # uncompilable
+            '/x/~2',        # no fuzzy suffix on a regexp clause
+            '/x/^0',        # zero boost
+            '/x{/',         # stray brace (Java/RE2-divergent)
+            '//',           # empty pattern
+            '/x\\d/',       # backslash escapes are dialect-divergent
+            'conv_id:/re/',  # keyword fields are equality-only
+    ):
+        with pytest.raises(ValueError):
+            parse_query_string(bad, CFG)
+
+
+def test_regexp_constant_score(ps_index):
+    """/re/ scores as a constant (the multi-term default rewrite) and
+    combines with scored clauses; matching is anchored full-match."""
+    import re as _re
+
+    oracle = ps_index["oracle"]
+    vocab = sorted(oracle.postings)
+    pfx = vocab[len(vocab) // 3][:2]
+    pat = f"{pfx}.*"
+    term = max(oracle.postings, key=oracle.df)
+    got = _run(ps_index, [f"/{pat}/ {term}^1.5"], k=40)
+    rx_docs = set()
+    for t in vocab:
+        if _re.fullmatch(pat, t):
+            rx_docs |= oracle.postings[t].keys()
+    combined = {d: 1.0 for d in rx_docs}  # constant-score rewrite
+    for d in oracle.postings.get(term, {}):
+        combined[d] = combined.get(d, 0.0) + 1.5 * oracle.score_doc(
+            [term], d)
+    _check(got, 0, _rank(list(combined.items()), 40))
+
+
+def test_regexp_must_and_not(ps_index):
+    """+/re/ restricts membership; -/re/ excludes any doc containing
+    a matching term; a mixed MUST group keeps regexp-only hits (the
+    expansion pushdown skips groups with a non-term member)."""
+    import re as _re
+
+    oracle = ps_index["oracle"]
+    vocab = sorted(oracle.postings)
+    pfx = vocab[len(vocab) // 3][:2]
+    pat = f"{pfx}.*"
+    rx_docs = set()
+    for t in vocab:
+        if _re.fullmatch(pat, t):
+            rx_docs |= oracle.postings[t].keys()
+    term = max(oracle.postings, key=oracle.df)
+    got = _run(ps_index, [f"+/{pat}/ {term}"], k=oracle.N)
+    assert set(got[got.query_id == 0].doc_id) == rx_docs
+    got_n = _run(ps_index, [f"{term} -/{pat}/"], k=oracle.N)
+    assert set(got_n[got_n.query_id == 0].doc_id) == \
+        set(oracle.postings[term]) - rx_docs
+    # mixed must group: +(rare_term /pat/) is satisfied by EITHER
+    rare = min(oracle.postings, key=oracle.df)
+    got_g = _run(ps_index, [f"+({rare} /{pat}/)"], k=oracle.N)
+    assert set(got_g[got_g.query_id == 0].doc_id) == \
+        rx_docs | set(oracle.postings[rare])
