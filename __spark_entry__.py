@@ -1299,6 +1299,39 @@ def q_query_string_range(spark, sf_dir):
         F.round("g.score", 6).alias("score_r"))
 
 
+QSO_QUERY = 'hash AND sort OR merge^2 NOT vector'
+QSO_K = 15
+
+
+def q_query_string_ops(spark, sf_dir):
+    """Query-string operator keywords (round 7 — Lucene classic
+    AND/OR/NOT, QueryParserBase.addClause semantics): `hash AND sort`
+    requires both terms (AND promotes the preceding clause
+    retroactively), `OR merge^2` leaves the boosted term optional,
+    `NOT vector` excludes — desugaring to +hash +sort merge^2
+    -vector. Score = summed BM25 contributions of the matched
+    positive terms; ties by dense-id order."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.parser import query_string_topk
+
+    b = _pos_index_for(spark, sf_dir)
+    res = b["res"]
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [QSO_QUERY],
+         "k": np.array([QSO_K], dtype=np.int32)}
+    )
+    got = query_string_topk(
+        spark, load_postings(spark, b["out"]), queries, res.N,
+        res.avgdl, b["cfg"],
+    )
+    return _to_original(
+        spark, b, got,
+        F.round("g.score", 6).alias("score_r"))
+
+
 QSX_QUERY = '+hash /s.*(m|t)/ merge^1.5'
 QSX_K = 15
 
@@ -1621,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_string_grouped": q_query_string_grouped,
         "query_string_range": q_query_string_range,
         "query_string_regexp": q_query_string_regexp,
+        "query_string_ops": q_query_string_ops,
         "query_string_field": q_query_string_field,
         "query_string_field_range": q_query_string_field_range,
         "suggest_terms": q_suggest_terms,
@@ -2713,6 +2747,59 @@ def oracle_sql() -> dict[str, str]:
             -- ties break by the ENGINE dense-id order
             ORDER BY c.score DESC, d.source ASC, d.doc_id ASC
             LIMIT {QSX_K}""",
+        "query_string_ops": f"""
+            WITH tl AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            flat AS (SELECT doc_id, unnest(t) AS term FROM tl),
+            dl AS (
+              SELECT doc_id, count(*) AS dl FROM flat GROUP BY doc_id
+            ),
+            corpus AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl)::DOUBLE
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            tf AS (
+              SELECT term, doc_id, count(*) AS tf FROM flat
+              WHERE term IN ('hash', 'sort', 'merge')
+              GROUP BY 1, 2
+            ),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            bm25 AS (
+              SELECT tf.term, tf.doc_id,
+                     ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+                     * tf.tf * ({_K1} + 1)
+                     / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / c.avgdl))
+                     -- merge^2: the clause boost
+                     * (CASE WHEN tf.term = 'merge'
+                             THEN 2.0 ELSE 1.0 END) AS contrib
+              FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN corpus c
+            ),
+            combined AS (
+              SELECT doc_id, sum(contrib) AS score FROM bm25
+              GROUP BY doc_id
+            ),
+            -- hash AND sort: both required (AND promotes the
+            -- preceding clause — Lucene addClause)
+            must_hash AS (
+              SELECT DISTINCT doc_id FROM flat WHERE term = 'hash'
+            ),
+            must_sort AS (
+              SELECT DISTINCT doc_id FROM flat WHERE term = 'sort'
+            ),
+            not_vector AS (
+              SELECT DISTINCT doc_id FROM flat WHERE term = 'vector'
+            )
+            SELECT c.doc_id, round(c.score, 6) AS score_r
+            FROM combined c
+            JOIN must_hash USING (doc_id)
+            JOIN must_sort USING (doc_id)
+            LEFT JOIN not_vector n ON n.doc_id = c.doc_id
+            JOIN documents d ON d.doc_id = c.doc_id
+            WHERE n.doc_id IS NULL
+            -- ties break by the ENGINE dense-id order
+            ORDER BY c.score DESC, d.source ASC, d.doc_id ASC
+            LIMIT {QSO_K}""",
         "query_string_field": f"""
             WITH tl AS (SELECT doc_id, {_TOK} AS t FROM documents),
             flat AS (SELECT doc_id, unnest(t) AS term FROM tl),

@@ -54,10 +54,30 @@ Syntax (whitespace-separated clauses):
                   field equality; an unparseable bound for the
                   column's type raises
 
+  a AND b         operator keywords (round 7 — Lucene classic
+  a OR b NOT c    QueryParserBase.addClause semantics, exactly;
+  a && b  || !c   whitespace-separated && / || / ! aliases and glued
+                  !term accepted like Lucene's lexer): AND
+                  promotes BOTH neighbouring clauses to MUST (the
+                  preceding one retroactively, unless prohibited);
+                  OR leaves neighbours optional (and under
+                  default_operator="and" demotes the preceding clause
+                  to SHOULD); NOT prohibits the next clause like `-`.
+                  Operators bind between top-level clause units of any
+                  shape (term, phrase, group, range, field, regexp);
+                  Lucene quirks mirrored: `a OR +b` ignores the `+`
+                  under default_operator="and", `-a AND b` does not
+                  promote the prohibited `-a`. Misplaced operators
+                  (leading/trailing/doubled, NOT NOT, a sign on a
+                  keyword, operators inside a group) raise; under
+                  default_operator="and" a ( ) group adjacent to OR
+                  raises (the flattened group has no single-clause
+                  occur)
+
 A multi-token bare chunk contributes one clause PER TOKEN (same
 role/boost). Unsupported classic-parser syntax raises ValueError
-rather than silently mis-parsing: AND/OR/NOT/TO
-operator keywords, | or stray [ ] { } inside a bare chunk (a range
+rather than silently mis-parsing: the TO
+keyword outside a range, | or stray [ ] { } inside a bare chunk (a range
 must be its own whitespace-separated chunk; synonym groups have a
 dedicated surface: synonym_topk), a quoted /
 wildcarded / empty metadata-field value (keyword fields are
@@ -149,7 +169,7 @@ _ALL_MATCHES_K = (1 << 31) - 1
 # its own alternative), or a bare \S+ run; every non-space character
 # lands in exactly one chunk, so nothing is silently skipped
 _CHUNK_RE = re.compile(
-    r'([+-]?)(\([^()]*\)\S*|"[^"]*"\S*'
+    r'([+!-]?)(\([^()]*\)\S*|"[^"]*"\S*'
     r'|(?:[A-Za-z_][A-Za-z0-9_]*:)?[\[{][^\[\]{}]*[\]}]\S*|\S+)')
 # legal glued suffix after a closing paren: ^boost only
 _GROUP_RE = re.compile(r'^\(([^()]*)\)(?:\^(\d+(?:\.\d+)?))?$')
@@ -222,9 +242,93 @@ def parse_query_string(
         gid_counter[0] += 1
         return gid_counter[0] - 1
 
+    # operator-keyword state (round 7 — Lucene classic AND/OR/NOT,
+    # QueryParserBase.addClause semantics): `conj` is the pending
+    # conjunction BEFORE the next clause unit, `neg` a pending NOT
+    # modifier, `prev` the last emitted unit's clause span for the
+    # retroactive occur adjustment (AND promotes the PRECEDING unit
+    # to MUST; under default_operator="and", OR demotes it to SHOULD)
+    conj: str | None = None
+    neg = False
+    prev: dict | None = None
+    _OP_ALIAS = {"AND": "AND", "&&": "AND", "OR": "OR", "||": "OR",
+                 "NOT": "NOT", "!": "NOT"}
     for sign, chunk in _CHUNK_RE.findall(text):
-        role = {"+": "must", "-": "not"}.get(sign, default_role)
+        if chunk in _OP_ALIAS:
+            op = _OP_ALIAS[chunk]
+            if sign:
+                raise ValueError(
+                    f"sign on operator keyword {sign}{chunk}: "
+                    "modifiers and conjunctions do not combine"
+                )
+            if op == "NOT":
+                if neg:
+                    raise ValueError("NOT NOT is not supported")
+                neg = True
+                continue
+            chunk = op
+            if neg or conj is not None:
+                raise ValueError(
+                    f"misplaced operator {chunk!r}: two operators in "
+                    "a row"
+                )
+            if prev is None:
+                raise ValueError(f"leading operator {chunk!r}")
+            conj = chunk.lower()
+            continue
+        if sign == "!":
+            # Lucene's ! modifier glued to its clause (!term, !(a b));
+            # the lexer emits it as a separate token, so it behaves
+            # exactly like the - prefix
+            sign = "-"
+        if chunk.startswith("!"):
+            raise ValueError(
+                f"double modifier on {sign}{chunk!r}: one "
+                "modifier per clause (Lucene's grammar)"
+            )
+        if sign and neg:
+            raise ValueError(
+                f"NOT combined with {sign!r} on {chunk!r}: one "
+                "modifier per clause (Lucene's grammar)"
+            )
+        # Lucene addClause: adjust the PREVIOUS unit's occur first
+        # (skipped when it is prohibited, exactly as Lucene does)
+        if prev is not None and not prev["not"]:
+            if conj == "and":
+                for c in clauses[prev["start"]:prev["end"]]:
+                    c["role"] = "must"
+            elif conj == "or" and default_operator == "and":
+                if prev["group"]:
+                    raise ValueError(
+                        "a ( ) group followed by OR under "
+                        "default_operator='and' is unsupported: the "
+                        "group flattens to per-member MUST singletons "
+                        "(Lucene applies the default operator inside "
+                        "groups) and has no single-clause demotion"
+                    )
+                for c in clauses[prev["start"]:prev["end"]]:
+                    c["role"] = "should"
+        # occur for THIS unit. OR mode: required iff `+` or introduced
+        # by AND; AND mode: required unless prohibited or introduced
+        # by OR — Lucene IGNORES `+` after OR in AND mode (`+a OR b`
+        # parses as `a OR b`), a documented classic-parser quirk we
+        # mirror for parity
+        prohibited = neg or sign == "-"
+        if default_operator == "or":
+            required = sign == "+" or (conj == "and" and not prohibited)
+        else:
+            required = not prohibited and conj != "or"
+        role = "not" if prohibited else (
+            "must" if required else "should")
+        start = len(clauses)
         if chunk.startswith("("):
+            if default_operator == "and" and conj == "or":
+                raise ValueError(
+                    "OR before a ( ) group under "
+                    "default_operator='and' is unsupported: the group "
+                    "flattens to per-member MUST singletons and has "
+                    "no single-clause occur"
+                )
             gm = _GROUP_RE.match(chunk)
             if not gm:
                 raise ValueError(
@@ -264,8 +368,22 @@ def parse_query_string(
                 for _, mchunk in members:
                     _parse_simple_chunk(
                         mchunk, role, cfg, clauses, lambda: gid, gboost)
-            continue
-        _parse_simple_chunk(chunk, role, cfg, clauses, next_gid, 1.0)
+        else:
+            _parse_simple_chunk(chunk, role, cfg, clauses, next_gid, 1.0)
+        # an analyzer-emptied chunk adds no clauses: the conjunction
+        # is consumed (its retroactive adjustment already ran) but
+        # `prev` keeps pointing at the last REAL unit, like Lucene's
+        # null-query return in addClause
+        if len(clauses) > start:
+            prev = {"start": start, "end": len(clauses),
+                    "not": role == "not",
+                    "group": (chunk.startswith("(")
+                              and default_operator == "and")}
+        conj, neg = None, False
+    if conj is not None or neg:
+        raise ValueError(
+            f"trailing operator in query string {text!r}"
+        )
     return clauses
 
 
@@ -419,8 +537,10 @@ def _parse_simple_chunk(chunk: str, role: str, cfg: BuildConfig,
             )
         if chunk in _KEYWORDS:
             raise ValueError(
-                f"operator keyword {chunk!r} is not supported — "
-                "use +/- clause prefixes"
+                f"operator keyword {chunk!r} here is not supported: "
+                "AND/OR/NOT work between top-level clauses only (a "
+                "group's members have one shared occur — use nested "
+                "+/- instead), and TO is only valid inside a range"
             )
         if _REJECT_RE.search(chunk):
             raise ValueError(

@@ -78,7 +78,7 @@ def test_parse_shapes():
 
 
 def test_parse_rejects_unsupported():
-    for bad in ('a AND b', 'a|b',
+    for bad in ('a|b',
                 'a^0', 'w*~1', 'x~3', '"open quote',
                 # group edges: nesting, inner signs, empty, bad suffix,
                 # unclosed/bare parens, -( ) under AND semantics
@@ -665,3 +665,106 @@ def test_regexp_must_and_not(ps_index):
     got_g = _run(ps_index, [f"+({rare} /{pat}/)"], k=oracle.N)
     assert set(got_g[got_g.query_id == 0].doc_id) == \
         rx_docs | set(oracle.postings[rare])
+
+
+# ---------------------------------------------------- operator keywords
+
+
+def test_parse_operator_keywords():
+    """Lucene classic AND/OR/NOT (QueryParserBase.addClause): AND
+    promotes both neighbours, OR leaves them optional, NOT prohibits
+    the next clause; quirks mirrored exactly."""
+    def rv(q, op="or"):
+        return [(c["role"], c["value"])
+                for c in parse_query_string(q, CFG, op)]
+
+    assert rv('a AND b') == [("must", "a"), ("must", "b")]
+    assert rv('a OR b') == [("should", "a"), ("should", "b")]
+    # left-associative, no precedence: +a +b c
+    assert rv('a AND b OR c') == \
+        [("must", "a"), ("must", "b"), ("should", "c")]
+    # AND promotes the PRECEDING clause retroactively
+    assert rv('a b AND c') == \
+        [("should", "a"), ("must", "b"), ("must", "c")]
+    assert rv('NOT b') == [("not", "b")]
+    assert rv('a AND NOT b') == [("must", "a"), ("not", "b")]
+    assert rv('a OR NOT b') == [("should", "a"), ("not", "b")]
+    # a prohibited clause is never promoted (Lucene skips it)
+    assert rv('-a AND b') == [("not", "a"), ("must", "b")]
+    # operators bind any clause shape: group, phrase, regexp
+    assert rv('a AND (b c)') == \
+        [("must", "a"), ("must", "b"), ("must", "c")]
+    g = parse_query_string('a AND (b c)', CFG)
+    assert g[1]["gid"] == g[2]["gid"] != g[0]["gid"]
+    assert rv('"x y" AND c') == [("must", "x y"), ("must", "c")]
+    assert rv('/s.*/ AND c') == [("must", "s.*"), ("must", "c")]
+    # AND-default: OR demotes the preceding clause to SHOULD...
+    assert rv('a OR b', "and") == [("should", "a"), ("should", "b")]
+    # ...even an explicitly-required one (Lucene: +a OR b -> a OR b)
+    assert rv('+a OR b', "and") == [("should", "a"), ("should", "b")]
+    assert rv('a AND b', "and") == [("must", "a"), ("must", "b")]
+    # ...but never a prohibited one (-a OR b keeps the exclusion)
+    assert rv('-a OR b', "and") == [("not", "a"), ("should", "b")]
+    # && / || / ! aliases (Lucene lexer), incl. glued !term / !(group)
+    assert rv('a && b') == [("must", "a"), ("must", "b")]
+    assert rv('a || b') == [("should", "a"), ("should", "b")]
+    assert rv('a ! b') == [("should", "a"), ("not", "b")]
+    assert rv('a !b') == [("should", "a"), ("not", "b")]
+    ng = parse_query_string('!(a b)', CFG)
+    assert [(c["role"], c["value"]) for c in ng] == \
+        [("not", "a"), ("not", "b")]
+    assert ng[0]["gid"] == ng[1]["gid"]
+
+
+def test_parse_operator_rejects():
+    for bad, op in (('AND a', "or"), ('a AND', "or"),
+                    ('a AND AND b', "or"), ('a AND OR b', "or"),
+                    ('a NOT', "or"), ('NOT NOT a', "or"),
+                    ('NOT +a', "or"), ('NOT -a', "or"),
+                    ('+AND', "or"), ('-OR', "or"), ('+NOT', "or"),
+                    ('+!a', "or"), ('!!a', "or"), ('a !', "or"),
+                    ('!', "or"), ('+&&', "or"), ('!AND', "or"),
+                    ('NOT !a', "or"),
+                    ('(a AND b)', "or"),  # operators inside a group
+                    # AND-default: a flattened group has no
+                    # single-clause occur for OR to set/demote
+                    ('(a b) OR c', "and"), ('c OR (a b)', "and")):
+        with pytest.raises(ValueError):
+            parse_query_string(bad, CFG, op)
+    # an analyzer-emptied chunk consumes the conjunction like
+    # Lucene's null-query return in addClause: '%%' tokenizes to
+    # nothing, but AND's retroactive promotion of 'a' already ran
+    assert [(c["role"], c["value"])
+            for c in parse_query_string('a AND %%', CFG)] == \
+        [("must", "a")]
+    # ...and a following clause then binds with no conjunction
+    assert [(c["role"], c["value"])
+            for c in parse_query_string('a AND %% b', CFG)] == \
+        [("must", "a"), ("should", "b")]
+    # && and || are operators now, not analyzer-droppable junk
+    with pytest.raises(ValueError, match="misplaced|trailing"):
+        parse_query_string('a AND &&', CFG)
+
+
+def test_operator_keywords_match_explicit_form(ps_index):
+    """The operator sugar must produce rank-identical results to the
+    explicit +/- form it desugars to (whose own tests are
+    oracle-backed)."""
+    oracle = ps_index["oracle"]
+    terms = sorted(oracle.postings, key=oracle.df, reverse=True)[:4]
+    t1, t2, t3, t4 = terms
+    pairs = [
+        (f"{t1} AND {t2} OR {t3} NOT {t4}", f"+{t1} +{t2} {t3} -{t4}"),
+        (f"{t1} {t2} AND {t3}", f"{t1} +{t2} +{t3}"),
+        (f"{t1} AND ({t2} {t3})", f"+{t1} +({t2} {t3})"),
+    ]
+    got = _run(ps_index, [a for a, _ in pairs] + [b for _, b in pairs],
+               k=oracle.N)
+    n = len(pairs)
+    for i in range(n):
+        a = got[got.query_id == i].sort_values("rank").reset_index(
+            drop=True)
+        b = got[got.query_id == i + n].sort_values("rank").reset_index(
+            drop=True)
+        assert list(a.doc_id) == list(b.doc_id)
+        assert np.allclose(a.score, b.score)
