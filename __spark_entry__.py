@@ -1460,6 +1460,71 @@ def q_facet_counts(spark, sf_dir):
     )
 
 
+RANGE_FACET_RANGES = [
+    # half-open [lo, hi) except the open-ended / degenerate rows — the
+    # mixed-inclusivity matrix is pytest-covered
+    # (tests/test_query.py::test_range_facet_counts_matches_oracle)
+    ("lt100", None, 100, True, False),
+    ("r100_300", 100, 300, True, False),   # overlaps ge250
+    ("ge250", 250, None, True, True),
+    ("all", None, None, True, True),
+    ("empty", -50, -10, True, False),      # zero-count, still reported
+]
+
+
+def q_range_facets(spark, sf_dir):
+    """Range facet counts (Lucene LongRangeFacetCounts analog) over
+    turn_idx (= the original documents.doc_id) for the reference BM25
+    query: overlapping ranges each count the doc, open sides allowed,
+    every requested range reported — zero counts included."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import range_facet_counts
+
+    b = _index_for(spark, sf_dir)
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [" ".join(BM25_QUERY_TERMS)],
+         "k": np.array([BM25_K], dtype=np.int32)}
+    )
+    return range_facet_counts(
+        spark, load_postings(spark, b["out"]), queries,
+        load_doc_stats(spark, b["out"]), "turn_idx",
+        RANGE_FACET_RANGES, CFG,
+    )
+
+
+def q_date_histogram(spark, sf_dir):
+    """Date histogram over search results (ES date_histogram,
+    min_doc_count=0): day buckets of a deterministic per-doc timestamp
+    (2025-01-01 + turn_idx hours, TIMESTAMP_NTZ so buckets are
+    timezone-free), zero-filled between each query's first and last
+    non-empty bucket."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import date_histogram
+
+    b = _index_for(spark, sf_dir)
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [" ".join(BM25_QUERY_TERMS)],
+         "k": np.array([BM25_K], dtype=np.int32)}
+    )
+    dm = load_doc_stats(spark, b["out"]).select(
+        "doc_id",
+        F.expr("timestampadd(HOUR, cast(turn_idx AS int), "
+               "timestamp_ntz'2025-01-01 00:00:00')").alias("ts"),
+    )
+    return date_histogram(
+        spark, load_postings(spark, b["out"]), queries, dm,
+        "ts", "day", CFG,
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate NN (the scale path), parameterized for
     recall 1.0 on the driver embeddings so the exact-cosine SQL is a
@@ -1649,6 +1714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "kwic_snippets": q_kwic_snippets,
         "facet_counts": q_facet_counts,
+        "range_facets": q_range_facets,
+        "date_histogram": q_date_histogram,
         "prefix_topk": q_prefix_topk,
         "query_string": q_query_string,
         "query_string_grouped": q_query_string_grouped,
@@ -3063,6 +3130,52 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_docs
             FROM matched JOIN documents d USING (doc_id)
             GROUP BY d.source""",
+        "range_facets": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            matched AS (
+              SELECT DISTINCT doc_id FROM toks
+              WHERE term IN {BM25_QUERY_TERMS!r}
+            ),
+            r(range_label, lo, hi) AS (VALUES
+              ('lt100', NULL, 100), ('r100_300', 100, 300),
+              ('ge250', 250, NULL), ('all', NULL, NULL),
+              ('empty', -50, -10)
+            ),
+            c AS (
+              SELECT r.range_label, count(*)::BIGINT AS n
+              FROM r, matched m
+              WHERE (r.lo IS NULL OR m.doc_id >= r.lo)
+                AND (r.hi IS NULL OR m.doc_id < r.hi)
+              GROUP BY r.range_label
+            )
+            SELECT 0 AS query_id, r.range_label,
+                   coalesce(c.n, 0)::BIGINT AS n_docs
+            FROM r LEFT JOIN c USING (range_label)""",
+        "date_histogram": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            matched AS (
+              SELECT DISTINCT doc_id FROM toks
+              WHERE term IN {BM25_QUERY_TERMS!r}
+            ),
+            c AS (
+              SELECT date_trunc('day', TIMESTAMP '2025-01-01'
+                       + to_hours(doc_id)) AS bucket,
+                     count(*)::BIGINT AS n
+              FROM matched GROUP BY 1
+            ),
+            s AS (
+              SELECT unnest(generate_series(
+                (SELECT min(bucket) FROM c),
+                (SELECT max(bucket) FROM c),
+                INTERVAL 1 DAY)) AS bucket
+            )
+            SELECT 0 AS query_id, s.bucket,
+                   coalesce(c.n, 0)::BIGINT AS n_docs
+            FROM s LEFT JOIN c USING (bucket)""",
         "bm25_topk_dataframe": _BM25_SQL,
         "dedup_exact": """
             SELECT md5(coalesce(text, '')) AS h, count(*) AS n,

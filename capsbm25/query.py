@@ -3366,8 +3366,8 @@ def facet_counts(
     into a broadcast when the matched set is small. No task ever holds
     a whole posting list and nothing is collected."""
     cfg = cfg or BuildConfig()
-    qt = _query_terms_pdf(queries, cfg, require_k=False)
-    if qt.empty:
+    docs = _match_docs(spark, postings, queries, cfg, conjunctive)
+    if docs is None:
         from pyspark.sql import types as T
 
         # empty result keeps doc_map's ACTUAL facet column type — a
@@ -3379,13 +3379,30 @@ def facet_counts(
             T.StructField("n_docs", T.LongType()),
         ])
         return spark.createDataFrame([], schema)
+    return (
+        docs.join(doc_map.select("doc_id", facet_col), "doc_id")
+        .groupBy("query_id", facet_col)
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _match_docs(spark, postings, queries: pd.DataFrame, cfg,
+                conjunctive: bool) -> DataFrame | None:
+    """Narrow membership pass shared by the faceting family: the
+    distinct (query_id, doc_id) pairs where the doc contains ANY of
+    the query's terms (every term when conjunctive). 16-byte
+    (query, term, doc) rows — no scores, no positions — aggregated to
+    distinct docs. None when the whole batch tokenizes to no terms
+    (callers own their empty-result schema)."""
+    qt = _query_terms_pdf(queries, cfg, require_k=False)
+    if qt.empty:
+        return None
     qdf = spark.createDataFrame(
         qt[["query_id", "term", "n_query_terms"]])
     terms = sorted(qt["term"].unique().tolist())
-    # narrow membership pass like hit_count/sorted_topk: select BEFORE
-    # the join so ReadSchema prunes to (term, doc_ids) — tf/dl/pos/
-    # block_max are never read for a facet count (and Catalyst cannot
-    # prune through mapInPandas)
+    # select BEFORE the join so ReadSchema prunes to (term, doc_ids) —
+    # tf/dl/pos/block_max are never read for a membership count (and
+    # Catalyst cannot prune through mapInPandas)
     filtered = postings.where(F.col("term").isin(terms))
     matched = filtered.select("term", "doc_ids").join(
         F.broadcast(qdf), "term")
@@ -3407,10 +3424,234 @@ def facet_counts(
     )
     if conjunctive:
         docs = docs.where(F.col("nm") >= F.col("nq"))
-    return (
+    return docs.select("query_id", "doc_id")
+
+
+def range_facet_counts(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: pd.DataFrame,
+    doc_map: DataFrame,
+    facet_col: str,
+    ranges: list,
+    cfg: BuildConfig | None = None,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """Range facet counts (the Lucene LongRangeFacetCounts /
+    DoubleRangeFacetCounts analog): for each query, the number of
+    MATCHING docs whose doc_map.facet_col value falls in each of a
+    fixed list of named ranges — the "price: 0-10 (37) / 10-50 (122)"
+    panel. Works over any orderable column type (ints, doubles,
+    timestamps, strings).
+
+    ranges: list of (label, lo, hi, include_lower, include_upper);
+    lo/hi None opens that side; bounds are Python values of the
+    column's type. Lucene semantics exactly: ranges MAY overlap (a doc
+    counts once in EVERY range containing its value), docs with a NULL
+    facet value count nowhere, and every requested range is returned
+    for every query — zero counts included (LongRangeFacetCounts
+    reports each requested LongRange even when empty).
+
+    Returns (query_id, range_label, n_docs).
+
+    Scale shape: the shared narrow membership pass, one metadata join,
+    then each doc row explodes into only the labels it satisfies (an
+    array of whens — pure codegen, no UDF) and one groupBy counts.
+    The zero-fill frame is (n_queries x n_ranges) driver-side rows —
+    query-batch-sized, never corpus-sized."""
+    cfg = cfg or BuildConfig()
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    labels = [r[0] for r in ranges]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate range labels: {labels!r}")
+    # every requested (query, range) appears in the result, count 0
+    # when no matching doc lands there (or the query has no terms)
+    qids = pd.DataFrame(
+        {"query_id": queries["query_id"].astype("int32")})
+    base = spark.createDataFrame(
+        qids.merge(pd.DataFrame({"range_label": labels}), how="cross"),
+        schema="query_id int, range_label string")
+    docs = _match_docs(spark, postings, queries, cfg, conjunctive)
+    if docs is None:
+        return base.select(
+            "query_id", "range_label",
+            F.lit(0).cast("long").alias("n_docs"))
+    col = F.col(facet_col)
+    whens = []
+    for label, lo, hi, inc_lo, inc_hi in ranges:
+        p = None
+        if lo is not None:
+            c_ = col >= F.lit(lo) if inc_lo else col > F.lit(lo)
+            p = c_
+        if hi is not None:
+            c_ = col <= F.lit(hi) if inc_hi else col < F.lit(hi)
+            p = c_ if p is None else (p & c_)
+        # fully open range = every non-NULL value (Lucene counts only
+        # docs that HAVE the numeric value)
+        whens.append(F.when(col.isNotNull() if p is None else p,
+                            F.lit(label)))
+    counts = (
         docs.join(doc_map.select("doc_id", facet_col), "doc_id")
-        .groupBy("query_id", facet_col)
+        .select("query_id", F.explode(F.array(*whens)).alias(
+            "range_label"))
+        .where(F.col("range_label").isNotNull())
+        .groupBy("query_id", "range_label")
         .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        base.join(counts, ["query_id", "range_label"], "left")
+        .select("query_id", "range_label",
+                F.coalesce("n_docs", F.lit(0)).cast("long")
+                .alias("n_docs"))
+    )
+
+
+# date_trunc units shared verbatim by Spark and DuckDB, with the
+# sequence step that advances one bucket (week = 7 days: both engines
+# truncate weeks to Monday)
+_HISTO_UNITS = {
+    "minute": "interval 1 minute", "hour": "interval 1 hour",
+    "day": "interval 1 day", "week": "interval 7 days",
+    "month": "interval 1 month", "quarter": "interval 3 months",
+    "year": "interval 1 year",
+}
+# pandas date_range freqs that step the SAME buckets (lo is already a
+# date_trunc boundary, so every anchored freq includes it: W-MON from
+# a Monday, QS from a quarter start, ...)
+_HISTO_PD_FREQ = {
+    "minute": "min", "hour": "h", "day": "D", "week": "W-MON",
+    "month": "MS", "quarter": "QS", "year": "YS",
+}
+# zero-filled histograms at or under this many total rows collect and
+# fill driver-side (output-sized, one Arrow round-trip); larger ones
+# take the distributed zero-fill join
+_HISTO_COLLECT_CAP = 1_000_000
+
+
+def date_histogram(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: pd.DataFrame,
+    doc_map: DataFrame,
+    ts_col: str,
+    interval: str = "day",
+    cfg: BuildConfig | None = None,
+    conjunctive: bool = False,
+    max_buckets: int = 65536,
+) -> DataFrame:
+    """Date histogram over search results (the ES date_histogram /
+    Kibana hits-over-time analog): for each query, matching-doc counts
+    per calendar bucket of doc_map.ts_col, with EMPTY buckets
+    zero-filled between each query's first and last non-empty bucket —
+    ES's min_doc_count=0 shape, so the time axis has no silent gaps.
+
+    interval: one of minute/hour/day/week/month/quarter/year
+    (calendar_interval units; buckets are date_trunc boundaries in the
+    column's own type — TIMESTAMP_NTZ buckets are timezone-free, LTZ
+    buckets follow the session timezone, ES's time_zone parameter).
+    Docs with a NULL timestamp count nowhere (ES drops unmapped dates).
+    Queries with no matching docs return no buckets.
+
+    Returns (query_id, bucket timestamp, n_docs).
+
+    Scale shape: the shared narrow membership pass, one metadata join,
+    one groupBy per (query, bucket) — never per doc. The zero-fill
+    explodes sequence(first, last) per query, guarded by max_buckets
+    (ES's search.max_buckets default): the only collect is one
+    (lo, hi) row per query, query-batch-sized."""
+    cfg = cfg or BuildConfig()
+    if interval not in _HISTO_UNITS:
+        raise ValueError(
+            f"interval must be one of {sorted(_HISTO_UNITS)}, "
+            f"got {interval!r}")
+    step = _HISTO_UNITS[interval]
+    docs = _match_docs(spark, postings, queries, cfg, conjunctive)
+    ts_type = doc_map.schema[ts_col].dataType.simpleString()
+    if docs is None:
+        return spark.createDataFrame(
+            [], f"query_id int, bucket {ts_type}, n_docs long")
+    counts = (
+        docs.join(doc_map.select("doc_id", ts_col), "doc_id")
+        .where(F.col(ts_col).isNotNull())
+        .groupBy("query_id",
+                 F.date_trunc(interval, F.col(ts_col))
+                 .cast(ts_type).alias("bucket"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+    # per-query span + bucket count first — n_queries rows, one job —
+    # so a runaway span (seconds-apart docs years apart at interval
+    # 'minute') raises instead of exploding a 10^8-bucket sequence.
+    # PERSIST: the span aggregate materializes counts so neither
+    # branch below re-runs the narrow membership pass
+    counts = counts.persist()
+    try:
+        spans = counts.groupBy("query_id").agg(
+            F.min("bucket").alias("lo"), F.max("bucket").alias("hi"),
+        ).withColumn("n_buckets",
+                     F.expr(f"size(sequence(lo, hi, {step}))"))
+        span_rows = spans.collect()
+        for r in span_rows:
+            if r["n_buckets"] > max_buckets:
+                raise ValueError(
+                    f"query {r['query_id']}: {r['n_buckets']} buckets "
+                    f"at interval {interval!r} exceeds "
+                    f"max_buckets={max_buckets} (ES too_many_buckets) "
+                    "— widen the interval")
+        total = int(sum(r["n_buckets"] for r in span_rows))
+        if total <= _HISTO_COLLECT_CAP:
+            # common case: the zero-filled histogram is output-sized
+            # and bounded — fill driver-side (one Arrow round-trip,
+            # the more_like_this idiom) and return a local frame
+            got = arrow_collect(counts)
+            # normalize to naive ns wall time: Arrow returns LTZ
+            # columns tz-aware (UTC) while Row-collected spans and
+            # pd.date_range are naive session-wall — a dtype mismatch
+            # would silently match nothing in the merge
+            b = pd.to_datetime(got["bucket"])
+            if getattr(b.dt, "tz", None) is not None:
+                tz = spark.conf.get("spark.sql.session.timeZone")
+                b = b.dt.tz_convert(tz).dt.tz_localize(None)
+            got["bucket"] = b.astype("datetime64[ns]")
+            parts = [pd.DataFrame(
+                {"query_id": np.array([], np.int32),
+                 "bucket": pd.DatetimeIndex([]),
+                 "n_docs": np.array([], np.int64)})]
+            freq = _HISTO_PD_FREQ[interval]
+            for r in span_rows:
+                idx = pd.date_range(r["lo"], r["hi"], freq=freq)
+                parts.append(pd.DataFrame(
+                    {"query_id": np.full(idx.size, r["query_id"],
+                                         np.int32),
+                     "bucket": idx,
+                     "n_docs": np.zeros(idx.size, np.int64)}))
+            full = pd.concat(parts, ignore_index=True)
+            merged = full.merge(
+                got.rename(columns={"n_docs": "n"}),
+                on=["query_id", "bucket"], how="left")
+            merged["n_docs"] = (
+                merged["n"].fillna(0).astype(np.int64))
+            out_pdf = merged[["query_id", "bucket", "n_docs"]]
+            return arrow_frame(spark, out_pdf).select(
+                "query_id",
+                F.col("bucket").cast(ts_type).alias("bucket"),
+                F.col("n_docs").cast("long").alias("n_docs"))
+    finally:
+        counts = counts.unpersist()
+    # huge-histogram fallback: stay fully distributed (the zero-fill
+    # join recomputes the narrow pass once — the lesser evil vs a
+    # cached frame leaking past return)
+    buckets = spark.createDataFrame(
+        span_rows, schema=spans.schema
+    ).select(
+        "query_id",
+        F.explode(F.expr(f"sequence(lo, hi, {step})")).alias("bucket"))
+    return (
+        buckets.join(counts, ["query_id", "bucket"], "left")
+        .select("query_id",
+                F.col("bucket").cast(ts_type).alias("bucket"),
+                F.coalesce("n_docs", F.lit(0)).cast("long")
+                .alias("n_docs"))
     )
 
 

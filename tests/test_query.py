@@ -259,6 +259,204 @@ def test_facet_counts_matches_oracle(built_index, spark):
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_range_facet_counts_matches_oracle(built_index, spark):
+    """Range facets (Lucene Long/DoubleRangeFacetCounts semantics) vs
+    a naive oracle: overlapping ranges each count the doc, open sides,
+    inclusive/exclusive bounds, zero-count ranges present, OR and
+    AND."""
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import range_facet_counts
+    from capsbm25.tokenize import tokenize_py
+
+    cfg, oracle = built_index["cfg"], built_index["oracle"]
+    queries = fx.queries_pdf(42).head(8).reset_index(drop=True)
+    doc_map = load_doc_stats(spark, built_index["res"].out_dir)
+    ranges = [
+        ("lt3", None, 3, True, False),          # open low side
+        ("r1_4_incl", 1, 4, True, True),        # overlaps lt3
+        ("r1_4_excl", 1, 4, False, False),
+        ("ge2", 2, None, True, True),           # open high side
+        ("all", None, None, True, True),
+        ("empty", -9, -5, True, True),          # zero everywhere
+    ]
+    tix = oracle.doc_meta["turn_idx"]
+
+    def in_range(v, lo, hi, il, ih):
+        if lo is not None and (v < lo or (not il and v == lo)):
+            return False
+        if hi is not None and (v > hi or (not ih and v == hi)):
+            return False
+        return True
+
+    for conj in (False, True):
+        got = (
+            range_facet_counts(
+                spark, built_index["postings"], queries, doc_map,
+                "turn_idx", ranges, cfg, conjunctive=conj,
+            )
+            .toPandas()
+            .sort_values(["query_id", "range_label"],
+                         ignore_index=True)
+        )
+        rows = []
+        for q in queries.itertuples(index=False):
+            terms = sorted(set(tokenize_py(q.text, cfg)))
+            if conj and terms and any(
+                    t not in oracle.postings for t in terms):
+                m = set()
+            elif conj and terms:
+                m = set(oracle.postings[terms[0]])
+                for t in terms[1:]:
+                    m &= oracle.postings[t].keys()
+            else:
+                m = set()
+                for t in terms:
+                    m |= oracle.postings.get(t, {}).keys()
+            for label, lo, hi, il, ih in ranges:
+                n = sum(
+                    1 for d in m
+                    if in_range(int(tix.iloc[d]), lo, hi, il, ih))
+                rows.append((int(q.query_id), label, n))
+        want = (
+            pd.DataFrame(rows,
+                         columns=["query_id", "range_label", "n_docs"])
+            .sort_values(["query_id", "range_label"],
+                         ignore_index=True)
+        )
+        # every requested (query, range) pair is present — zeros too
+        assert len(got) == len(queries) * len(ranges), conj
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert (got[got["range_label"] == "empty"]["n_docs"] == 0).all()
+
+
+def test_range_facet_counts_validation(built_index, spark):
+    """Duplicate labels and empty range lists raise; a batch that
+    tokenizes to nothing still returns every (query, range) at 0."""
+    import pytest as _pytest
+
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import range_facet_counts
+
+    cfg = built_index["cfg"]
+    doc_map = load_doc_stats(spark, built_index["res"].out_dir)
+    queries = pd.DataFrame(
+        {"query_id": np.array([0, 1], dtype=np.int32),
+         "text": ["%%%", "..."], "k": np.array([5, 5], np.int32)})
+    with _pytest.raises(ValueError, match="non-empty"):
+        range_facet_counts(spark, built_index["postings"], queries,
+                           doc_map, "turn_idx", [], cfg)
+    with _pytest.raises(ValueError, match="duplicate"):
+        range_facet_counts(
+            spark, built_index["postings"], queries, doc_map,
+            "turn_idx", [("a", 0, 1, True, True),
+                         ("a", 1, 2, True, True)], cfg)
+    got = range_facet_counts(
+        spark, built_index["postings"], queries, doc_map, "turn_idx",
+        [("a", 0, 1, True, True), ("b", None, None, True, True)], cfg,
+    ).toPandas()
+    assert len(got) == 4 and (got["n_docs"] == 0).all()
+
+
+def test_date_histogram_matches_oracle(built_index, spark):
+    """date_histogram (ES min_doc_count=0 shape) vs a naive oracle:
+    hour buckets, zero-filled between each query's first and last
+    non-empty bucket, NULL-free, and the too_many_buckets guard."""
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import date_histogram
+
+    cfg, oracle = built_index["cfg"], built_index["oracle"]
+    from capsbm25.tokenize import tokenize_py
+
+    corpus = spark.createDataFrame(built_index["pdf"])
+    dm = (
+        load_doc_stats(spark, built_index["res"].out_dir)
+        .join(corpus.select("conv_id", "turn_idx", "ts"),
+              ["conv_id", "turn_idx"])
+        .select("doc_id", "ts")
+    )
+    queries = fx.queries_pdf(42).head(5).reset_index(drop=True)
+    got = (
+        date_histogram(spark, built_index["postings"], queries, dm,
+                       "ts", "hour", cfg)
+        .toPandas()
+        .sort_values(["query_id", "bucket"], ignore_index=True)
+    )
+    key = built_index["pdf"].set_index(["conv_id", "turn_idx"])["ts"]
+    hours = [
+        key.loc[(c, t)].floor("h")
+        for c, t in zip(oracle.doc_meta["conv_id"],
+                        oracle.doc_meta["turn_idx"])
+    ]
+    rows = []
+    for q in queries.itertuples(index=False):
+        m = set()
+        for t in sorted(set(tokenize_py(q.text, cfg))):
+            m |= oracle.postings.get(t, {}).keys()
+        if not m:
+            continue
+        c = Counter(hours[d] for d in m)
+        for h in pd.date_range(min(c), max(c), freq="h"):
+            rows.append((int(q.query_id), h, c.get(h, 0)))
+    want = (
+        pd.DataFrame(rows, columns=["query_id", "bucket", "n_docs"])
+        .sort_values(["query_id", "bucket"], ignore_index=True)
+    )
+    assert len(got) == len(want) > 0
+    got["bucket"] = pd.to_datetime(got["bucket"])
+    if getattr(got["bucket"].dt, "tz", None) is not None:
+        got["bucket"] = got["bucket"].dt.tz_localize(None)
+    got["bucket"] = got["bucket"].astype("datetime64[ns]")
+    want["bucket"] = want["bucket"].astype("datetime64[ns]")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # zero-filled gaps really appear as rows (not silently dropped)
+    assert (want["n_docs"] == 0).any() == (got["n_docs"] == 0).any()
+    with _pytest.raises(ValueError, match="max_buckets"):
+        date_histogram(spark, built_index["postings"], queries, dm,
+                       "ts", "minute", cfg, max_buckets=3)
+
+
+def test_date_histogram_distributed_fallback(built_index, spark,
+                                             monkeypatch):
+    """Forcing the over-cap branch (distributed zero-fill join) gives
+    byte-identical rows to the driver-side fill."""
+    from capsbm25 import query as qmod
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import date_histogram
+
+    cfg = built_index["cfg"]
+    corpus = spark.createDataFrame(built_index["pdf"])
+    dm = (
+        load_doc_stats(spark, built_index["res"].out_dir)
+        .join(corpus.select("conv_id", "turn_idx", "ts"),
+              ["conv_id", "turn_idx"])
+        .select("doc_id", "ts")
+    )
+    queries = fx.queries_pdf(42).head(3).reset_index(drop=True)
+    small = (
+        date_histogram(spark, built_index["postings"], queries, dm,
+                       "ts", "hour", cfg)
+        .toPandas().sort_values(["query_id", "bucket"],
+                                ignore_index=True)
+    )
+    monkeypatch.setattr(qmod, "_HISTO_COLLECT_CAP", 0)
+    big = (
+        date_histogram(spark, built_index["postings"], queries, dm,
+                       "ts", "hour", cfg)
+        .toPandas().sort_values(["query_id", "bucket"],
+                                ignore_index=True)
+    )
+    for df_ in (small, big):
+        df_["bucket"] = pd.to_datetime(df_["bucket"])
+        if getattr(df_["bucket"].dt, "tz", None) is not None:
+            df_["bucket"] = df_["bucket"].dt.tz_localize(None)
+        df_["bucket"] = df_["bucket"].astype("datetime64[ns]")
+    pd.testing.assert_frame_equal(small, big, check_dtype=False)
+
+
 def test_prefix_topk_matches_oracle(built_index, spark):
     """Prefix query (summed-tf ranking) vs a naive oracle, with and
     without a doc filter; StringStartsWith reaches the postings scan."""
