@@ -694,6 +694,40 @@ def q_bm25_offset_topk(spark, sf_dir):
         F.col("g.rank").alias("rank"))
 
 
+def q_bm25_search_after(spark, sf_dir):
+    """Cursor pagination (Lucene IndexSearcher.searchAfter / ES
+    search_after): page 2 of the flagship query via the page-1 last
+    hit's (score, doc_id) cursor — O(1) cursor state, no offset
+    re-fetch; the kernel seeds WAND θ from qualifying candidates so
+    deep pages keep full pruning. Ranks restart at 1 per page (the
+    oracle's global row_number minus the page-1 size)."""
+    import numpy as np
+    import pandas as pd
+
+    b = _index_for(spark, sf_dir)
+    res = b["res"]
+    page1 = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [" ".join(BM25_QUERY_TERMS)],
+         "k": np.array([BM25_K], dtype=np.int32)}
+    )
+    last = (
+        bm25_topk(spark, load_postings(spark, b["out"]), page1, res.N,
+                  res.avgdl, CFG)
+        .orderBy(F.desc("rank")).limit(1).collect()[0]
+    )
+    page2 = page1.assign(after_score=float(last["score"]),
+                         after_doc=int(last["doc_id"]))
+    got = bm25_topk(
+        spark, load_postings(spark, b["out"]), page2, res.N,
+        res.avgdl, CFG,
+    )
+    return _to_original(
+        spark, b, got,
+        F.round("g.score", 6).alias("score_r"),
+        F.col("g.rank").alias("rank"))
+
+
 def q_explain_scores(spark, sf_dir):
     """Score explanation (Lucene IndexSearcher.explain): per-(term,
     doc) BM25 components — tf, dl, corpus-global df, idf, contrib —
@@ -1695,6 +1729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_collapse_topk": q_bm25_collapse,
         "bm25_boost_topk": q_bm25_boost_topk,
         "bm25_offset_topk": q_bm25_offset_topk,
+        "bm25_search_after": q_bm25_search_after,
         "explain_scores": q_explain_scores,
         "hit_count": q_hit_count,
         "hit_count_and": q_hit_count_and,
@@ -2573,6 +2608,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_collapse_topk": _BM25_COLLAPSE_SQL,
         "bm25_boost_topk": _BM25_BOOST_SQL,
         "bm25_offset_topk": _BM25_OFFSET_SQL,
+        # search_after page 2 from the page-1 last-hit cursor == the
+        # global ranking's rows (k, 2k], with per-page ranks 1..k
+        "bm25_search_after": _BM25_OFFSET_SQL.replace(
+            "))::INT AS rank",
+            f") - {BM25_K})::INT AS rank").replace(
+            f"OFFSET {OFFSET_PAGE}", f"OFFSET {BM25_K}"),
         "explain_scores": _EXPLAIN_SQL,
         "hit_count": _HIT_COUNT_SQL,
         "hit_count_and": _HIT_COUNT_AND_SQL,

@@ -90,9 +90,18 @@ def _query_terms_pdf(queries: pd.DataFrame, cfg: BuildConfig,
     several times the max boost wins (terms are deduplicated — matching
     the engine's existing set-of-terms semantics — so occurrences can't
     stack). An `offset` queries column (pagination) rides along when
-    present regardless of boosts."""
+    present regardless of boosts, as does an (after_score, after_doc)
+    cursor pair (search_after pagination) — a query may use offset OR
+    a cursor, not both, and a cursor requires both halves."""
     rows = []
     has_off = "offset" in queries.columns
+    has_after = ("after_score" in queries.columns
+                 or "after_doc" in queries.columns)
+    if has_after and not ("after_score" in queries.columns
+                          and "after_doc" in queries.columns):
+        raise ValueError(
+            "search_after needs BOTH after_score and after_doc columns")
+    afters = []
     for q in queries.itertuples(index=False):
         off = getattr(q, "offset", 0) if has_off else 0
         # a partially-set offset column is float64 with NaN for the
@@ -100,6 +109,18 @@ def _query_terms_pdf(queries: pd.DataFrame, cfg: BuildConfig,
         off = 0 if off is None or pd.isna(off) else int(off)
         if off < 0:
             raise ValueError("offset must be >= 0")
+        a_s = getattr(q, "after_score", None) if has_after else None
+        a_d = getattr(q, "after_doc", None) if has_after else None
+        a_s = None if a_s is None or pd.isna(a_s) else float(a_s)
+        a_d = None if a_d is None or pd.isna(a_d) else int(a_d)
+        if (a_s is None) != (a_d is None):
+            raise ValueError(
+                f"query {q.query_id}: a search_after cursor needs both "
+                "after_score and after_doc set (or neither)")
+        if a_s is not None and off:
+            raise ValueError(
+                f"query {q.query_id}: offset and search_after cursor "
+                "are mutually exclusive")
         # None/NaN text is an empty query, not the literal "None"/"nan"
         # (str(NaN) would tokenize to a real searchable term)
         text = q.text if isinstance(q.text, str) else ""
@@ -128,11 +149,19 @@ def _query_terms_pdf(queries: pd.DataFrame, cfg: BuildConfig,
             bmap = {t: 1.0 for t in terms}
         for t in terms:
             rows.append((int(q.query_id), t, k, len(terms),
-                         float(bmap[t]), off))
-    return pd.DataFrame(
+                         float(bmap[t]), off,
+                         np.nan if a_s is None else a_s,
+                         np.nan if a_d is None else float(a_d)))
+    pdf = pd.DataFrame(
         rows, columns=["query_id", "term", "k", "n_query_terms",
-                       "boost", "off"]
+                       "boost", "off", "after_score", "after_doc"]
     )
+    if not has_after:
+        # the cursor columns exist only when the caller paginates with
+        # one — every surface that broadcasts qt stays byte-identical
+        # otherwise
+        pdf = pdf.drop(columns=["after_score", "after_doc"])
+    return pdf
 
 
 def _empty_result() -> pd.DataFrame:
@@ -193,6 +222,20 @@ def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
     # with GLOBAL ranks — identical to slicing a larger result page
     off = int(pdf["off"].iloc[0]) if "off" in pdf.columns else 0
     kk = k + off
+    # search_after cursor: restrict candidates to hits strictly AFTER
+    # (after_score, after_doc) in (score DESC, doc_id ASC) order.
+    # Kernel scores are bit-stable (fixed summation order below), so a
+    # cursor taken from a previous page's last hit reproduces exactly
+    a_s = (float(pdf["after_score"].iloc[0])
+           if "after_score" in pdf.columns
+           and not pd.isna(pdf["after_score"].iloc[0]) else None)
+    a_d = (int(pdf["after_doc"].iloc[0])
+           if a_s is not None else None)
+
+    def after_mask(d: np.ndarray, s: np.ndarray) -> np.ndarray:
+        if a_s is None:
+            return np.ones(s.size, dtype=bool)
+        return (s < a_s) | ((s == a_s) & (d > a_d))
     pdf = pdf.sort_values("term")  # fixed summation order -> bit-stable
     terms = []
     for term, grp in pdf.groupby("term", sort=True):
@@ -273,7 +316,9 @@ def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
                 break
         if cand.size == 0:
             return _empty_result()
-        top_d, top_s = _topk(cand, exact_scores(cand), kk)
+        cs = exact_scores(cand)
+        keep = after_mask(cand, cs)
+        top_d, top_s = _topk(cand[keep], cs[keep], kk)
         return _result_pdf(qid, top_d[off:], top_s[off:], start=off)
 
     n_total = sum(t["docs"].size for t in terms)
@@ -287,7 +332,9 @@ def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
         new[1:] = d[1:] != d[:-1]
         starts = np.flatnonzero(new)
         sums = np.add.reduceat(s, starts)
-        top_d, top_s = _topk(d[starts], sums, kk)
+        ud = d[starts]
+        keep = after_mask(ud, sums)
+        top_d, top_s = _topk(ud[keep], sums[keep], kk)
     else:
         # phase 1: seed θ from the most selective terms' full lists
         by_df = sorted(range(len(terms)), key=lambda i: terms[i]["docs"].size)
@@ -300,8 +347,13 @@ def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
                 break
         cand0 = np.unique(np.concatenate(seed))
         s0 = exact_scores(cand0)
-        if cand0.size >= kk:
-            theta = np.partition(s0, cand0.size - kk)[cand0.size - kk]
+        # with a cursor, θ must lower-bound the k-th best QUALIFYING
+        # score — docs at or before the cursor could otherwise inflate
+        # it and block-skip true page members
+        q0 = after_mask(cand0, s0)
+        s0q = s0[q0]
+        if s0q.size >= kk:
+            theta = np.partition(s0q, s0q.size - kk)[s0q.size - kk]
         else:
             theta = -np.inf
         # phase 2: block-max survivors
@@ -317,7 +369,9 @@ def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
             for b in np.flatnonzero(ok):
                 keep_docs.append(t["docs"][b * B : (b + 1) * B])
         cand = np.unique(np.concatenate(keep_docs))
-        top_d, top_s = _topk(cand, exact_scores(cand), kk)
+        cs = exact_scores(cand)
+        keep = after_mask(cand, cs)
+        top_d, top_s = _topk(cand[keep], cs[keep], kk)
 
     return _result_pdf(qid, top_d[off:], top_s[off:], start=off)
 
@@ -351,11 +405,25 @@ def bm25_topk(
     terms stay deduplicated). WAND pruning stays exact: block uppers
     are recomputed from the boosted contributions.
 
-    An optional `offset` queries column pages results (Lucene
-    searchAfter): each query returns hits (offset, offset + k] of its
-    global ranking, rank column holding the GLOBAL rank — page 2 of a
-    k=10 query is offset=10, ranks 11..20. Both paths fetch offset + k
-    then slice, so paging is rank-stable across pages.
+    An optional `offset` queries column pages results: each query
+    returns hits (offset, offset + k] of its global ranking, rank
+    column holding the GLOBAL rank — page 2 of a k=10 query is
+    offset=10, ranks 11..20. Both paths fetch offset + k then slice,
+    so paging is rank-stable across pages.
+
+    Optional `after_score` + `after_doc` queries columns page by
+    CURSOR instead (Lucene IndexSearcher.searchAfter / ES
+    search_after): each query returns its top k among hits strictly
+    AFTER the cursor in (score DESC, doc_id ASC) order — typically the
+    previous page's last (score, doc_id). Unlike offset, cursor state
+    is O(1) and the work never grows with page depth: the kernel seeds
+    its WAND θ from qualifying candidates only, so deep pages prune at
+    full strength. Ranks restart at 1 per page (computing the global
+    rank is exactly the offset cost the cursor avoids — ES returns no
+    rank either). Cursor equality is exact float equality: kernel
+    scores are bit-stable (fixed summation order), so kernel-issued
+    cursors reproduce exactly; NaN/absent cursor = page 1. offset and
+    a cursor are mutually exclusive per query.
     conjunctive=True restricts candidates to docs containing ALL query
     terms (posting-list intersection — AND semantics); scores are still
     full BM25 over the query terms.
@@ -612,7 +680,8 @@ def _run_kernel(matched, N, avgdl, cfg, prune, conjunctive,
     # (block_max is an array<struct>, the widest non-payload column)
     need = (["query_id", "term", "df", "doc_ids", "tfs", "dls",
              "k", "n_query_terms"]
-            + [c for c in ("boost", "off") if c in matched.columns])
+            + [c for c in ("boost", "off", "after_score", "after_doc")
+               if c in matched.columns])
     return matched.select(*need).groupBy("query_id").applyInPandas(
         kernel, schema=RESULT_SCHEMA
     )
@@ -769,11 +838,18 @@ def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive,
     # count pre-counted, so the groupBy shuffle carries distinct-doc
     # rows without the term string, not one row per (term, doc)
     # posting entry.
+    has_cursor = (qt is not None and "after_score" in qt.columns
+                  and qt["after_score"].notna().any())
     do_prune = (
         prune and not conjunctive and collapse is None
         and (doc_filter is None or filt_bc is not None)
         and (doc_exclude is None or excl_bc is not None)
         and qt is not None
+        # search_after: the entry-prune θ comes from in-task k-th
+        # contributions, which bound the GLOBAL top-k — not the
+        # post-cursor page — so a qualifying page member could be
+        # dropped; cursored queries score exactly (same as offset)
+        and not has_cursor
     )
     rest_map = (_distributed_rest_map(qt, df_map, N, cfg)
                 if do_prune else None)
@@ -919,6 +995,29 @@ def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive,
             .withColumn("_gr", F.row_number().over(cw))
             .where(F.col("_gr") == 1)
             .drop("_gr", "_grp", key)
+        )
+    if has_cursor:
+        # search_after: keep hits strictly after the per-query
+        # (after_score, after_doc) cursor in (score DESC, doc_id ASC)
+        # order — applied to the FINAL ranking (post-AND, post-
+        # collapse), like Lucene's searchAfter over collapsed heads.
+        # Tiny broadcast: one row per cursored query
+        cur = (qt[["query_id", "after_score", "after_doc"]]
+               .drop_duplicates("query_id"))
+        cur = cur[cur["after_score"].notna()]
+        cdf = matched.sparkSession.createDataFrame(
+            pd.DataFrame(
+                {"query_id": cur["query_id"].astype("int32"),
+                 "a_s": cur["after_score"].astype("float64"),
+                 "a_d": cur["after_doc"].astype("int64")}),
+            schema="query_id int, a_s double, a_d long")
+        scored = (
+            scored.join(F.broadcast(cdf), "query_id", "left")
+            .where(F.col("a_s").isNull()
+                   | (F.col("score") < F.col("a_s"))
+                   | ((F.col("score") == F.col("a_s"))
+                      & (F.col("doc_id") > F.col("a_d"))))
+            .drop("a_s", "a_d")
         )
     return _window_topk(scored)
 

@@ -259,6 +259,140 @@ def test_facet_counts_matches_oracle(built_index, spark):
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_search_after_pages_equal_sliced_ranking(built_index, spark):
+    """Cursor pagination (Lucene searchAfter): walking pages with each
+    page's last (score, doc_id) as the next cursor reconstructs the
+    full ranking exactly, on BOTH paths, including tie boundaries; the
+    offset/cursor exclusivity and half-cursor validation raise."""
+    import pytest as _pytest
+
+    res, cfg = built_index["res"], built_index["cfg"]
+    queries = fx.queries_pdf(42).head(6).reset_index(drop=True)
+    full = queries.assign(k=np.int32(30))
+    for mode in ("kernel", "distributed"):
+        want = (
+            bm25_topk(spark, built_index["postings"], full, res.N,
+                      res.avgdl, cfg, mode=mode)
+            .toPandas()
+            .sort_values(["query_id", "rank"], ignore_index=True)
+        )
+        pages = []
+        cursor = {}  # qid -> (score, doc) of last seen hit
+        page_q = queries.assign(k=np.int32(10))
+        for _ in range(3):
+            pq = page_q.assign(
+                after_score=[cursor.get(int(q), (np.nan,))[0]
+                             for q in page_q["query_id"]],
+                after_doc=[cursor.get(int(q), (np.nan, np.nan))[1]
+                           for q in page_q["query_id"]],
+            )
+            got = (
+                bm25_topk(spark, built_index["postings"], pq, res.N,
+                          res.avgdl, cfg, mode=mode)
+                .toPandas()
+                .sort_values(["query_id", "rank"],
+                             ignore_index=True)
+            )
+            pages.append(got)
+            for qid, g in got.groupby("query_id"):
+                last = g.iloc[-1]
+                cursor[int(qid)] = (float(last["score"]),
+                                    int(last["doc_id"]))
+        walked = (
+            pd.concat(pages, ignore_index=True)
+            .sort_values(["query_id", "score", "doc_id"],
+                         ascending=[True, False, True],
+                         ignore_index=True)
+        )
+        assert len(walked) == len(want), mode
+        pd.testing.assert_frame_equal(
+            walked[["query_id", "doc_id"]],
+            want[["query_id", "doc_id"]], check_dtype=False)
+        np.testing.assert_allclose(
+            walked["score"].to_numpy(), want["score"].to_numpy(),
+            rtol=1e-12)
+    # validation: half a cursor / cursor + offset raise
+    bad = queries.head(1).assign(k=np.int32(5),
+                                 after_score=1.0, after_doc=np.nan)
+    with _pytest.raises(ValueError, match="both"):
+        bm25_topk(spark, built_index["postings"], bad, res.N,
+                  res.avgdl, cfg)
+    bad2 = queries.head(1).assign(
+        k=np.int32(5), offset=10, after_score=1.0, after_doc=0)
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        bm25_topk(spark, built_index["postings"], bad2, res.N,
+                  res.avgdl, cfg)
+
+
+def test_search_after_mid_tie_cursor(built_index, spark):
+    """A cursor placed INSIDE a tie group resumes at the doc_id
+    tiebreak: docs with score == after_score and doc_id > after_doc
+    appear, earlier tied docs don't (exercises the equality arm on the
+    exhaustive, pruned, and conjunctive kernel branches)."""
+    res, cfg = built_index["res"], built_index["cfg"]
+    queries = fx.queries_pdf(42).head(4).reset_index(drop=True)
+    full = queries.assign(k=np.int32(60))
+    want = bm25_topk(spark, built_index["postings"], full, res.N,
+                     res.avgdl, cfg, mode="kernel").toPandas()
+    rows = []
+    for qid, g in want.groupby("query_id"):
+        g = g.sort_values("rank")
+        # cut mid-ranking at rank 7 (arbitrary; ties or not, the
+        # remainder must equal ranks 8.. of the full ranking)
+        if len(g) <= 8:
+            continue
+        cut = g.iloc[6]
+        rows.append((int(qid), float(cut["score"]),
+                     int(cut["doc_id"]),
+                     g.iloc[7:17]["doc_id"].to_numpy()))
+    assert rows, "need at least one query with >8 hits"
+    pq = pd.DataFrame(
+        {"query_id": np.array([r[0] for r in rows], np.int32),
+         "text": [queries.set_index("query_id").loc[r[0], "text"]
+                  for r in rows],
+         "k": np.full(len(rows), 10, np.int32),
+         "after_score": [r[1] for r in rows],
+         "after_doc": [r[2] for r in rows]})
+    for conj in (False, True):
+        got = bm25_topk(spark, built_index["postings"], pq, res.N,
+                        res.avgdl, cfg, mode="kernel",
+                        conjunctive=conj).toPandas()
+        if conj:
+            # conjunctive ranking differs; just assert no doc at or
+            # before its cursor leaks through
+            full_c = bm25_topk(
+                spark, built_index["postings"], full, res.N,
+                res.avgdl, cfg, mode="kernel", conjunctive=True,
+            ).toPandas()
+            for r in rows:
+                qid = r[0]
+                fc = full_c[full_c["query_id"] == qid]
+                g2 = got[got["query_id"] == qid]
+                sa, da = None, None
+                # conjunctive cursor = the conjunctive ranking's own
+                # rank-3 hit when it exists
+                if len(fc) > 3:
+                    cut = fc.sort_values("rank").iloc[2]
+                    sa, da = float(cut["score"]), int(cut["doc_id"])
+                    pq2 = pq[pq["query_id"] == qid].assign(
+                        after_score=sa, after_doc=da)
+                    g2 = bm25_topk(
+                        spark, built_index["postings"], pq2, res.N,
+                        res.avgdl, cfg, mode="kernel",
+                        conjunctive=True).toPandas()
+                    wantd = fc.sort_values("rank").iloc[3:13][
+                        "doc_id"].to_numpy()
+                    np.testing.assert_array_equal(
+                        g2["doc_id"].to_numpy(), wantd)
+        else:
+            for r in rows:
+                g2 = got[got["query_id"] == r[0]]
+                np.testing.assert_array_equal(
+                    g2.sort_values("rank")["doc_id"].to_numpy(), r[3])
+                assert (g2["rank"].to_numpy()
+                        == np.arange(1, len(g2) + 1)).all()
+
+
 def test_range_facet_counts_matches_oracle(built_index, spark):
     """Range facets (Lucene Long/DoubleRangeFacetCounts semantics) vs
     a naive oracle: overlapping ranges each count the doc, open sides,
