@@ -183,13 +183,15 @@ def test_prune_actually_fires(built_index, spark, monkeypatch):
     assert hot_df > 100  # the fixture's hot term is corpus-wide
 
     counts = []
-    real = Q._window_topk
+    real = Q._fused_combine_topk
 
-    def counting(scored):
-        counts.append(scored.count())
-        return real(scored)
+    def counting(c, conjunctive):
+        # c = the per-task-combined contribution frame — exactly what
+        # crosses the one exchange; pruning must shrink IT
+        counts.append(c.count())
+        return real(c, conjunctive)
 
-    monkeypatch.setattr(Q, "_window_topk", counting)
+    monkeypatch.setattr(Q, "_fused_combine_topk", counting)
     pruned = _run_distributed(
         matched, df_map, res.N, res.avgdl, cfg, conjunctive=False,
         qt=qt, prune=True).toPandas().sort_values("rank")
