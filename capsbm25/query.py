@@ -855,6 +855,14 @@ def _distributed_rest_map(qt: pd.DataFrame, df_map: dict, N: int,
 # never O(df mass) (same bound as _EXPANSION_COMBINE_CHUNK)
 _DIST_COMBINE_CHUNK = 4_000_000
 
+# the fused combine+top-k tail wins once the scored set is big enough
+# that its single exchange beats the legacy tail's two (groupBy hash +
+# salt-window re-shuffle) plus the Tungsten sort; below this raw
+# contribution mass the ~1.3s python-worker constant of 30 queries x
+# 32 salt groups dominates instead (211k turns: legacy 1.6s vs fused
+# 2.9s; 10.5M turns / 9.3M raw rows: fused 5.3s vs legacy 6.7s)
+_FUSED_TOPK_MIN_ROWS = 4_000_000
+
 
 def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive,
                      doc_filter: DataFrame | None = None,
@@ -1019,7 +1027,13 @@ def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive,
         # anti join = liveDocs mask; tombstone sets are small, so AQE
         # broadcasts and drops deleted rows map-side pre-shuffle
         c = c.join(excl_join.select("doc_id"), "doc_id", "anti")
-    if collapse is None and not has_cursor:
+    # raw contribution mass (Σ df over the batch's (query, term)
+    # pairs) — already driver-side; sizes the exchange the two tails
+    # below would pay
+    raw_mass = (int(qt["term"].map(df_map).fillna(0).sum())
+                if qt is not None else 0)
+    if (collapse is None and not has_cursor
+            and raw_mass >= _FUSED_TOPK_MIN_ROWS):
         # fused combine + phase-1 top-k (round 7): the legacy tail
         # below pays TWO exchanges of the scored set — groupBy(query,
         # doc) hash-partitions one way, then _window_topk's salt
@@ -1031,10 +1045,12 @@ def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive,
         # DESC, doc_id), and every global top-(k+off) row wins its own
         # salt bucket — identical output to groupBy + _window_topk
         # (rank-identity tests cover it). 10.5M-turn 30-query wall:
-        # 6.7s -> measured below; the scored set never crosses the
-        # wire twice. Collapse/cursor batches keep the legacy shape
-        # (collapse groups and cursor filters need the full scored
-        # set).
+        # 6.7s -> 5.3s; the scored set never crosses the wire twice.
+        # SIZE-ROUTED: under ~4M raw rows the JVM hash-agg + window
+        # beats the ~1.3s python-worker constant (measured 1.6s legacy
+        # vs 2.9s fused at 211k turns), so small batches keep the
+        # legacy tail. Collapse/cursor batches always do (collapse
+        # groups and cursor filters need the full scored set).
         return _fused_combine_topk(c, conjunctive)
     scored = c.groupBy("query_id", "doc_id").agg(
         F.sum("contrib").alias("score"),

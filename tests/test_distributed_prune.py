@@ -184,6 +184,9 @@ def test_prune_actually_fires(built_index, spark, monkeypatch):
 
     counts = []
     real = Q._fused_combine_topk
+    # force the fused tail at test scale so its input frame (= what
+    # crosses the one exchange) is countable
+    monkeypatch.setattr(Q, "_FUSED_TOPK_MIN_ROWS", 0)
 
     def counting(c, conjunctive):
         # c = the per-task-combined contribution frame — exactly what
@@ -206,3 +209,33 @@ def test_prune_actually_fires(built_index, spark, monkeypatch):
     # not a multiple of df (ties included; the fixture's dl spread
     # keeps score ties rare)
     assert n_pruned < max(50, hot_df // 10), (n_pruned, hot_df)
+
+
+def test_fused_topk_tail_parity(built_index, spark, monkeypatch):
+    """The size-routed fused combine+top-k tail returns exactly what
+    the legacy groupBy + _window_topk tail does — disjunctive,
+    conjunctive, and offset-paged batches (scores to float tolerance:
+    both sum the same contributions, in different orders)."""
+    res, cfg = built_index["res"], built_index["cfg"]
+    queries = fx.queries_pdf(42).head(8).reset_index(drop=True)
+    paged = queries.assign(offset=np.int32(3))
+    for conj in (False, True):
+        for qdf in (queries, paged):
+            outs = {}
+            for label, thresh in (("legacy", 1 << 60), ("fused", 0)):
+                monkeypatch.setattr(Q, "_FUSED_TOPK_MIN_ROWS", thresh)
+                outs[label] = (
+                    bm25_topk(spark, built_index["postings"], qdf,
+                              res.N, res.avgdl, cfg,
+                              mode="distributed", conjunctive=conj)
+                    .toPandas()
+                    .sort_values(["query_id", "rank"],
+                                 ignore_index=True)
+                )
+            a, b = outs["legacy"], outs["fused"]
+            pd.testing.assert_frame_equal(
+                a[["query_id", "doc_id", "rank"]],
+                b[["query_id", "doc_id", "rank"]], check_dtype=False)
+            np.testing.assert_allclose(
+                a["score"].to_numpy(), b["score"].to_numpy(),
+                rtol=1e-12)
