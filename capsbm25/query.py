@@ -101,7 +101,6 @@ def _query_terms_pdf(queries: pd.DataFrame, cfg: BuildConfig,
                           and "after_doc" in queries.columns):
         raise ValueError(
             "search_after needs BOTH after_score and after_doc columns")
-    afters = []
     for q in queries.itertuples(index=False):
         off = getattr(q, "offset", 0) if has_off else 0
         # a partially-set offset column is float64 with NaN for the
@@ -422,8 +421,14 @@ def bm25_topk(
     rank is exactly the offset cost the cursor avoids — ES returns no
     rank either). Cursor equality is exact float equality: kernel
     scores are bit-stable (fixed summation order), so kernel-issued
-    cursors reproduce exactly; NaN/absent cursor = page 1. offset and
-    a cursor are mutually exclusive per query.
+    cursors reproduce exactly. On the DISTRIBUTED path per-doc sums
+    come from partial aggregation whose combine order can vary run to
+    run, so a cursor landing exactly on a tie boundary may drift by a
+    last-ulp re-sum (the boundary doc reappearing or a tied doc
+    dropping) — the same caveat ES documents for search_after without
+    a tiebreaker field; issue cursors from the kernel (auto mode's
+    light side) when exact tie resume matters. NaN/absent cursor =
+    page 1. offset and a cursor are mutually exclusive per query.
     conjunctive=True restricts candidates to docs containing ALL query
     terms (posting-list intersection — AND semantics); scores are still
     full BM25 over the query terms.
@@ -497,10 +502,12 @@ def bm25_topk(
         mode, matched, qt, filtered, max_kernel_df, max_kernel_bytes,
         run_kernel=lambda m: _run_kernel(
             m, N, avgdl, cfg, prune, conjunctive, filt_bc, excl_bc),
-        run_distributed=lambda m, dfm: _run_distributed(
+        run_distributed=lambda m, dfm, qids=None: _run_distributed(
             m, dfm, N, avgdl, cfg, conjunctive, doc_filter, doc_exclude,
-            collapse=collapse, qt=qt, prune=prune,
-            filt_bc=filt_bc, excl_bc=excl_bc),
+            collapse=collapse,
+            qt=qt if qids is None else
+            qt[qt["query_id"].isin(qids)].reset_index(drop=True),
+            prune=prune, filt_bc=filt_bc, excl_bc=excl_bc),
     )
 
 
@@ -523,7 +530,11 @@ def _dispatch_modes(mode, matched, qt, filtered, max_kernel_df,
     df scan.
 
     run_kernel(matched_subset) and run_distributed(matched_subset,
-    df_map) close over each surface's own runner arguments.
+    df_map, qids) close over each surface's own runner arguments;
+    qids is the routed query-id subset (None = the whole batch), so a
+    runner deriving per-batch signals from qt (cursor presence, raw
+    contribution mass) sees only ITS queries — a kernel-routed
+    query's cursor must not disable pruning for the heavy subset.
     """
     if mode == "auto":
         df_map, bytes_map = _term_stats_map(filtered)
@@ -539,19 +550,21 @@ def _dispatch_modes(mode, matched, qt, filtered, max_kernel_df,
             mode = "kernel"
         elif len(heavy) == stats.shape[0]:
             # every query is heavy — don't schedule an empty kernel side
-            return run_distributed(matched, df_map).orderBy(
+            return run_distributed(matched, df_map, None).orderBy(
                 "query_id", "rank")
         else:
             light = run_kernel(
                 matched.where(~F.col("query_id").isin(heavy)))
             dist = run_distributed(
-                matched.where(F.col("query_id").isin(heavy)), df_map)
+                matched.where(F.col("query_id").isin(heavy)), df_map,
+                heavy)
             return light.unionByName(dist).orderBy("query_id", "rank")
     if mode == "kernel":
         return run_kernel(matched).orderBy("query_id", "rank")
     if mode == "distributed":
         return run_distributed(
-            matched, _term_df_map(filtered)).orderBy("query_id", "rank")
+            matched, _term_df_map(filtered), None).orderBy(
+            "query_id", "rank")
     raise ValueError(mode)
 
 
@@ -716,15 +729,25 @@ def _window_topk(scored: DataFrame) -> DataFrame:
     w_local = Window.partitionBy("query_id", "salt").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    return (
+    return _rank_page(
         scored.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(_TOPK_SALT)))
         .withColumn("r1", F.row_number().over(w_local))
         .where(F.col("r1") <= F.col("k") + off)
         .drop("salt", "r1")
-        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def _rank_page(scored: DataFrame) -> DataFrame:
+    """Shared phase-2 page slice (one window over per-query
+    survivors): global (score DESC, doc_id ASC) row_number, keep ranks
+    (off, k + off], project the engine result shape. The ONE place
+    pagination/tie order is encoded for both top-k tails."""
+    off = F.col("off") if "off" in scored.columns else F.lit(0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .where((F.col("rank") <= F.col("k") + off)
                & (F.col("rank") > off))
         .select("query_id", "doc_id", "score", F.col("rank").cast("int"))
@@ -747,15 +770,27 @@ def _fused_combine_topk(c: DataFrame, conjunctive: bool) -> DataFrame:
     the full scored set."""
 
     def combine(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        docs = pdf["doc_id"].to_numpy(np.int64)
-        uniq, inv = np.unique(docs, return_inverse=True)
-        score = np.bincount(inv, weights=pdf["contrib"].to_numpy())
         k = int(pdf["k"].iloc[0])
         off = int(pdf["off"].iloc[0])
         kk = k + off
         if kk <= 0:
-            uniq = uniq[:0]
-            score = score[:0]
+            # k=0 page: empty, like the legacy window's rank <= 0
+            # (and BEFORE the conjunctive mask, whose bincount length
+            # must match uniq)
+            return pd.DataFrame(
+                {"query_id": np.array([], np.int32),
+                 "doc_id": np.array([], np.int64),
+                 "score": np.array([], np.float64),
+                 "k": np.array([], np.int32),
+                 "off": np.array([], np.int32)})
+        # deterministic accumulation order: bincount adds in row order,
+        # so sort the partials first — the same (doc, contrib) multiset
+        # then always sums to the same float, keeping per-doc scores
+        # stable across reruns (shuffle order varies run to run)
+        pdf = pdf.sort_values(["doc_id", "contrib"], kind="stable")
+        docs = pdf["doc_id"].to_numpy(np.int64)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        score = np.bincount(inv, weights=pdf["contrib"].to_numpy())
         if conjunctive:
             nm = np.bincount(inv, weights=pdf["nm"].to_numpy())
             keep = nm >= int(pdf["n_query_terms"].iloc[0])
@@ -783,16 +818,7 @@ def _fused_combine_topk(c: DataFrame, conjunctive: bool) -> DataFrame:
         .applyInPandas(combine, schema="query_id int, doc_id long, "
                                        "score double, k int, off int")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_id"))
-    off = F.col("off")
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .where((F.col("rank") <= F.col("k") + off)
-               & (F.col("rank") > off))
-        .select("query_id", "doc_id", "score",
-                F.col("rank").cast("int"))
-    )
+    return _rank_page(local)
 
 
 def _salted_topk(df: DataFrame, rank_cols, out_cols,
@@ -1582,7 +1608,8 @@ def boolean_topk(
         mode, matched, qt, filtered, max_kernel_df, max_kernel_bytes,
         run_kernel=lambda m: _run_boolean_kernel(
             m, N, avgdl, cfg, filt_bc, excl_bc),
-        run_distributed=lambda m, dfm: _run_boolean_distributed(
+        run_distributed=lambda m, dfm, qids=None:
+        _run_boolean_distributed(
             m, dfm, N, avgdl, cfg, doc_filter, doc_exclude,
             filt_bc=filt_bc, excl_bc=excl_bc),
     )
@@ -1905,7 +1932,8 @@ def phrase_topk(
         mode, matched, qt, filtered, max_kernel_df, max_kernel_bytes,
         run_kernel=lambda m: _run_phrase_kernel(
             m, N, avgdl, cfg, count_scores, filt_bc, excl_bc, near=near),
-        run_distributed=lambda m, dfm: _run_phrase_distributed(
+        run_distributed=lambda m, dfm, qids=None:
+        _run_phrase_distributed(
             m, dfm, N, avgdl, cfg, count_scores, doc_filter, doc_exclude,
             qt, near=near),
     )
@@ -3719,6 +3747,20 @@ _HISTO_PD_FREQ = {
     "minute": "min", "hour": "h", "day": "D", "week": "W-MON",
     "month": "MS", "quarter": "QS", "year": "YS",
 }
+# O(1) bucket-count expressions over aligned (lo, hi) bucket
+# boundaries — the guard must NOT build the sequence it guards
+# against (a 1970 outlier at interval 'minute' is a ~29M-element
+# array); both bounds are date_trunc outputs so the diffs are exact
+# multiples of the step
+_HISTO_COUNT_EXPR = {
+    "minute": "timestampdiff(MINUTE, lo, hi) + 1",
+    "hour": "timestampdiff(HOUR, lo, hi) + 1",
+    "day": "timestampdiff(DAY, lo, hi) + 1",
+    "week": "timestampdiff(DAY, lo, hi) DIV 7 + 1",
+    "month": "timestampdiff(MONTH, lo, hi) + 1",
+    "quarter": "timestampdiff(MONTH, lo, hi) DIV 3 + 1",
+    "year": "timestampdiff(YEAR, lo, hi) + 1",
+}
 # zero-filled histograms at or under this many total rows collect and
 # fill driver-side (output-sized, one Arrow round-trip); larger ones
 # take the distributed zero-fill join
@@ -3775,17 +3817,27 @@ def date_histogram(
                  .cast(ts_type).alias("bucket"))
         .agg(F.count("*").alias("n_docs"))
     )
-    # per-query span + bucket count first — n_queries rows, one job —
-    # so a runaway span (seconds-apart docs years apart at interval
-    # 'minute') raises instead of exploding a 10^8-bucket sequence.
-    # PERSIST: the span aggregate materializes counts so neither
-    # branch below re-runs the narrow membership pass
+    # per-query span + O(1) bucket count first — n_queries rows, one
+    # job — so a runaway span (seconds-apart docs years apart at
+    # interval 'minute') raises instead of materializing a 10^8-bucket
+    # sequence (the count is a timestampdiff, never the array itself).
+    # Spans travel as SESSION-WALL STRINGS (date_format renders LTZ in
+    # the session timezone and NTZ verbatim): Row-collected LTZ
+    # timestamps come back in the OS-local wall clock, which silently
+    # mismatches the session-wall buckets whenever the two zones
+    # differ. PERSIST: the span aggregate materializes counts so the
+    # common branch below doesn't re-run the narrow membership pass
     counts = counts.persist()
     try:
         spans = counts.groupBy("query_id").agg(
             F.min("bucket").alias("lo"), F.max("bucket").alias("hi"),
-        ).withColumn("n_buckets",
-                     F.expr(f"size(sequence(lo, hi, {step}))"))
+        ).select(
+            "query_id",
+            F.date_format("lo", "yyyy-MM-dd HH:mm:ss").alias("lo_s"),
+            F.date_format("hi", "yyyy-MM-dd HH:mm:ss").alias("hi_s"),
+            F.expr(_HISTO_COUNT_EXPR[interval]).cast("long")
+            .alias("n_buckets"),
+        )
         span_rows = spans.collect()
         for r in span_rows:
             if r["n_buckets"] > max_buckets:
@@ -3800,10 +3852,10 @@ def date_histogram(
             # and bounded — fill driver-side (one Arrow round-trip,
             # the more_like_this idiom) and return a local frame
             got = arrow_collect(counts)
-            # normalize to naive ns wall time: Arrow returns LTZ
-            # columns tz-aware (UTC) while Row-collected spans and
-            # pd.date_range are naive session-wall — a dtype mismatch
-            # would silently match nothing in the merge
+            # normalize to naive ns SESSION wall time: Arrow returns
+            # LTZ columns tz-aware (UTC); the span strings and
+            # pd.date_range are session-wall — a mismatch would
+            # silently match nothing in the merge
             b = pd.to_datetime(got["bucket"])
             if getattr(b.dt, "tz", None) is not None:
                 tz = spark.conf.get("spark.sql.session.timeZone")
@@ -3815,7 +3867,7 @@ def date_histogram(
                  "n_docs": np.array([], np.int64)})]
             freq = _HISTO_PD_FREQ[interval]
             for r in span_rows:
-                idx = pd.date_range(r["lo"], r["hi"], freq=freq)
+                idx = pd.date_range(r["lo_s"], r["hi_s"], freq=freq)
                 parts.append(pd.DataFrame(
                     {"query_id": np.full(idx.size, r["query_id"],
                                          np.int32),
@@ -3828,6 +3880,8 @@ def date_histogram(
             merged["n_docs"] = (
                 merged["n"].fillna(0).astype(np.int64))
             out_pdf = merged[["query_id", "bucket", "n_docs"]]
+            # naive wall -> ts_type: LTZ re-interprets in the session
+            # zone (the same wall the strings came from), NTZ verbatim
             return arrow_frame(spark, out_pdf).select(
                 "query_id",
                 F.col("bucket").cast(ts_type).alias("bucket"),
@@ -3836,12 +3890,16 @@ def date_histogram(
         counts = counts.unpersist()
     # huge-histogram fallback: stay fully distributed (the zero-fill
     # join recomputes the narrow pass once — the lesser evil vs a
-    # cached frame leaking past return)
+    # cached frame leaking past return); string bounds cast back in
+    # the session zone, matching the counts buckets by construction
     buckets = spark.createDataFrame(
-        span_rows, schema=spans.schema
+        span_rows, schema="query_id int, lo_s string, hi_s string, "
+                          "n_buckets long"
     ).select(
         "query_id",
-        F.explode(F.expr(f"sequence(lo, hi, {step})")).alias("bucket"))
+        F.explode(F.expr(
+            f"sequence(cast(lo_s AS {ts_type}), "
+            f"cast(hi_s AS {ts_type}), {step})")).alias("bucket"))
     return (
         buckets.join(counts, ["query_id", "bucket"], "left")
         .select("query_id",
