@@ -1559,6 +1559,67 @@ def q_date_histogram(spark, sf_dir):
     )
 
 
+def q_stats_facet(spark, sf_dir):
+    """Stats-under-terms aggregation (ES `stats` nested in a `terms`
+    bucket): per source, count/min/max/sum/mean of doc length over the
+    flagship query's matching docs — one narrow membership pass, one
+    metadata join, one hash aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import stats_facet
+
+    b = _index_for(spark, sf_dir)
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [" ".join(BM25_QUERY_TERMS)],
+         "k": np.array([BM25_K], dtype=np.int32)}
+    )
+    got = stats_facet(
+        spark, load_postings(spark, b["out"]), queries,
+        load_doc_stats(spark, b["out"]), "conv_id", "dl", CFG,
+    )
+    return got.select(
+        "query_id", F.col("conv_id").alias("source"), "n_docs",
+        F.col("min_v").cast("long").alias("min_v"),
+        F.col("max_v").cast("long").alias("max_v"),
+        F.round("sum_v", 6).alias("sum_r"),
+        F.round("avg_v", 6).alias("avg_r"))
+
+
+RESCORE_WINDOW = 50
+
+
+def q_rescore_topk(spark, sf_dir):
+    """Query rescoring (ES rescore / Lucene QueryRescorer): BM25
+    window of RESCORE_WINDOW docs for the flagship terms, exact-phrase
+    '"hash join"' re-score over that window only, final rank by
+    1.0*bm25 + 2.0*phrase (non-matches keep the base score)."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.query import rescore_topk
+
+    b = _pos_index_for(spark, sf_dir)
+    res = b["res"]
+    queries = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [" ".join(BM25_QUERY_TERMS)],
+         "phrase": [PHRASE_QUERY],
+         "k": np.array([BM25_K], dtype=np.int32)}
+    )
+    got = rescore_topk(
+        spark, load_postings(spark, b["out"]), queries, res.N,
+        res.avgdl, b["cfg"], window_size=RESCORE_WINDOW,
+        query_weight=1.0, rescore_weight=2.0,
+    )
+    return _to_original(
+        spark, b, got,
+        F.round("g.score", 6).alias("score_r"),
+        F.col("g.rank").alias("rank"))
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate NN (the scale path), parameterized for
     recall 1.0 on the driver embeddings so the exact-cosine SQL is a
@@ -1751,6 +1812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q_facet_counts,
         "range_facets": q_range_facets,
         "date_histogram": q_date_histogram,
+        "stats_facet": q_stats_facet,
+        "rescore_topk": q_rescore_topk,
         "prefix_topk": q_prefix_topk,
         "query_string": q_query_string,
         "query_string_grouped": q_query_string_grouped,
@@ -3194,6 +3257,99 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0 AS query_id, r.range_label,
                    coalesce(c.n, 0)::BIGINT AS n_docs
             FROM r LEFT JOIN c USING (range_label)""",
+        "stats_facet": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            dl AS (
+              SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+            ),
+            matched AS (
+              SELECT DISTINCT doc_id FROM toks
+              WHERE term IN {BM25_QUERY_TERMS!r}
+            )
+            SELECT 0 AS query_id, d.source AS source,
+                   count(*)::BIGINT AS n_docs,
+                   min(dl.dl)::BIGINT AS min_v,
+                   max(dl.dl)::BIGINT AS max_v,
+                   round(sum(dl.dl)::DOUBLE, 6) AS sum_r,
+                   round(avg(dl.dl), 6) AS avg_r
+            FROM matched JOIN documents d USING (doc_id)
+                 JOIN dl USING (doc_id)
+            GROUP BY d.source""",
+        "rescore_topk": f"""
+            WITH tl AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            flat AS (SELECT doc_id, unnest(t) AS term FROM tl),
+            dl AS (
+              SELECT doc_id, count(*) AS dl FROM flat GROUP BY doc_id
+            ),
+            corpus AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl)::DOUBLE
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            tf AS (
+              SELECT term, doc_id, count(*) AS tf FROM flat
+              WHERE term IN {BM25_QUERY_TERMS!r} GROUP BY 1, 2
+            ),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            base AS (
+              SELECT tf.doc_id,
+                     sum(
+                       ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+                       * tf.tf * ({_K1} + 1)
+                       / (tf.tf + {_K1}
+                          * (1 - {_B} + {_B} * dl.dl / c.avgdl))
+                     ) AS score
+              FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN corpus c GROUP BY tf.doc_id
+            ),
+            win AS (
+              SELECT b.doc_id, b.score,
+                     row_number() OVER (
+                       ORDER BY b.score DESC, d.source, d.doc_id
+                     ) AS r
+              FROM base b JOIN documents d USING (doc_id)
+            ),
+            winw AS (
+              SELECT doc_id, score FROM win
+              WHERE r <= {RESCORE_WINDOW}
+            ),
+            pmatch AS (
+              SELECT doc_id FROM tl
+              WHERE len(t) >= {len(_PHRASE_TERMS)}
+                AND len(list_filter(
+                      range(1, len(t) - {len(_PHRASE_TERMS) - 1} + 1),
+                      i -> {_PHRASE_COND})) > 0
+            ),
+            ptf AS (
+              SELECT term, doc_id, count(*) AS tf FROM flat
+              WHERE term IN {_PHRASE_TERMS!r} GROUP BY 1, 2
+            ),
+            pdft AS (SELECT term, count(*) AS df FROM ptf GROUP BY 1),
+            pscore AS (
+              SELECT ptf.doc_id,
+                     sum(
+                       ln(1 + (c.n - pdft.df + 0.5) / (pdft.df + 0.5))
+                       * ptf.tf * ({_K1} + 1)
+                       / (ptf.tf + {_K1}
+                          * (1 - {_B} + {_B} * dl.dl / c.avgdl))
+                     ) AS ps
+              FROM ptf JOIN pdft USING (term) JOIN dl USING (doc_id)
+                   JOIN pmatch USING (doc_id) JOIN winw USING (doc_id)
+              CROSS JOIN corpus c GROUP BY ptf.doc_id
+            )
+            SELECT w.doc_id,
+                   round(1.0 * w.score + 2.0 * coalesce(p.ps, 0), 6)
+                     AS score_r,
+                   (row_number() OVER (
+                      ORDER BY 1.0 * w.score + 2.0 * coalesce(p.ps, 0)
+                        DESC, d.source, d.doc_id))::INT AS rank
+            FROM winw w LEFT JOIN pscore p USING (doc_id)
+                 JOIN documents d USING (doc_id)
+            ORDER BY 1.0 * w.score + 2.0 * coalesce(p.ps, 0) DESC,
+                     d.source, d.doc_id
+            LIMIT {BM25_K}""",
         "date_histogram": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOK}) AS term FROM documents

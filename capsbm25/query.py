@@ -3731,6 +3731,131 @@ def range_facet_counts(
     )
 
 
+def stats_facet(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: pd.DataFrame,
+    doc_map: DataFrame,
+    facet_col: str,
+    metric_col: str,
+    cfg: BuildConfig | None = None,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """Stats sub-aggregation under a terms facet (the ES `stats`
+    aggregation nested in a `terms` bucket / Lucene facet-association
+    analog): for each query and each value of doc_map.facet_col, the
+    count / min / max / sum / mean of doc_map.metric_col over the
+    MATCHING docs — the "avg doc length per source among hits" panel.
+
+    queries: pandas (query_id, text[, k — ignored]). Returns
+    (query_id, <facet_col>, n_docs, min_v, max_v, sum_v, avg_v).
+    n_docs counts matching docs in the bucket; min/max/sum/avg skip
+    NULL metric values (SQL aggregate semantics — ES likewise skips
+    docs without the field). Buckets exist only where a matching doc
+    has a non-NULL facet value, exactly like facet_counts.
+
+    Scale shape: the shared narrow membership pass, one metadata join,
+    one hash aggregate per (query, facet value) — partial map-side,
+    never per doc downstream."""
+    cfg = cfg or BuildConfig()
+    docs = _match_docs(spark, postings, queries, cfg, conjunctive)
+    if docs is None:
+        from pyspark.sql import types as T
+
+        mt = doc_map.schema[metric_col].dataType
+        schema = T.StructType([
+            T.StructField("query_id", T.IntegerType()),
+            doc_map.schema[facet_col],
+            T.StructField("n_docs", T.LongType()),
+            T.StructField("min_v", mt),
+            T.StructField("max_v", mt),
+            T.StructField("sum_v", T.DoubleType()),
+            T.StructField("avg_v", T.DoubleType()),
+        ])
+        return spark.createDataFrame([], schema)
+    return (
+        docs.join(doc_map.select("doc_id", facet_col, metric_col),
+                  "doc_id")
+        .groupBy("query_id", facet_col)
+        .agg(F.count("*").alias("n_docs"),
+             F.min(metric_col).alias("min_v"),
+             F.max(metric_col).alias("max_v"),
+             F.sum(metric_col).cast("double").alias("sum_v"),
+             F.avg(metric_col).alias("avg_v"))
+    )
+
+
+def rescore_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: pd.DataFrame,
+    N: int,
+    avgdl: float,
+    cfg: BuildConfig | None = None,
+    window_size: int = 100,
+    query_weight: float = 1.0,
+    rescore_weight: float = 2.0,
+    mode: str = "auto",
+) -> DataFrame:
+    """Query rescoring (the ES `rescore` / Lucene QueryRescorer
+    two-phase shape): a cheap BM25 pass retrieves each query's top
+    window_size docs, an expensive exact-phrase clause re-scores ONLY
+    that window, and the final ranking is
+    query_weight * bm25 + rescore_weight * phrase_score (ES's default
+    `total` combine; docs where the phrase doesn't match keep their
+    BM25 score — the phrase contributes 0, it never filters).
+
+    queries: pandas (query_id, text, phrase, k) — `text` feeds the
+    BM25 window pass, `phrase` the positional re-score (the index must
+    carry positions). Returns (query_id, doc_id, score, rank), rank
+    over the re-scored window only (hits below the window keep their
+    original order in ES too — they are simply not returned here).
+
+    Scale shape: the window frame is query-batch-sized by construction
+    (n_queries x window_size rows — ES caps window_size at
+    max_rescore_window for the same reason), so it collects once and
+    returns as a broadcastable local frame; the phrase pass runs with
+    the window's doc ids as an in-kernel filter, so its candidate mask
+    applies before any position decode. Nothing corpus-sized crosses
+    the driver."""
+    cfg = cfg or BuildConfig()
+    if window_size <= 0:
+        raise ValueError("window_size must be > 0")
+    for col in ("text", "phrase", "k"):
+        if col not in queries.columns:
+            raise ValueError(f"queries must carry a {col!r} column")
+    base = queries.assign(k=np.int32(window_size))[
+        ["query_id", "text", "k"]]
+    win_pdf = arrow_collect(
+        bm25_topk(spark, postings, base, N, avgdl, cfg, mode=mode))
+    if win_pdf.empty:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    ids = np.unique(win_pdf["doc_id"].to_numpy(np.int64))
+    pq = queries.assign(text=queries["phrase"],
+                        k=np.int32(window_size))[
+        ["query_id", "text", "k"]]
+    ph = phrase_topk(spark, postings, pq, N, avgdl, cfg,
+                     doc_filter=ids, mode=mode)
+    wdf = arrow_frame(
+        spark, win_pdf[["query_id", "doc_id", "score"]]
+        .rename(columns={"score": "base_s"}))
+    kdf = F.broadcast(spark.createDataFrame(
+        pd.DataFrame({"query_id": queries["query_id"].astype("int32"),
+                      "k": queries["k"].astype("int32")}),
+        schema="query_id int, k int"))
+    out = (
+        wdf.join(ph.select("query_id", "doc_id",
+                           F.col("score").alias("ph_s")),
+                 ["query_id", "doc_id"], "left")
+        .join(kdf, "query_id")
+        .select("query_id", "doc_id", "k",
+                (F.lit(float(query_weight)) * F.col("base_s")
+                 + F.lit(float(rescore_weight))
+                 * F.coalesce("ph_s", F.lit(0.0))).alias("score"))
+    )
+    return _rank_page(out).orderBy("query_id", "rank")
+
+
 # date_trunc units shared verbatim by Spark and DuckDB, with the
 # sequence step that advances one bucket (week = 7 days: both engines
 # truncate weeks to Monday)

@@ -272,3 +272,58 @@ def test_phrase_distributed_chunked_cand_mask(pos_index, spark, monkeypatch):
         w = want[want.query_id == qid].sort_values("rank")
         assert list(g.doc_id) == list(w.doc_id), qid
         assert np.allclose(g.score, w.score, atol=1e-9), qid
+
+
+def test_rescore_topk_matches_oracle(pos_index, spark):
+    """ES rescore (two-phase): window by BM25, phrase re-score over
+    the window only, combined qw*bm25 + rw*phrase ranking vs a naive
+    composition of the test oracle's own topk + phrase_topk; phrase
+    non-matches keep their base score; validation raises."""
+    from capsbm25.query import rescore_topk
+
+    res, cfg, oracle = (pos_index["res"], pos_index["cfg"],
+                        pos_index["oracle"])
+    # phrases drawn from query texts so the bonus actually reorders
+    # (the fixture's first 10 queries are single-term — filter first)
+    base = fx.queries_pdf(42)
+    queries = base[base["text"].str.split().str.len() >= 2].head(6) \
+        .assign(
+            phrase=lambda d: d["text"].str.split().str[:2]
+            .str.join(" "),
+            k=np.int32(10),
+    ).reset_index(drop=True)
+    assert len(queries) >= 2
+    W, QW, RW = 50, 1.0, 2.0
+    got = (
+        rescore_topk(spark, pos_index["postings"], queries, res.N,
+                     res.avgdl, cfg, window_size=W, query_weight=QW,
+                     rescore_weight=RW)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    rows = []
+    for q in queries.itertuples(index=False):
+        win = oracle.topk(q.text, W)          # [(doc, score)]
+        wids = [d for d, _ in win]
+        ph = dict(oracle.phrase_topk(q.phrase, W,
+                                     doc_filter=set(wids)))
+        comb = sorted(
+            ((QW * s + RW * ph.get(d, 0.0), d) for d, s in win),
+            key=lambda t: (-t[0], t[1]))[:int(q.k)]
+        rows.extend((int(q.query_id), d, sc, i + 1)
+                    for i, (sc, d) in enumerate(comb))
+    want = pd.DataFrame(
+        rows, columns=["query_id", "doc_id", "score", "rank"])
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(
+        got[["query_id", "doc_id", "rank"]],
+        want[["query_id", "doc_id", "rank"]], check_dtype=False)
+    np.testing.assert_allclose(got["score"].to_numpy(),
+                               want["score"].to_numpy(), rtol=1e-9)
+    with pytest.raises(ValueError, match="window_size"):
+        rescore_topk(spark, pos_index["postings"], queries, res.N,
+                     res.avgdl, cfg, window_size=0)
+    with pytest.raises(ValueError, match="phrase"):
+        rescore_topk(spark, pos_index["postings"],
+                     queries.drop(columns=["phrase"]), res.N,
+                     res.avgdl, cfg)

@@ -591,6 +591,56 @@ def test_date_histogram_distributed_fallback(built_index, spark,
     pd.testing.assert_frame_equal(small, big, check_dtype=False)
 
 
+def test_stats_facet_matches_oracle(built_index, spark):
+    """ES stats-under-terms aggregation: per (query, conv_id) count /
+    min / max / sum / avg of dl over matching docs vs a naive oracle,
+    OR and AND."""
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import stats_facet
+    from capsbm25.tokenize import tokenize_py
+
+    cfg, oracle = built_index["cfg"], built_index["oracle"]
+    queries = fx.queries_pdf(42).head(6).reset_index(drop=True)
+    doc_map = load_doc_stats(spark, built_index["res"].out_dir)
+    dls = oracle.doc_meta.assign(dl=oracle.dl)
+    for conj in (False, True):
+        got = (
+            stats_facet(spark, built_index["postings"], queries,
+                        doc_map, "conv_id", "dl", cfg,
+                        conjunctive=conj)
+            .toPandas()
+            .sort_values(["query_id", "conv_id"], ignore_index=True)
+        )
+        rows = []
+        for q in queries.itertuples(index=False):
+            terms = sorted(set(tokenize_py(q.text, cfg)))
+            if conj:
+                if not terms or any(
+                        t not in oracle.postings for t in terms):
+                    continue
+                m = set(oracle.postings[terms[0]])
+                for t in terms[1:]:
+                    m &= oracle.postings[t].keys()
+            else:
+                m = set()
+                for t in terms:
+                    m |= oracle.postings.get(t, {}).keys()
+            sub = dls.iloc[sorted(m)]
+            for cv, g in sub.groupby("conv_id"):
+                rows.append((int(q.query_id), cv, len(g),
+                             int(g["dl"].min()), int(g["dl"].max()),
+                             float(g["dl"].sum()),
+                             float(g["dl"].mean())))
+        want = (
+            pd.DataFrame(rows, columns=["query_id", "conv_id",
+                                        "n_docs", "min_v", "max_v",
+                                        "sum_v", "avg_v"])
+            .sort_values(["query_id", "conv_id"], ignore_index=True)
+        )
+        assert len(got) == len(want) > 0, conj
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_prefix_topk_matches_oracle(built_index, spark):
     """Prefix query (summed-tf ranking) vs a naive oracle, with and
     without a doc filter; StringStartsWith reaches the postings scan."""
