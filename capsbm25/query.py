@@ -231,10 +231,13 @@ def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
     a_d = (int(pdf["after_doc"].iloc[0])
            if a_s is not None else None)
 
-    def after_mask(d: np.ndarray, s: np.ndarray) -> np.ndarray:
+    def after_filter(d: np.ndarray, s: np.ndarray):
+        # no-cursor fast path: no mask alloc, no fancy-index copy of
+        # the (possibly df-sized) candidate arrays
         if a_s is None:
-            return np.ones(s.size, dtype=bool)
-        return (s < a_s) | ((s == a_s) & (d > a_d))
+            return d, s
+        keep = (s < a_s) | ((s == a_s) & (d > a_d))
+        return d[keep], s[keep]
     pdf = pdf.sort_values("term")  # fixed summation order -> bit-stable
     terms = []
     for term, grp in pdf.groupby("term", sort=True):
@@ -315,9 +318,8 @@ def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
                 break
         if cand.size == 0:
             return _empty_result()
-        cs = exact_scores(cand)
-        keep = after_mask(cand, cs)
-        top_d, top_s = _topk(cand[keep], cs[keep], kk)
+        top_d, top_s = _topk(*after_filter(cand, exact_scores(cand)),
+                             kk)
         return _result_pdf(qid, top_d[off:], top_s[off:], start=off)
 
     n_total = sum(t["docs"].size for t in terms)
@@ -331,9 +333,7 @@ def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
         new[1:] = d[1:] != d[:-1]
         starts = np.flatnonzero(new)
         sums = np.add.reduceat(s, starts)
-        ud = d[starts]
-        keep = after_mask(ud, sums)
-        top_d, top_s = _topk(ud[keep], sums[keep], kk)
+        top_d, top_s = _topk(*after_filter(d[starts], sums), kk)
     else:
         # phase 1: seed θ from the most selective terms' full lists
         by_df = sorted(range(len(terms)), key=lambda i: terms[i]["docs"].size)
@@ -349,8 +349,7 @@ def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
         # with a cursor, θ must lower-bound the k-th best QUALIFYING
         # score — docs at or before the cursor could otherwise inflate
         # it and block-skip true page members
-        q0 = after_mask(cand0, s0)
-        s0q = s0[q0]
+        _, s0q = after_filter(cand0, s0)
         if s0q.size >= kk:
             theta = np.partition(s0q, s0q.size - kk)[s0q.size - kk]
         else:
@@ -368,9 +367,8 @@ def _score_query_kernel(pdf: pd.DataFrame, N: int, avgdl: float,
             for b in np.flatnonzero(ok):
                 keep_docs.append(t["docs"][b * B : (b + 1) * B])
         cand = np.unique(np.concatenate(keep_docs))
-        cs = exact_scores(cand)
-        keep = after_mask(cand, cs)
-        top_d, top_s = _topk(cand[keep], cs[keep], kk)
+        top_d, top_s = _topk(*after_filter(cand, exact_scores(cand)),
+                             kk)
 
     return _result_pdf(qid, top_d[off:], top_s[off:], start=off)
 
