@@ -553,6 +553,60 @@ def test_date_histogram_matches_oracle(built_index, spark):
                        "ts", "minute", cfg, max_buckets=3)
 
 
+def test_date_histogram_all_intervals_branch_parity(built_index, spark,
+                                                    monkeypatch):
+    """Every interval's (date_trunc unit, pandas freq, count expr)
+    triple agrees: the driver-fill and distributed-fill branches
+    return identical rows for all 7 intervals, counts sum to the
+    match total each time, and bucket boundaries are aligned to the
+    unit (a wrong _HISTO_PD_FREQ mapping — e.g. week not anchored to
+    Monday — would break the merge and zero the counts)."""
+    from capsbm25 import query as qmod
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import date_histogram
+
+    cfg = built_index["cfg"]
+    corpus = spark.createDataFrame(built_index["pdf"])
+    dm = (
+        load_doc_stats(spark, built_index["res"].out_dir)
+        .join(corpus.select("conv_id", "turn_idx", "ts"),
+              ["conv_id", "turn_idx"])
+        .select("doc_id", "ts")
+    )
+    queries = fx.queries_pdf(42).head(2).reset_index(drop=True)
+    base_sums = None
+    for interval in sorted(qmod._HISTO_UNITS):
+        monkeypatch.setattr(qmod, "_HISTO_COLLECT_CAP", 1_000_000)
+        small = (
+            date_histogram(spark, built_index["postings"], queries,
+                           dm, "ts", interval, cfg)
+            .toPandas().sort_values(["query_id", "bucket"],
+                                    ignore_index=True)
+        )
+        monkeypatch.setattr(qmod, "_HISTO_COLLECT_CAP", 0)
+        big = (
+            date_histogram(spark, built_index["postings"], queries,
+                           dm, "ts", interval, cfg)
+            .toPandas().sort_values(["query_id", "bucket"],
+                                    ignore_index=True)
+        )
+        for df_ in (small, big):
+            df_["bucket"] = pd.to_datetime(df_["bucket"])
+            if getattr(df_["bucket"].dt, "tz", None) is not None:
+                df_["bucket"] = df_["bucket"].dt.tz_localize(None)
+            df_["bucket"] = df_["bucket"].astype("datetime64[ns]")
+        pd.testing.assert_frame_equal(small, big, check_dtype=False)
+        assert len(small) > 0, interval
+        # per-query counts must sum to the same match total at every
+        # interval (buckets partition the matched docs)
+        sums = small.groupby("query_id")["n_docs"].sum()
+        if base_sums is None:
+            base_sums = sums
+        else:
+            pd.testing.assert_series_equal(sums, base_sums,
+                                           check_dtype=False)
+
+
 def test_date_histogram_distributed_fallback(built_index, spark,
                                              monkeypatch):
     """Forcing the over-cap branch (distributed zero-fill join) gives
