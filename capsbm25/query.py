@@ -781,16 +781,24 @@ def _fused_combine_topk(c: DataFrame, conjunctive: bool) -> DataFrame:
                  "score": np.array([], np.float64),
                  "k": np.array([], np.int32),
                  "off": np.array([], np.int32)})
-        # deterministic accumulation order: bincount adds in row order,
-        # so sort the partials first — the same (doc, contrib) multiset
-        # then always sums to the same float, keeping per-doc scores
-        # stable across reruns (shuffle order varies run to run)
-        pdf = pdf.sort_values(["doc_id", "contrib"], kind="stable")
-        docs = pdf["doc_id"].to_numpy(np.int64)
-        uniq, inv = np.unique(docs, return_inverse=True)
-        score = np.bincount(inv, weights=pdf["contrib"].to_numpy())
+        # deterministic accumulation: lexsort the partials by
+        # (doc, contrib) and segment-sum left-to-right (reduceat — the
+        # kernel's exhaustive-branch idiom), so the same (doc, contrib)
+        # multiset always sums to the same float regardless of shuffle
+        # order (pandas sort_values here measured ~0.5s over the 10.5M
+        # 30-query set; lexsort+reduceat is the cheap form)
+        d0 = pdf["doc_id"].to_numpy(np.int64)
+        c0 = pdf["contrib"].to_numpy()
+        order = np.lexsort((c0, d0))
+        docs, contribs = d0[order], c0[order]
+        new = np.ones(docs.size, dtype=bool)
+        new[1:] = docs[1:] != docs[:-1]
+        starts = np.flatnonzero(new)
+        uniq = docs[starts]
+        score = np.add.reduceat(contribs, starts)
         if conjunctive:
-            nm = np.bincount(inv, weights=pdf["nm"].to_numpy())
+            nm = np.add.reduceat(
+                pdf["nm"].to_numpy(np.float64)[order], starts)
             keep = nm >= int(pdf["n_query_terms"].iloc[0])
             uniq, score = uniq[keep], score[keep]
         if uniq.size > kk:
