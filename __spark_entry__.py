@@ -1211,6 +1211,41 @@ def q_sorted_topk(spark, sf_dir):
         F.col("g.rank"))
 
 
+def q_sorted_search_after(spark, sf_dir):
+    """Cursor pagination over field-sorted results (ES search_after's
+    primary shape): page 2 of the dl-DESC ranking via the page-1 last
+    row's (sort key, doc_id) cursor — per-page ranks, keys exact (no
+    float caveat)."""
+    import numpy as np
+    import pandas as pd
+
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import sorted_topk
+
+    b = _index_for(spark, sf_dir)
+    page1 = pd.DataFrame(
+        {"query_id": np.array([0], dtype=np.int32),
+         "text": [" ".join(BM25_QUERY_TERMS)],
+         "k": np.array([SORTED_K], dtype=np.int32)}
+    )
+    stats = load_doc_stats(spark, b["out"])
+    last = (
+        sorted_topk(spark, load_postings(spark, b["out"]), page1,
+                    stats, "dl", CFG, ascending=False)
+        .orderBy(F.desc("rank")).limit(1).collect()[0]
+    )
+    page2 = page1.assign(after_key=int(last["sort_key"]),
+                         after_doc=int(last["doc_id"]))
+    got = sorted_topk(
+        spark, load_postings(spark, b["out"]), page2, stats, "dl",
+        CFG, ascending=False,
+    )
+    return _to_original(
+        spark, b, got,
+        F.col("g.sort_key").cast("long").alias("sort_key"),
+        F.col("g.rank"))
+
+
 def q_sorted_topk_multi(spark, sf_dir):
     """Multi-field sort (Lucene Sort with several SortFields): length
     DESC then original id ASC — the second key makes every rank
@@ -1825,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_terms": q_suggest_terms,
         "suggest_spelling": q_suggest_spelling,
         "sorted_topk": q_sorted_topk,
+        "sorted_search_after": q_sorted_search_after,
         "sorted_topk_multi": q_sorted_topk_multi,
         "bm25_topk_must_not": q_bm25_topk_must_not,
         "more_like_this": q_more_like_this,
@@ -3117,6 +3153,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, sort_key, rank FROM ranked
             WHERE rank <= {SORTED_K}""",
+        "sorted_search_after": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            dl AS (
+              SELECT doc_id, count(*)::BIGINT AS dl FROM toks
+              GROUP BY doc_id
+            ),
+            hits AS (
+              SELECT DISTINCT doc_id FROM toks
+              WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+            ),
+            ranked AS (
+              SELECT h.doc_id, l.dl AS sort_key,
+                     row_number() OVER
+                       (ORDER BY l.dl DESC, d.source ASC, d.doc_id ASC
+                       )::INT AS rank
+              FROM hits h
+              JOIN dl l USING (doc_id)
+              JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, sort_key,
+                   (rank - {SORTED_K})::INT AS rank
+            FROM ranked
+            WHERE rank > {SORTED_K} AND rank <= 2 * {SORTED_K}""",
         "sorted_topk_multi": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOK}) AS term FROM documents

@@ -1324,6 +1324,17 @@ def sorted_topk(
     aliased sort_key for a single field / sort_key_0.. for a list>,
     rank), keys carrying the fields' own types.
 
+    Cursor pagination (ES search_after over sort fields — its primary
+    use): optional `after_key` (single field) or `after_key_0..n-1`
+    (field list) queries columns plus `after_doc` resume each query
+    strictly AFTER that (sort keys, doc_id) position in the full
+    lexicographic order — the previous page's last row. after_doc
+    non-null marks a cursored query (a cursor KEY may legitimately be
+    NULL: the cursor doc's field was missing and sorted last — deeper
+    pages then match only the null-key tail). Ranks restart at 1 per
+    page, like bm25_topk's cursor. Field values are exact (no float
+    re-sum caveat — keys come from the stats frame, not scoring).
+
     Scale shape: the match pass is hit_count's narrow pipeline — one
     In(term)-pruned scan, 12-byte (query, doc) rows (tf/dl/pos never
     decoded), distinct-doc aggregate; matched docs then join doc_stats
@@ -1357,7 +1368,12 @@ def sorted_topk(
     schema = f"query_id int, doc_id long, {key_schema}, rank int"
     if not len(queries):
         return spark.createDataFrame([], schema)
-    qt = _query_terms_pdf(queries, cfg)
+    # the sort-key cursor columns (after_key* / after_doc) are this
+    # surface's own — strip them before the shared term parse, whose
+    # after_doc means the SCORE cursor (bm25_topk's pair)
+    qt = _query_terms_pdf(
+        queries[[c for c in ("query_id", "text", "k")
+                 if c in queries.columns]], cfg)
     if qt.empty:
         return spark.createDataFrame([], schema)
     qdf = spark.createDataFrame(
@@ -1399,6 +1415,65 @@ def sorted_topk(
             *[F.col(sf).alias(k) for sf, k in zip(fields, keys)]),
         "doc_id", "left",
     )
+    acols = (["after_key"] if single
+             else [f"after_key_{i}" for i in range(len(fields))])
+    has_after = ("after_doc" in queries.columns
+                 or any(a in queries.columns for a in acols))
+    if has_after:
+        missing = [a for a in acols + ["after_doc"]
+                   if a not in queries.columns]
+        if missing:
+            raise ValueError(
+                f"search_after needs ALL cursor columns; missing "
+                f"{missing}")
+        cur = queries[queries["after_doc"].notna()]
+        if len(cur):
+            ccols = [f"_c{i}" for i in range(len(fields))]
+
+            def _coerce(v, t):
+                # a cursor column that carried NaN rows is float64 in
+                # pandas — hand Spark the declared type's Python value
+                # (rows here = cursored queries only, so per-value is
+                # fine)
+                if v is None or pd.isna(v):
+                    return None
+                if t in ("bigint", "int", "smallint", "tinyint"):
+                    return int(v)
+                if t in ("double", "float"):
+                    return float(v)
+                return v
+
+            rows_ = [
+                tuple([int(r.query_id)]
+                      + [_coerce(getattr(r, a), t)
+                         for a, t in zip(acols, key_ts)]
+                      + [int(r.after_doc)])
+                for r in cur.itertuples(index=False)
+            ]
+            cschema = ", ".join(
+                ["query_id int"]
+                + [f"{cc} {t}" for cc, t in zip(ccols, key_ts)]
+                + ["_adoc long"])
+            cdf = spark.createDataFrame(rows_, schema=cschema)
+            hits = hits.join(F.broadcast(cdf), "query_id", "left")
+            # strictly-after in the lexicographic (key_0 dir_0, ...,
+            # doc_id ASC) order with nulls-last at every level:
+            #   after_i : this row sorts past the cursor at level i
+            #             (nothing sorts after a NULL cursor key
+            #             except by deeper levels among null ties)
+            #   tie_i   : null-safe equality (NULL == NULL ties)
+            expr = F.lit(False)
+            ties = F.lit(True)
+            for kcol, cc, a in zip(keys, ccols, asc):
+                kc, cv = F.col(kcol), F.col(cc)
+                beyond = (kc > cv) if a else (kc < cv)
+                after_i = F.when(cv.isNull(), F.lit(False)) \
+                    .otherwise(beyond | kc.isNull())
+                expr = expr | (ties & after_i)
+                ties = ties & kc.eqNullSafe(cv)
+            expr = expr | (ties & (F.col("doc_id") > F.col("_adoc")))
+            hits = hits.where(
+                F.col("_adoc").isNull() | expr).drop(*ccols, "_adoc")
     return _salted_topk(
         hits, order, ["query_id", "doc_id", *keys, "rank"])
 

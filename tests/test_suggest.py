@@ -258,3 +258,67 @@ def test_sorted_topk_multi_field_matches_naive(built_index, spark):
     with _pytest.raises(ValueError, match="at least one"):
         sorted_topk(spark, built_index["postings"], queries, stats,
                     [], cfg)
+
+
+def test_sorted_topk_search_after_page_walk(built_index, spark):
+    """Cursor pagination over field-sorted results (ES search_after's
+    primary shape): walking pages with each page's last (sort keys,
+    doc_id) as the next cursor reconstructs the unpaged ranking —
+    single field, multi field with mixed directions, and a stats
+    frame that drops half the docs (NULL keys sort last; cursors with
+    NULL keys resume inside the null tail). Half-cursor raises."""
+    from pyspark.sql import functions as F
+
+    from capsbm25.build import load_doc_stats
+    from capsbm25.query import sorted_topk
+
+    cfg = built_index["cfg"]
+    stats = load_doc_stats(spark, built_index["res"].out_dir)
+    # drop half the docs so the NULL tail is real
+    holey = stats.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    queries = fx.queries_pdf(42).head(3).reset_index(drop=True)
+    full_q = queries.assign(k=np.int32(30))
+    cases = [
+        ("dl", False, stats, ["after_key"], ["sort_key"]),
+        (["dl", "turn_idx"], [False, True], stats,
+         ["after_key_0", "after_key_1"], ["sort_key_0", "sort_key_1"]),
+        ("dl", True, holey, ["after_key"], ["sort_key"]),
+    ]
+    for field, asc, sdf, acols, kcols in cases:
+        want = sorted_topk(
+            spark, built_index["postings"], full_q, sdf, field, cfg,
+            ascending=asc,
+        ).toPandas().sort_values(["query_id", "rank"],
+                                 ignore_index=True)
+        pages = []
+        cursor = {}  # qid -> dict of after cols
+        page_q = queries.assign(k=np.int32(10))
+        for _ in range(3):
+            pq = page_q.copy()
+            for i, a in enumerate(acols):
+                pq[a] = [cursor.get(int(q), {}).get(a)
+                         for q in pq["query_id"]]
+            pq["after_doc"] = [cursor.get(int(q), {}).get("after_doc")
+                               for q in pq["query_id"]]
+            got = sorted_topk(
+                spark, built_index["postings"], pq, sdf, field, cfg,
+                ascending=asc,
+            ).toPandas().sort_values(["query_id", "rank"],
+                                     ignore_index=True)
+            pages.append(got)
+            for qid, g in got.groupby("query_id"):
+                last = g.iloc[-1]
+                cursor[int(qid)] = dict(
+                    {a: last[kc] for a, kc in zip(acols, kcols)},
+                    after_doc=int(last["doc_id"]))
+        walked = pd.concat(pages, ignore_index=True)
+        # pages concatenate to the unpaged ranking's doc order
+        for qid in queries["query_id"]:
+            w = walked[walked.query_id == qid]
+            f = want[want.query_id == qid].head(len(w))
+            assert list(w.doc_id) == list(f.doc_id), (field, asc, qid)
+    with pytest.raises(ValueError, match="cursor columns"):
+        sorted_topk(
+            spark, built_index["postings"],
+            queries.assign(after_doc=np.int64(1)).head(1),
+            stats, ["dl", "turn_idx"], cfg)
