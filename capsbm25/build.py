@@ -33,7 +33,9 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -65,6 +67,10 @@ class Manifest:
 
     def __init__(self, out_dir: str):
         self.path = os.path.join(out_dir, "build_manifest.jsonl")
+        # appends can come from concurrent stage threads (waves, the
+        # async doc_stats write) — serialize them so two records can't
+        # interleave bytes within one line
+        self._lock = threading.Lock()
 
     def records(self) -> list[dict]:
         if not os.path.exists(self.path):
@@ -107,15 +113,16 @@ class Manifest:
         # directly onto it would garble BOTH records (and the torn
         # fragment would no longer be last, so records() would raise) —
         # start on a fresh line whenever the file doesn't end with one
-        lead = ""
-        if os.path.exists(self.path):
-            with open(self.path, "rb") as f:
-                f.seek(0, os.SEEK_END)
-                if f.tell():
-                    f.seek(-1, os.SEEK_END)
-                    lead = "" if f.read(1) == b"\n" else "\n"
-        with open(self.path, "a") as f:
-            f.write(lead + json.dumps(rec) + "\n")
+        with self._lock:
+            lead = ""
+            if os.path.exists(self.path):
+                with open(self.path, "rb") as f:
+                    f.seek(0, os.SEEK_END)
+                    if f.tell():
+                        f.seek(-1, os.SEEK_END)
+                        lead = "" if f.read(1) == b"\n" else "\n"
+            with open(self.path, "a") as f:
+                f.write(lead + json.dumps(rec) + "\n")
         return rec
 
 
@@ -170,211 +177,376 @@ def build_index(
     # --- stage: docs (id plan + NARROW doc_stats; the corpus text never
     #     hits disk — dl is computed map-side pre-shuffle so only
     #     (conv_id, turn_idx, dl) cross the id exchange; N and sum(dl)
-    #     captured by an Observation during the write) ---
-    def stage_docs():
-        from pyspark.sql import Observation
-
-        from capsbm25.docids import compute_id_plan, make_dl_udf
-
-        id_plan = compute_id_plan(transcripts, cfg)
-        narrow = transcripts.select(
-            "conv_id", "turn_idx",
-            make_dl_udf(cfg)(F.col("text")).alias("dl"),
-        )
-        stats = assign_doc_ids(narrow, cfg, id_plan=id_plan).select(
-            "doc_id", "conv_id", "turn_idx", "dl"
-        )
-        obs = Observation("docs")
-        stats = stats.observe(obs, F.count(F.lit(1)).alias("n"),
-                              F.sum("dl").alias("sum_dl"))
-        write_table(stats, stats_path)
-        m = obs.get
-        n = int(m["n"])
-        corpus = {"N": n, "avgdl": (m["sum_dl"] or 0) / n if n else 0.0,
-                  "config": cfg.persist_dict()}
-        with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
-            json.dump(corpus, f)
-        return {"rows": n, **corpus, "id_plan": id_plan.to_json()}
-
-    timed("docs", stage_docs)
-    from capsbm25.docids import IdPlan
+    #     captured by an Observation during the write).
+    #
+    #     Round 8: split for wall-clock overlap (guide §2.6 — overlap
+    #     independent jobs). The id plan (key sample + per-part counts)
+    #     gates everything, but the doc_stats WRITE (the dl tokenize
+    #     pass + id shuffle) feeds no later build stage: N is already
+    #     exact in the id plan (n_rows — the same full count, observed
+    #     on the sample scan) and avgdl is first consumed by the waves.
+    #     So the write runs on a driver thread overlapped with the plan
+    #     sample and the pairs exchange; Spark's FIFO scheduler
+    #     back-fills its tasks into those stages' idle slots. The
+    #     manifest record is appended only when the write finishes, so
+    #     a crash mid-overlap resumes exactly as before (docs re-runs,
+    #     deterministic ids). ---
+    from capsbm25.docids import IdPlan, compute_id_plan
 
     docs_rec = man.done("docs")
-    if "id_plan" not in docs_rec:
-        raise RuntimeError(
-            f"manifest at {out_dir} predates the fused build (its docs "
-            "stage has no persisted id_plan) — this layout cannot be "
-            "resumed; rebuild with resume=False"
-        )
-    id_plan = IdPlan.from_json(docs_rec["id_plan"])
-    with open(os.path.join(out_dir, "corpus_stats.json")) as f:
-        corpus = json.load(f)
-    N, avgdl = corpus["N"], corpus["avgdl"]
-    # adaptive partitioning resolves HERE, the first point N is known
-    # (resume-safe: N is read back from the persisted corpus_stats, so
-    # a resumed build resolves to the identical part count)
-    cfg = cfg.resolve_parts(N)
+    docs_future = None
+    corpus: dict | None = None
+    pool = ThreadPoolExecutor(max_workers=2)
+    try:
+        if resume and docs_rec:
+            metrics["docs"] = {"skipped": True}
+            if "id_plan" not in docs_rec:
+                raise RuntimeError(
+                    f"manifest at {out_dir} predates the fused build (its "
+                    "docs stage has no persisted id_plan) — this layout "
+                    "cannot be resumed; rebuild with resume=False"
+                )
+            id_plan = IdPlan.from_json(docs_rec["id_plan"])
+            with open(os.path.join(out_dir, "corpus_stats.json")) as f:
+                corpus = json.load(f)
+        else:
+            t_docs = time.time()
+            id_plan = compute_id_plan(transcripts, cfg)
 
-    # --- stage: plan (samplesort splitters + hot terms; lineage) ---
-    def stage_plan():
-        target = cfg.num_part_ids * cfg.samples_per_part
-        frac = cfg.sample_fraction or min(1.0, target / max(1, N * 20))
-        # only the term/tf distribution matters for splitters; row-local
-        # ids keep the sample scan narrow (no id shuffle)
-        sample_src = transcripts.sample(fraction=frac, seed=cfg.seed).select(
-            F.monotonically_increasing_id().alias("doc_id"), "text"
-        )
-        sample = extract_pairs(sample_src, cfg)
-        plan = plan_from_sample(
-            arrow_collect(sample.select("term", "tf")), cfg)
-        return {"plan": plan.to_json(), "sample_fraction": frac}
+            def stage_docs() -> dict:
+                from pyspark.sql import Observation
 
-    timed("plan", stage_plan)
-    plan = PartitionPlan.from_json(man.done("plan")["plan"])
+                from capsbm25.docids import make_dl_udf
 
-    # --- stage: pairs (staged, wave-partitioned — the resume anchor;
-    #     FUSED: the id exchange feeds run packing directly, so
-    #     tokenize + tf + dl + id assignment + part assignment + RUN
-    #     PACKING happen in ONE Arrow pass over the shuffled corpus:
-    #     what lands on disk / crosses the wave shuffles is one
-    #     delta+varint run per (term, part_id, task), not raw pairs,
-    #     and the corpus text is never written between scan and runs) ---
-    def stage_pairs():
-        from pyspark.sql import Observation
+                narrow = transcripts.select(
+                    "conv_id", "turn_idx",
+                    make_dl_udf(cfg)(F.col("text")).alias("dl"),
+                )
+                stats = assign_doc_ids(narrow, cfg, id_plan=id_plan).select(
+                    "doc_id", "conv_id", "turn_idx", "dl"
+                )
+                obs = Observation("docs")
+                stats = stats.observe(obs, F.count(F.lit(1)).alias("n"),
+                                      F.sum("dl").alias("sum_dl"))
+                write_table(stats, stats_path)
+                m = obs.get
+                n = int(m["n"])
+                if n != id_plan.n_rows:
+                    raise RuntimeError(
+                        f"corpus changed mid-build: id plan counted "
+                        f"{id_plan.n_rows} rows, doc_stats wrote {n}"
+                    )
+                corp = {"N": n,
+                        "avgdl": (m["sum_dl"] or 0) / n if n else 0.0,
+                        "config": cfg.persist_dict()}
+                with open(os.path.join(out_dir, "corpus_stats.json"),
+                          "w") as f:
+                    json.dump(corp, f)
+                rec = man.add("docs", "done", t_docs, rows=n, **corp,
+                              id_plan=id_plan.to_json())
+                metrics["docs"] = {
+                    "sec": round(rec["finished_ts"] - t_docs, 3), "rows": n}
+                return corp
 
-        # interleave part_ids across waves (mod, not contiguous blocks):
-        # normal parts carry many small terms (run-count-heavy), salted
-        # hot parts carry few fat runs (pair-mass-heavy) — contiguous
-        # blocks put all of one kind in one wave and the wave durations
-        # skewed ~6x at 10M turns; interleaving balances both axes
-        pw = extract_runs(
-            transcripts.select("conv_id", "turn_idx", "text"),
-            cfg, plan=plan, id_plan=id_plan,
-        ).withColumn(
-            "wave", (F.col("part_id") % cfg.num_waves).cast("int")
-        )
-        obs = Observation("pairs")
-        pw = pw.observe(obs, F.count(F.lit(1)).alias("runs"),
-                        F.sum("n").alias("pairs"))
-        write_table(pw, pairs_path, partition_by=["wave"])
-        m = obs.get
-        return {"rows": int(m["pairs"] or 0), "runs": int(m["runs"])}
+            # Overlap policy (guide §2.6: overlap fills IDLE capacity
+            # only): the doc_stats write and the pairs exchange are
+            # both full-width text passes. Below ~512 rows per task
+            # slot their jobs are fixed-overhead-bound (scheduling +
+            # python-worker round trips dominate the sub-second
+            # compute) and overlapping them back-fills idle slots —
+            # measured −0.9s on the 5k-row documents builds. At corpus
+            # scale each pass saturates every slot and overlap only
+            # adds contention (measured +1.4s at 211k turns on
+            # local[32]) — run the write synchronously there. The
+            # threshold scales with cluster width, not a local
+            # constant; override via cfg.extra["docs_overlap_max_rows"].
+            slots = spark.sparkContext.defaultParallelism
+            overlap_max = int(cfg.extra.get("docs_overlap_max_rows",
+                                            512 * slots))
+            if id_plan.n_rows <= overlap_max:
+                docs_future = pool.submit(stage_docs)
+            else:
+                corpus = stage_docs()
+        # adaptive partitioning resolves HERE, the first point N is known
+        # (resume-safe: a fresh build reads N off the id plan's exact
+        # count, a resumed build off the persisted corpus_stats — the
+        # same number, so both resolve to the identical part count)
+        N = corpus["N"] if corpus is not None else id_plan.n_rows
+        cfg = cfg.resolve_parts(N)
 
-    timed("pairs", stage_pairs)
+        # --- stage: plan (samplesort splitters + hot terms; lineage) ---
+        def stage_plan():
+            target = cfg.num_part_ids * cfg.samples_per_part
+            frac = cfg.sample_fraction or min(1.0, target / max(1, N * 20))
+            # only the term/tf distribution matters for splitters;
+            # row-local ids keep the sample scan narrow (no id shuffle)
+            sample_src = transcripts.sample(
+                fraction=frac, seed=cfg.seed
+            ).select(
+                F.monotonically_increasing_id().alias("doc_id"), "text"
+            )
+            sample = extract_pairs(sample_src, cfg)
+            plan = plan_from_sample(
+                arrow_collect(sample.select("term", "tf")), cfg)
+            return {"plan": plan.to_json(), "sample_fraction": frac}
 
-    # --- stages: per-wave assembly (independent, idempotent) ---
-    # (an all-empty corpus produces no wave dirs — valid, zero postings)
-    waves = sorted(
-        int(d.split("=")[1])
-        for d in (os.listdir(pairs_path) if os.path.isdir(pairs_path) else [])
-        if d.startswith("wave=")
-    )
-    for w in waves:
-        def stage_wave(w=w):
+        timed("plan", stage_plan)
+        plan = PartitionPlan.from_json(man.done("plan")["plan"])
+
+        # --- stage: pairs (staged, wave-partitioned — the resume anchor;
+        #     FUSED: the id exchange feeds run packing directly, so
+        #     tokenize + tf + dl + id assignment + part assignment + RUN
+        #     PACKING happen in ONE Arrow pass over the shuffled corpus:
+        #     what lands on disk / crosses the wave shuffles is one
+        #     delta+varint run per (term, part_id, task), not raw pairs,
+        #     and the corpus text is never written between scan and
+        #     runs) ---
+        def stage_pairs():
             from pyspark.sql import Observation
 
-            wave_runs = spark.read.parquet(os.path.join(pairs_path, f"wave={w}"))
-            obs = Observation(f"wave{w}")
-            wave_runs = wave_runs.observe(
-                obs, F.count(F.lit(1)).alias("runs"), F.sum("n").alias("pairs")
+            # interleave part_ids across waves (mod, not contiguous
+            # blocks): normal parts carry many small terms
+            # (run-count-heavy), salted hot parts carry few fat runs
+            # (pair-mass-heavy) — contiguous blocks put all of one kind
+            # in one wave and the wave durations skewed ~6x at 10M
+            # turns; interleaving balances both axes
+            pw = extract_runs(
+                transcripts.select("conv_id", "turn_idx", "text"),
+                cfg, plan=plan, id_plan=id_plan,
+            ).withColumn(
+                "wave", (F.col("part_id") % cfg.num_waves).cast("int")
             )
-            out = assemble_postings(wave_runs, plan, N, avgdl, cfg)
-            dst = os.path.join(postings_path, f"wave={w}")
-            # partition the persisted postings BY part_id: a part_id is
-            # one contiguous term range of the samplesort plan (or one
-            # salted hot term), so every physical file covers exactly
-            # one term range and a query's In(term) predicate prunes to
-            # ~one file per wave via row-group/file stats — guaranteed
-            # pruning at any corpus scale instead of relying on how the
-            # hash exchange happened to group part_ids into tasks
-            # (layout-asserted in tests/test_plans.py)
-            write_table(out, dst, partition_by=["part_id"])
-            h, n = _checksum(spark.read.parquet(dst))
+            obs = Observation("pairs")
+            pw = pw.observe(obs, F.count(F.lit(1)).alias("runs"),
+                            F.sum("n").alias("pairs"))
+            write_table(pw, pairs_path, partition_by=["wave"])
             m = obs.get
-            return {"rows": n, "checksum": h,
-                    "pairs": int(m["pairs"] or 0), "runs": int(m["runs"])}
+            return {"rows": int(m["pairs"] or 0), "runs": int(m["runs"])}
 
-        timed(f"wave={w}", stage_wave)
-        if stop_after_wave is not None and w >= stop_after_wave:
-            return BuildResult(out_dir, N, avgdl, plan, metrics)
+        timed("pairs", stage_pairs)
 
-    # --- stage: hot-term partial merge (boundary fix-up) ---
-    def stage_hot():
-        from capsbm25.postings import POSTINGS_SCHEMA
+        # the deferred doc_stats write must be in before the waves:
+        # avgdl (its observation) feeds block-max scoring in assembly
+        if docs_future is not None:
+            corpus = docs_future.result()
+        N, avgdl = corpus["N"], corpus["avgdl"]
 
-        dst = os.path.join(postings_path, "wave=9999")
-
-        def write_hot(merged, empty: bool):
-            if empty:
-                # a 0-row frame yields no part_id dirs under partitionBy
-                # and load_postings on an all-empty corpus would find no
-                # schema-bearing file; write the empty file INSIDE a
-                # part_id=0 dir so the directory depth stays consistent
-                # with the partitioned waves
-                write_table(merged.drop("part_id"),
-                            os.path.join(dst, "part_id=0"))
-            else:
-                write_table(merged, dst, partition_by=["part_id"])
-
-        # drop any stale wave=9999 from a CRASHED prior hot_merge
-        # attempt BEFORE building the read relation: the lazy merge
-        # would otherwise list those files, and write_hot's overwrite
-        # of the same subtree deletes them under the running scan
-        # (FileNotFoundException on every resume retry). This stage's
-        # output is derived purely from the wave!=9999 inputs, so a
-        # partial leftover is always safe to discard.
-        stale = os.path.join(postings_path, "wave=9999")
-        if os.path.isdir(stale):
-            import shutil
-
-            shutil.rmtree(stale)
-        if not os.path.isdir(postings_path):
-            write_hot(spark.createDataFrame([], POSTINGS_SCHEMA), True)
-            h, n = _checksum(spark.read.parquet(dst))
-            return {"rows": n, "checksum": h}
-        allp = spark.read.parquet(postings_path)
-        partials = allp.where(F.col("partial"))
-        if partials.isEmpty():
-            write_hot(spark.createDataFrame([], POSTINGS_SCHEMA), True)
-        else:
-            write_hot(
-                merge_hot_partials(partials.drop("wave"), N, avgdl, cfg),
-                False,
-            )
-        h, n = _checksum(spark.read.parquet(dst))
-        return {"rows": n, "checksum": h}
-
-    timed("hot_merge", stage_hot)
-
-    # --- stage: term dictionary (expansion-family side index) ---
-    # One narrow row per (term, part_id) with df/cf — the analog of the
-    # reference's sorted term order enabling upper_bound range scans
-    # (/root/reference/src/Suffix_Array.cpp:252-297) and of Lucene's
-    # term-dictionary FST. fuzzy/wildcard/prefix predicates evaluate
-    # against THESE rows (no payload columns in the file at all), then
-    # prune the postings scan by the matched In(term)/In(part_id)
-    # (query.py _expansion_matched). Written sorted by term so
-    # row-group min/max stats prune prefix scans. Cost: one
-    # column-pruned agg-free scan of the final postings + a tiny write.
-    def stage_dict():
-        d = (
-            load_postings(spark, out_dir)
-            .select(
-                "term", "part_id", "df", "cf",
-                # term length, persisted so fuzzy's |len diff| <=
-                # max_edits window is a PUSHED range predicate (parquet
-                # row-group min/max) instead of a computed filter —
-                # the FST-automaton / sorted-range analog for edit-
-                # distance candidate pruning (query.fuzzy_topk)
-                F.length("term").cast("int").alias("tlen"),
-            )
-            .sortWithinPartitions("term")
+        # --- stages: per-wave assembly (independent, idempotent) ---
+        # (an all-empty corpus produces no wave dirs — valid, zero
+        # postings)
+        waves = sorted(
+            int(d.split("=")[1])
+            for d in (os.listdir(pairs_path)
+                      if os.path.isdir(pairs_path) else [])
+            if d.startswith("wave=")
         )
-        write_table(d, os.path.join(out_dir, "dictionary"))
-        return {}
 
-    timed("dictionary", stage_dict)
-    return BuildResult(out_dir, N, avgdl, plan, metrics)
+        def make_stage_wave(w):
+            def stage_wave():
+                from pyspark.sql import Observation
+
+                wave_runs = spark.read.parquet(
+                    os.path.join(pairs_path, f"wave={w}"))
+                obs = Observation(f"wave{w}")
+                wave_runs = wave_runs.observe(
+                    obs, F.count(F.lit(1)).alias("runs"),
+                    F.sum("n").alias("pairs")
+                )
+                out = assemble_postings(wave_runs, plan, N, avgdl, cfg)
+                dst = os.path.join(postings_path, f"wave={w}")
+                # partition the persisted postings BY part_id: a part_id
+                # is one contiguous term range of the samplesort plan
+                # (or one salted hot term), so every physical file
+                # covers exactly one term range and a query's In(term)
+                # predicate prunes to ~one file per wave via
+                # row-group/file stats — guaranteed pruning at any
+                # corpus scale instead of relying on how the hash
+                # exchange happened to group part_ids into tasks
+                # (layout-asserted in tests/test_plans.py)
+                write_table(out, dst, partition_by=["part_id"])
+                h, n = _checksum(spark.read.parquet(dst))
+                m = obs.get
+                return {"rows": n, "checksum": h,
+                        "pairs": int(m["pairs"] or 0), "runs": int(m["runs"])}
+
+            return stage_wave
+
+        # Wave concurrency (guide §2.6): waves write disjoint
+        # postings/wave=K dirs and are individually
+        # manifest-checkpointed, so they CAN run overlapped to
+        # back-fill each other's stage tails. Whether that wins depends
+        # on whether wave stages leave idle capacity: on a cluster
+        # whose executor count exceeds tasks-per-wave (or with long
+        # straggler tails) it does; on a core-saturated local[32] box
+        # each wave's 64 tasks already fill every slot and overlap only
+        # adds contention (measured +2.7s at bench scale). Default 1
+        # (sequential); deployments opt in via
+        # cfg.extra["wave_concurrency"] or CAPSBM25_WAVE_CONCURRENCY.
+        wave_conc = int(cfg.extra.get(
+            "wave_concurrency",
+            os.environ.get("CAPSBM25_WAVE_CONCURRENCY", "1")))
+        wave_futs: list = []  # deferred checksum/record threads
+        if stop_after_wave is not None:
+            # fault-injection path (kill-and-resume tests): strictly
+            # sequential so "stopped after wave w" is well-defined
+            for w in waves:
+                timed(f"wave={w}", make_stage_wave(w))
+                if w >= stop_after_wave:
+                    return BuildResult(out_dir, N, avgdl, plan, metrics)
+        elif wave_conc > 1:
+            with ThreadPoolExecutor(max_workers=wave_conc) as wpool:
+                futs = [wpool.submit(timed, f"wave={w}",
+                                     make_stage_wave(w))
+                        for w in waves]
+                for f in futs:
+                    f.result()
+        else:
+            # sequential assembly, but each wave's read-back checksum
+            # (a light column-pruned scan) runs on the pool thread and
+            # back-fills the NEXT wave's ramp-up — unlike overlapping
+            # two full assemblies, a small job under a saturated one
+            # costs ~nothing (guide §2.6). The manifest record is
+            # appended by the checksum thread, so a crash in the window
+            # re-runs that wave on resume exactly as before.
+            wave_futs = []
+            for w in waves:
+                stage = f"wave={w}"
+                t0 = time.time()
+                if resume and man.done(stage):
+                    metrics[stage] = {"skipped": True}
+                    continue
+                from pyspark.sql import Observation
+
+                wave_runs = spark.read.parquet(
+                    os.path.join(pairs_path, f"wave={w}"))
+                obs = Observation(f"wave{w}")
+                wave_runs = wave_runs.observe(
+                    obs, F.count(F.lit(1)).alias("runs"),
+                    F.sum("n").alias("pairs"))
+                out = assemble_postings(wave_runs, plan, N, avgdl, cfg)
+                dst = os.path.join(postings_path, f"wave={w}")
+                # partitioned BY part_id — see make_stage_wave
+                write_table(out, dst, partition_by=["part_id"])
+
+                def finish(stage=stage, dst=dst, obs=obs, t0=t0):
+                    h, n = _checksum(spark.read.parquet(dst))
+                    m = obs.get
+                    kw = {"rows": n, "checksum": h,
+                          "pairs": int(m["pairs"] or 0),
+                          "runs": int(m["runs"])}
+                    rec = man.add(stage, "done", t0, **kw)
+                    metrics[stage] = {
+                        "sec": round(rec["finished_ts"] - t0, 3), **kw}
+
+                wave_futs.append(pool.submit(finish))
+
+        # --- stage: hot-term partial merge (boundary fix-up) ---
+        # The merge reads the waves' persisted files (written above,
+        # synchronously) but not their checksums, so outstanding
+        # checksum threads keep running underneath it; they are joined
+        # before returning.
+        t_hot = time.time()
+        if resume and man.done("hot_merge"):
+            metrics["hot_merge"] = {"skipped": True}
+        else:
+            from capsbm25.postings import POSTINGS_SCHEMA
+
+            dst = os.path.join(postings_path, "wave=9999")
+
+            def write_hot(merged, empty: bool):
+                if empty:
+                    # a 0-row frame yields no part_id dirs under
+                    # partitionBy and load_postings on an all-empty
+                    # corpus would find no schema-bearing file; write
+                    # the empty file INSIDE a part_id=0 dir so the
+                    # directory depth stays consistent with the
+                    # partitioned waves
+                    write_table(merged.drop("part_id"),
+                                os.path.join(dst, "part_id=0"))
+                else:
+                    write_table(merged, dst, partition_by=["part_id"])
+
+            # drop any stale wave=9999 from a CRASHED prior hot_merge
+            # attempt BEFORE building the read relation: the lazy merge
+            # would otherwise list those files, and write_hot's
+            # overwrite of the same subtree deletes them under the
+            # running scan (FileNotFoundException on every resume
+            # retry). This stage's output is derived purely from the
+            # wave!=9999 inputs, so a partial leftover is always safe
+            # to discard.
+            stale = os.path.join(postings_path, "wave=9999")
+            if os.path.isdir(stale):
+                import shutil
+
+                shutil.rmtree(stale)
+            # partial rows exist iff the plan salted hot terms: hot
+            # terms come from the plan SAMPLE, so each one has >= 1
+            # corpus pair and thus >= 1 partial posting row. Deciding
+            # off plan.hot_terms (driver-side) replaces the old
+            # isEmpty() probe job, and the read prunes to the reserved
+            # hot part range (part_id is a partition column, so normal
+            # waves' directories are never listed into the scan).
+            if not plan.hot_terms or not os.path.isdir(postings_path):
+                write_hot(spark.createDataFrame([], POSTINGS_SCHEMA), True)
+            else:
+                partials = spark.read.parquet(postings_path).where(
+                    (F.col("part_id") >= plan.n_normal) & F.col("partial"))
+                write_hot(
+                    merge_hot_partials(partials.drop("wave"), N, avgdl,
+                                       cfg),
+                    False,
+                )
+
+            def finish_hot(dst=dst, t0=t_hot):
+                h, n = _checksum(spark.read.parquet(dst))
+                kw = {"rows": n, "checksum": h}
+                rec = man.add("hot_merge", "done", t0, **kw)
+                metrics["hot_merge"] = {
+                    "sec": round(rec["finished_ts"] - t0, 3), **kw}
+
+            # checksum read-back overlaps the dictionary scan below
+            wave_futs.append(pool.submit(finish_hot))
+
+        # --- stage: term dictionary (expansion-family side index) ---
+        # One narrow row per (term, part_id) with df/cf — the analog of
+        # the reference's sorted term order enabling upper_bound range
+        # scans (/root/reference/src/Suffix_Array.cpp:252-297) and of
+        # Lucene's term-dictionary FST. fuzzy/wildcard/prefix predicates
+        # evaluate against THESE rows (no payload columns in the file at
+        # all), then prune the postings scan by the matched
+        # In(term)/In(part_id) (query.py _expansion_matched). Written
+        # sorted by term so row-group min/max stats prune prefix scans.
+        # Cost: one column-pruned agg-free scan of the final postings +
+        # a tiny write.
+        def stage_dict():
+            d = (
+                load_postings(spark, out_dir)
+                .select(
+                    "term", "part_id", "df", "cf",
+                    # term length, persisted so fuzzy's |len diff| <=
+                    # max_edits window is a PUSHED range predicate
+                    # (parquet row-group min/max) instead of a computed
+                    # filter — the FST-automaton / sorted-range analog
+                    # for edit-distance candidate pruning
+                    # (query.fuzzy_topk)
+                    F.length("term").cast("int").alias("tlen"),
+                )
+                .sortWithinPartitions("term")
+            )
+            write_table(d, os.path.join(out_dir, "dictionary"))
+            return {}
+
+        timed("dictionary", stage_dict)
+        # join the deferred checksum/record threads (error propagation:
+        # a failed read-back still fails the build)
+        for f in wave_futs:
+            f.result()
+        return BuildResult(out_dir, N, avgdl, plan, metrics)
+    finally:
+        # joins the async doc_stats write on every exit path, so a
+        # stage failure never leaves a dangling Spark job behind the
+        # caller's back
+        pool.shutdown(wait=True)
 
 
 def load_postings(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -191,6 +191,12 @@ def compute_id_plan(df: DataFrame, cfg: BuildConfig) -> IdPlan:
     for pid in sorted(counts):
         plan.offsets[pid] = acc
         acc += counts[pid]
+    # the counts job is the authoritative row count: the sample scan's
+    # Observation can double-fire when the limit's incremental
+    # execution re-scans the input (seen on Arrow LocalRelation inputs
+    # with limit >= rows), so obs["n"] is only trusted as a zero check
+    # above; build_index reads N off n_rows, so it must be exact
+    plan.n_rows = acc
     return plan
 
 
