@@ -824,39 +824,64 @@ def q_synonym_topk(spark, sf_dir):
 
 def q_bm25_topk_dataframe(spark, sf_dir):
     """Same BM25 computed with pure built-in DataFrame ops (no index) —
-    the minimum end-to-end slice of SURVEY §7.3 step 2."""
+    the minimum end-to-end slice of SURVEY §7.3 step 2.
+
+    Round 8 shape: tf/dl are doc-local, so per-term tf comes from an
+    array filter over the token array instead of explode+groupBy —
+    zero exchanges carry per-token rows, and the whole entry is TWO
+    jobs (one map-side aggregate for N/avgdl/df, one TakeOrdered scan
+    for the scores) instead of explode->hashAgg->join->join->sort.
+    Arithmetic keeps the original expression order (same JVM log/fma
+    sequence), so scores are bit-compatible with the oracle."""
     d = _documents(spark, sf_dir)
-    toks = d.select(
-        "doc_id", F.explode(tokens_expr(F.col("text"), CFG)).alias("term")
-    )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    n_docs = d.count()
-    avgdl = dl.agg(F.sum("dl")).collect()[0][0] / n_docs
-    tf = (
-        toks.where(F.col("term").isin(*BM25_QUERY_TERMS))
-        .groupBy("term", "doc_id")
-        .agg(F.count("*").alias("tf"))
-    )
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .withColumn(
-            "idf", F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    toks = tokens_expr(F.col("text"), CFG)
+
+    def _matches(term):
+        # single-arg lambda: a two-arg callable would receive the
+        # element INDEX as its second argument (pyspark filter arity)
+        return lambda t: t == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(toks, _matches(term))).alias(f"tf_{i}")
+        for i, term in enumerate(BM25_QUERY_TERMS)
+    ]
+    base = d.select("doc_id", "source", F.size(toks).alias("dl"), *tf_cols)
+    # one pass: corpus count, dl mass, per-term df
+    row = base.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.count(F.when(F.col(f"tf_{i}") > 0, F.lit(1))).alias(f"df_{i}")
+            for i in range(len(BM25_QUERY_TERMS))
+        ],
+    ).collect()[0]
+    n_docs = int(row["n"])
+    avgdl = row["sum_dl"] / n_docs
+    contribs = []
+    for i in range(len(BM25_QUERY_TERMS)):
+        dfi = int(row[f"df_{i}"])
+        tf = F.col(f"tf_{i}").cast("long")
+        idf = F.log(1.0 + (F.lit(n_docs) - F.lit(dfi) + 0.5)
+                    / (F.lit(dfi) + 0.5))
+        contribs.append(
+            F.when(
+                F.col(f"tf_{i}") > 0,
+                idf * tf * (_K1 + 1.0)
+                / (tf + _K1 * (1.0 - _B + _B * F.col("dl") / avgdl)),
+            ).otherwise(F.lit(0.0))
         )
-        .withColumn(
-            "contrib",
-            F.col("idf") * F.col("tf") * (_K1 + 1.0)
-            / (F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / avgdl)),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("contrib").alias("score"))
-    )
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
     # ties break by the ENGINE's dense order (source, doc_id) — a
     # doc_id-only tie-break silently diverges from the index path (and
     # the shared oracle) whenever a score tie straddles the k boundary
     return (
-        scored.join(d.select("doc_id", "source"), "doc_id")
+        base.where(
+            sum(F.col(f"tf_{i}") for i in range(len(BM25_QUERY_TERMS)))
+            > 0
+        )
+        .select("doc_id", "source", score.alias("score"))
         .orderBy(F.desc("score"), F.asc("source"), F.asc("doc_id"))
         .limit(BM25_K)
         .select("doc_id", F.round("score", 6).alias("score_r"))
