@@ -2871,37 +2871,47 @@ def _expansion_matched(
         ["part_id"] if has_part else []) + list(post_cols or ())
 
     if max_expansions is not None:
-        rank_cols = rank_cols or [F.desc("df"), F.asc("term")]
-        w1 = Window.partitionBy("query_id", "_salt").orderBy(*rank_cols)
-        w2 = Window.partitionBy("query_id").orderBy(*rank_cols)
+        rank_spec = rank_cols or [("df", False), ("term", True)]
         # the bound counts TERMS, not dictionary rows: a term can span
         # several rows (salted hot terms hold one dictionary row per
-        # part; dictionary-less segmented indexes one per segment), so
-        # (a) rank by the PER-TERM total df — a per-row df would both
-        # misorder split terms and make the cutoff arbitrary — and
-        # (b) cut with dense_rank over the term-unique ordering
-        # (rank_cols end in term), which keeps or drops every row of a
-        # term TOGETHER: a row_number cutoff mid-term would silently
-        # drop some of its part_ids from the In(part_id) prune and
-        # lose postings. The salted phase groups by xxhash64(term), so
-        # all rows of a term share a bucket and its dense_rank bound
-        # is a superset of the global top-N terms.
-        wt = Window.partitionBy("query_id", "term")
-        pairs_pdf = (
-            dm.select(*sel_cols)
-            .withColumn("df", F.sum("df").over(wt))
-            .withColumn("_salt",
-                        F.pmod(F.xxhash64("term"), F.lit(_EXPANSION_SALT)))
-            .withColumn("_r1", F.dense_rank().over(w1))
+        # part; dictionary-less segmented indexes one per segment).
+        # Round 8 shape: aggregate to ONE row per (query_id, term)
+        # FIRST — per-term total df via a map-side partial agg (the old
+        # per-row window sum was a full exchange + sort), post_cols are
+        # per-(term, query) constants (min), part ids collect_set for
+        # the scan prune. The per-term frame then takes the salted
+        # phase-1 cut (no single task ever sorts a pathological
+        # pattern's full match set), and the GLOBAL top-N cut happens
+        # driver-side on the bounded collect (<= _EXPANSION_SALT x
+        # max_expansions rows per query) with the same ordering — one
+        # exchange and two window sorts fewer than the old
+        # wt-sum/dense_rank/dense_rank cascade, same selected terms.
+        aggs = [F.sum("df").alias("df")]
+        if has_part:
+            aggs.append(F.collect_set("part_id").alias("_pids"))
+        for name in (post_cols or {}):
+            aggs.append(F.min(name).alias(name))
+        g = dm.groupBy("query_id", "term", "k").agg(*aggs)
+        order = [F.asc(n) if a else F.desc(n) for n, a in rank_spec]
+        w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
+        g = (
+            g.withColumn("_salt",
+                         F.pmod(F.xxhash64("term"),
+                                F.lit(_EXPANSION_SALT)))
+            .withColumn("_r1", F.row_number().over(w1))
             .where(F.col("_r1") <= int(max_expansions))
             .drop("_salt", "_r1")
-            .withColumn("_rn", F.dense_rank().over(w2))
-            .where(F.col("_rn") <= int(max_expansions))
-            .drop("_rn")
         )
-        pairs_pdf = arrow_collect(pairs_pdf)
+        pairs_pdf = arrow_collect(g)
         if pairs_pdf.empty:
             return None
+        by = [n for n, _ in rank_spec]
+        asc = [a for _, a in rank_spec]
+        pairs_pdf = (
+            pairs_pdf.sort_values(by, ascending=asc, kind="mergesort")
+            .groupby("query_id", sort=False)
+            .head(int(max_expansions))
+        )
         hit = pairs_pdf.groupby("query_id")["term"].nunique()
         capped = hit[hit >= int(max_expansions)]
         if len(capped):  # no silent caps: say when the bound truncated
@@ -2911,7 +2921,12 @@ def _expansion_matched(
                 "only (Lucene top-N rewrite semantics)",
                 int(max_expansions), sorted(capped.index.tolist()),
             )
-        return _pruned_pair_join(spark, posts, pairs_pdf, has_part)
+        part_ids = None
+        if has_part:
+            part_ids = sorted(
+                {int(p) for lst in pairs_pdf["_pids"] for p in lst})
+        return _pruned_pair_join(spark, posts, pairs_pdf, has_part,
+                                 part_ids=part_ids)
 
     pairs_pdf = arrow_collect(dm.select(*sel_cols).limit(
         MAX_EXPANSION_COLLECT + 1))
@@ -2931,17 +2946,20 @@ def _expansion_matched(
     )
 
 
-def _pruned_pair_join(spark, posts, pairs_pdf, has_part):
+def _pruned_pair_join(spark, posts, pairs_pdf, has_part, part_ids=None):
     """Prune the postings scan to the matched terms and equi-join the
     broadcast (term, query_id, k) pairs. In(term) literals below
     _ISIN_MAX_TERMS (pushed to parquet row-group stats); broadcast
     semi-join above (literal lists that large cost more to plan and
     codegen than the join). In(part_id) always — part counts are small
-    and it prunes FILES on the partitioned layout."""
+    and it prunes FILES on the partitioned layout. part_ids: the id
+    set when the caller aggregated them off the per-row frame (the
+    bounded phase); None derives them from pairs_pdf["part_id"]."""
     terms = sorted(set(pairs_pdf["term"]))
     if has_part:
-        posts = posts.where(F.col("part_id").isin(
-            sorted(int(p) for p in set(pairs_pdf["part_id"]))))
+        if part_ids is None:
+            part_ids = sorted(int(p) for p in set(pairs_pdf["part_id"]))
+        posts = posts.where(F.col("part_id").isin(part_ids))
     if len(terms) <= _ISIN_MAX_TERMS:
         pruned = posts.where(F.col("term").isin(terms))
     else:
@@ -3328,7 +3346,7 @@ def fuzzy_topk(
                               if prefix_len <= 0 else qpdf),
         join_cond, scan_cond=scan_cond,
         max_expansions=max_expansions,
-        rank_cols=[F.asc("dist"), F.desc("df"), F.asc("term")],
+        rank_cols=[("dist", True), ("df", False), ("term", True)],
         post_cols={"dist": dist_col},
     )
     if matched is None:
