@@ -155,11 +155,17 @@ def compute_id_plan(df: DataFrame, cfg: BuildConfig) -> IdPlan:
     target = n_parts * cfg.samples_per_part
     obs = Observation()
     pri = F.xxhash64("conv_id", "turn_idx", F.lit(cfg.seed))
+    # the limit has a 64k floor (a bounded ~2.6 MB driver fetch): when
+    # the corpus fits under it the "sample" IS the complete key set and
+    # the per-part counts job below is skipped — the whole id plan
+    # becomes ONE job (the dominant fixed cost of small side-index
+    # builds, e.g. the per-entry documents indexes)
+    lim = max(int(target * 1.2), 65536)
     sample = arrow_collect(
         df.select("conv_id", "turn_idx")
         .observe(obs, F.count(F.lit(1)).alias("n"))
         .orderBy(pri, "conv_id", "turn_idx")
-        .limit(int(target * 1.2))
+        .limit(lim)
     )
     n_rows = int(obs.get["n"])
     if n_rows == 0:
@@ -181,12 +187,23 @@ def compute_id_plan(df: DataFrame, cfg: BuildConfig) -> IdPlan:
     splitters = np.array(sorted(set(cuts)), dtype=object)
     plan = IdPlan(splitters, {}, n_rows)
 
-    counts = {
-        r["part_id"]: r["cnt"]
-        for r in df.withColumn(
-            "part_id", plan.part_of_udf()("conv_id", "turn_idx")
-        ).groupBy("part_id").agg(F.count("*").alias("cnt")).collect()
-    }
+    if len(sample) < lim:
+        # the limit was not reached, so `keys` is every key in the
+        # corpus: per-part counts come from the same searchsorted the
+        # executor kernel applies — no second job. (Dense ids are
+        # invariant to the splitters themselves: offsets + within-part
+        # sort reproduce the global key order for ANY cut set, so this
+        # branch and the counts-job branch assign identical ids.)
+        part = np.searchsorted(splitters, keys, side="right")
+        pids, cnts = np.unique(part, return_counts=True)
+        counts = {int(p): int(c) for p, c in zip(pids, cnts)}
+    else:
+        counts = {
+            r["part_id"]: r["cnt"]
+            for r in df.withColumn(
+                "part_id", plan.part_of_udf()("conv_id", "turn_idx")
+            ).groupBy("part_id").agg(F.count("*").alias("cnt")).collect()
+        }
     acc = 0
     for pid in sorted(counts):
         plan.offsets[pid] = acc

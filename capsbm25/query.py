@@ -3930,8 +3930,14 @@ def rescore_topk(
     if win_pdf.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
     ids = np.unique(win_pdf["doc_id"].to_numpy(np.int64))
+    # the phrase pass filters by the UNION of all queries' windows, so
+    # its per-query k must cover every possible match within the union
+    # (k=window_size crowded a query's own-window docs out of the
+    # phrase top-k in multi-query batches — they then silently scored
+    # with a 0 phrase bonus); the left join below still bounds the
+    # output to each query's own window rows
     pq = queries.assign(text=queries["phrase"],
-                        k=np.int32(window_size))[
+                        k=np.int32(max(window_size, ids.size)))[
         ["query_id", "text", "k"]]
     ph = phrase_topk(spark, postings, pq, N, avgdl, cfg,
                      doc_filter=ids, mode=mode)

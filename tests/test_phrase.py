@@ -327,3 +327,56 @@ def test_rescore_topk_matches_oracle(pos_index, spark):
         rescore_topk(spark, pos_index["postings"],
                      queries.drop(columns=["phrase"]), res.N,
                      res.avgdl, cfg)
+
+
+def test_rescore_topk_multiquery_window_not_crowded(pos_index, spark):
+    """Round-7 advice: the phrase pass filters by the UNION of all
+    queries' windows; with a small window_size and a phrase matching
+    most union docs, a k=window_size phrase pass crowded a query's
+    own-window docs out of the top-k and silently zeroed their bonus.
+    Every query must get its full per-window bonus regardless of how
+    many OTHER queries are in the batch."""
+    from capsbm25.query import rescore_topk
+
+    res, cfg, oracle = (pos_index["res"], pos_index["cfg"],
+                        pos_index["oracle"])
+    base = fx.queries_pdf(42)
+    # distinct windows per query, ONE ubiquitous phrase shared by all
+    # (the corpus's top-df term): the union of windows then holds more
+    # phrase matches than window_size, the exact crowding setup —
+    # verified to crowd 2 queries' own-window docs out of a
+    # k=window_size union top-k
+    from collections import Counter
+
+    dfc = Counter()
+    for toks in oracle.docs:
+        dfc.update(set(toks))
+    common = dfc.most_common(1)[0][0]
+    queries = base[base["text"].str.split().str.len() >= 2].head(5) \
+        .assign(phrase=common, k=np.int32(4)).reset_index(drop=True)
+    W, QW, RW = 4, 1.0, 2.0
+    got = (
+        rescore_topk(spark, pos_index["postings"], queries, res.N,
+                     res.avgdl, cfg, window_size=W, query_weight=QW,
+                     rescore_weight=RW)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    rows = []
+    for q in queries.itertuples(index=False):
+        win = oracle.topk(q.text, W)
+        wids = [d for d, _ in win]
+        ph = dict(oracle.phrase_topk(q.phrase, W, doc_filter=set(wids)))
+        comb = sorted(
+            ((QW * s + RW * ph.get(d, 0.0), d) for d, s in win),
+            key=lambda t: (-t[0], t[1]))[:int(q.k)]
+        rows.extend((int(q.query_id), d, sc, i + 1)
+                    for i, (sc, d) in enumerate(comb))
+    want = pd.DataFrame(
+        rows, columns=["query_id", "doc_id", "score", "rank"])
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(
+        got[["query_id", "doc_id", "rank"]],
+        want[["query_id", "doc_id", "rank"]], check_dtype=False)
+    np.testing.assert_allclose(got["score"].to_numpy(),
+                               want["score"].to_numpy(), rtol=1e-9)
