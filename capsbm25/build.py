@@ -667,8 +667,8 @@ def load_build_config(out_dir: str, base: BuildConfig | None = None) -> BuildCon
     """The query-time config contract: runtime knobs come from `base`,
     but build-shaped fields (block_size, k1, b, token_pattern,
     max_token_len) are ADOPTED from the index's persisted metadata —
-    a caller's mismatched block_size would misalign block slicing
-    against stored block_max, and mismatched k1/b/tokenizer would skew
-    scores vs the stored postings."""
+    a caller's mismatched tokenizer or k1/b would skew scores vs the
+    stored postings; block_size shapes the kernel's recomputed
+    per-block bounds."""
     persisted = load_corpus_stats(out_dir).get("config", {})
     return (base or BuildConfig()).adopt(persisted)

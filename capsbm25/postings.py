@@ -34,7 +34,7 @@ Posting row schema (FIXTURES.md §3, plus dls so queries never join a
 10^12-row doc_stats table — doc lengths travel with the posting):
   term, df, cf, doc_ids (delta+varint), tfs (varint), dls (varint),
   pos (per-pair positions, b"" unless cfg.index_positions),
-  block_max: array<struct<upper:float,last_doc:long>>, part_id, partial
+  part_id, partial
 """
 
 from __future__ import annotations
@@ -51,8 +51,6 @@ from capsbm25.codec import (decode_pair_positions, decode_varints,
                             permute_pair_payload, sorted_member_mask)
 from capsbm25.config import BuildConfig
 from capsbm25.partition import PartitionPlan
-from capsbm25.scoring import idf as idf_fn
-from capsbm25.scoring import term_scores, upper_f32
 
 PAIRS_SCHEMA = "term string, doc_id long, tf int, dl int"
 # Map-side packed sorted runs — what actually crosses the build shuffle.
@@ -73,14 +71,21 @@ RUNS_COLS = [
     "dls", "pos",
 ]
 # pos: in-document token positions, delta+varint per pair, pair sizes
-# given by the decoded tfs (b"" unless cfg.index_positions)
+# given by the decoded tfs (b"" unless cfg.index_positions).
+# (round 8: the stored block_max column is GONE — no query path ever
+# read it: the WAND kernel recomputes exact per-block uppers from the
+# decoded scores, which stay correct under incremental segments where
+# stored bounds go stale, and the distributed path prunes at the entry
+# level post-decode. Building it cost one full scoring pass per wave
+# plus the widest non-payload column in every scan/Arrow transfer.
+# Indexes written by earlier rounds still read fine — the extra
+# column is simply never selected.)
 POSTINGS_SCHEMA = (
     "term string, df long, cf long, doc_ids binary, tfs binary, dls binary, "
-    "pos binary, block_max array<struct<upper:float,last_doc:long>>, "
-    "part_id int, partial boolean"
+    "pos binary, part_id int, partial boolean"
 )
 POSTINGS_COLS = [
-    "term", "df", "cf", "doc_ids", "tfs", "dls", "pos", "block_max",
+    "term", "df", "cf", "doc_ids", "tfs", "dls", "pos",
     "part_id", "partial",
 ]
 
@@ -387,10 +392,12 @@ def _posting_rows(flushes, N, avgdl, cfg, hot_terms):
     positions in pair order (sizes = tfs), delta+varint-encoded with an
     absolute value at every pair start.
 
-    All varint encodes and block-max computations happen in ONE
-    vectorized pass over the concatenated flush window (grouped encode
-    + reduceat) — per-term numpy-call overhead would otherwise dominate
-    waves whose terms are small (the normal-part wave at 10M+ turns)."""
+    All varint encodes happen in ONE vectorized pass over the
+    concatenated flush window (grouped encode) — per-term numpy-call
+    overhead would otherwise dominate waves whose terms are small (the
+    normal-part wave at 10M+ turns). N/avgdl are retained in the
+    signature for interface stability (they sized the dropped stored
+    block_max — see POSTINGS_SCHEMA)."""
     n = len(flushes)
     if n == 0:
         return pd.DataFrame([], columns=POSTINGS_COLS)
@@ -419,49 +426,6 @@ def _posting_rows(flushes, N, avgdl, cfg, hot_terms):
     dl_b = encode_varints_grouped(L, t_starts)
 
     partial = np.array([f[0] in hot_terms for f in flushes], dtype=bool)
-
-    B = cfg.block_size
-    nb = -(-sizes // B)
-    nb[partial] = 0  # hot partials carry no block_max (stitched later)
-    tot_blocks = int(nb.sum())
-    bmax_per_term: list[list] = [[] for _ in range(n)]
-    if tot_blocks:
-        # Block maxima for the non-partial terms, fully vectorized.
-        # CRITICAL: reduceat segments run to the NEXT boundary, so the
-        # entries of partial (hot) terms interleaved between normal
-        # terms would be absorbed into the preceding term's last block
-        # and inflate its upper — compact the arrays to non-partial
-        # entries first so term boundaries are always block boundaries.
-        np_mask = ~partial
-        if partial.any():
-            keep = np.repeat(np_mask, sizes)
-            Dn, Tn, Ln = D[keep], T[keep], L[keep]
-            sizes_n = sizes[np_mask]
-        else:
-            Dn, Tn, Ln, sizes_n = D, T, L, sizes
-        t_starts_n = np.concatenate(([0], np.cumsum(sizes_n)[:-1]))
-        t_ends_n = t_starts_n + sizes_n
-        # per-entry idf from its term's df; scores + f32 rounding in one
-        # concatenated pass, reduceat per block
-        sc_all = term_scores(Tn, Ln, idf_fn(N, np.repeat(sizes_n, sizes_n)),
-                             avgdl, cfg.k1, cfg.b)
-        f32 = upper_f32(sc_all)
-        nb_n = nb[np_mask]
-        orig_ids = np.flatnonzero(np_mask)
-        term_idx = np.repeat(np.arange(nb_n.size), nb_n)
-        pref = np.concatenate(([0], np.cumsum(nb_n)[:-1]))
-        within = np.arange(tot_blocks) - np.repeat(pref, nb_n)
-        b_starts = t_starts_n[term_idx] + within * B
-        uppers = np.maximum.reduceat(f32, b_starts)
-        last_ix = np.minimum(b_starts + B, t_ends_n[term_idx]) - 1
-        last_docs = Dn[last_ix]
-        up_l = uppers.astype(float).tolist()
-        ld_l = last_docs.tolist()
-        ti_l = orig_ids[term_idx].tolist()
-        for j in range(tot_blocks):
-            bmax_per_term[ti_l[j]].append(
-                {"upper": up_l[j], "last_doc": int(ld_l[j])}
-            )
 
     # positions payload (phrase support)
     pos_b: list[bytes] = [b""] * n
@@ -504,7 +468,6 @@ def _posting_rows(flushes, N, avgdl, cfg, hot_terms):
             "tfs": tf_b[i],
             "dls": dl_b[i],
             "pos": pos_b[i],
-            "block_max": bmax_per_term[i],
             "part_id": int(flushes[i][4]),
             "partial": bool(partial[i]),
         }

@@ -525,8 +525,7 @@ def compact_segments(
 
     policy="full" (the Lucene forceMerge(1) analog): merge ALL live
     segments into one — every term collapses back to a single posting
-    row whose block_max is computed with the GLOBAL N/avgdl, so the
-    query kernel's single-row fast path applies again. Delete
+    row, so the query kernel's single-row fast path applies again. Delete
     tombstones (delete_docs) are APPLIED: tombstoned docs are
     physically dropped from postings AND doc metadata, block maxima
     are recomputed with the post-delete LIVE N/avgdl, and stats shrink
@@ -574,8 +573,8 @@ def compact_segments(
     """
     stats = load_stream_stats(out_dir)
     # adopt the build-time config persisted with the stream (tokenizer,
-    # block size, positions flag) — a mismatched caller cfg would build
-    # wrong block_max / drop positions
+    # block size, positions flag) — a mismatched caller cfg would
+    # tokenize differently / drop positions
     cfg = (cfg or BuildConfig()).adopt(stats.get("config", {}))
     from capsbm25.session import configure_session
 
@@ -639,10 +638,9 @@ def _compact_full(spark, out_dir, cfg, stats, max_tombstone_collect) -> dict:
     try:
         if not rebuild:
             allp = load_segment_postings(spark, out_dir)
-            # merge_hot_partials merges ANY multi-row term (sort by doc,
-            # global block_max) — exactly the per-term stitch compaction
-            # needs; single-row terms pass through it too so every row
-            # gets global bounds
+            # merge_hot_partials merges ANY multi-row term (sorted by
+            # doc) — exactly the per-term stitch compaction needs;
+            # single-row terms pass through it unchanged
             merged = merge_hot_partials(allp, N, avgdl, cfg, drop=drop_bc)
             merged.write.mode("overwrite").parquet(
                 os.path.join(tmp_seg_dir, "postings"))

@@ -10,7 +10,8 @@ the driver):
   * all tfs >= 1, dls >= tfs (a term can't occur more often than the
     doc has tokens)
   * exactly one non-partial row per term
-  * block_max array sized ceil(df / block_size) with monotone last_doc
+(the round-8 schema stores no block_max column; indexes from earlier
+rounds that still carry one validate fine — it is simply not read)
 """
 
 from __future__ import annotations
@@ -82,14 +83,6 @@ def validate_postings(
                         )
                     except ValueError:
                         ok = False
-                if ok and not row.partial:
-                    nb = -(-docs.size // block_size)
-                    bm = row.block_max if row.block_max is not None else []
-                    last_docs = [b["last_doc"] for b in bm]
-                    ok = len(last_docs) == nb and (
-                        len(last_docs) < 2
-                        or all(a < b for a, b in zip(last_docs, last_docs[1:]))
-                    )
                 if not ok:
                     bad.append(row.term)
         yield pd.DataFrame(

@@ -1,6 +1,8 @@
 """Build the fixture index and print a full-row content fingerprint of
-the final postings (every column, block_max flattened) — used to prove
-build-path refactors keep the persisted index byte-identical."""
+the final postings (every column) — used to prove build-path refactors
+keep the persisted index byte-identical. (Round 8 dropped the stored
+block_max column, so the reference fingerprints changed once, that
+round, and are stable since.)"""
 
 import sys
 
@@ -30,8 +32,7 @@ res = build_index(spark, spark.createDataFrame(pdf), out, cfg)
 p = load_postings(spark, out)
 row = p.select(
     F.xxhash64(
-        "term", "df", "cf", "doc_ids", "tfs", "dls",
-        F.to_json("block_max"), "part_id",
+        "term", "df", "cf", "doc_ids", "tfs", "dls", "part_id",
     ).alias("h"),
     # CONTENT fingerprint excludes part_id: the partition LAYOUT may
     # legitimately move when the plan-sampling source changes (it did in
@@ -39,7 +40,6 @@ row = p.select(
     # queries read must stay byte-identical across refactors.
     F.xxhash64(
         "term", "df", "cf", "doc_ids", "tfs", "dls",
-        F.to_json("block_max"),
     ).alias("hc"),
 ).agg(
     F.bit_xor("h").alias("fp"), F.bit_xor("hc").alias("fpc"),

@@ -68,24 +68,6 @@ def test_salting_exercised_and_merged(built_index, spark):
     assert max(part_counts.values()) > 1, "salting never split any hot term"
 
 
-def test_block_max_are_valid_upper_bounds(built_index):
-    res = built_index["res"]
-    cfg = built_index["cfg"]
-    for r in built_index["postings"].limit(500).collect():
-        docs = delta_decode(r.doc_ids)
-        tfs = decode_varints(r.tfs).astype(np.int64)
-        dls = decode_varints(r.dls).astype(np.int64)
-        sc = term_scores(tfs, dls, float(idf_fn(res.N, r.df)), res.avgdl,
-                         cfg.k1, cfg.b)
-        B = cfg.block_size
-        n_blocks = -(-docs.size // B)
-        assert len(r.block_max) == n_blocks
-        for i, blk in enumerate(r.block_max):
-            seg = sc[i * B : (i + 1) * B]
-            assert blk.upper >= seg.max() - 1e-12
-            assert blk.last_doc == int(docs[min((i + 1) * B, docs.size) - 1])
-
-
 def test_with_part_id_matches_fused_assignment(built_index, spark):
     """The standalone part-assignment operator (for externally-produced
     pairs) must agree with the fused extract_pairs(plan=...) path."""

@@ -18,7 +18,7 @@ from capsbm25.scoring import idf as idf_fn
 from capsbm25.scoring import term_scores
 
 
-def _posting_row(qid, term, docs, tfs, dls, k, nq, block_max, df=None):
+def _posting_row(qid, term, docs, tfs, dls, k, nq, df=None):
     return {
         "query_id": qid,
         "term": term,
@@ -29,44 +29,38 @@ def _posting_row(qid, term, docs, tfs, dls, k, nq, block_max, df=None):
         "doc_ids": delta_encode(np.asarray(docs, dtype=np.int64)),
         "tfs": encode_varints(np.asarray(tfs, dtype=np.int64)),
         "dls": encode_varints(np.asarray(dls, dtype=np.int64)),
-        "block_max": block_max,
         "part_id": 0,
         "partial": False,
     }
 
 
 def test_stale_blockmax_cannot_drop_topk():
-    """ADVICE(high) regression: a single-segment posting row whose STORED
-    block_max was computed with segment-local N (smaller idf => smaller
-    uppers than query-time exact scores) must not let WAND prune the
-    block holding the true top-1 doc. The kernel must recompute bounds
-    from the exact scores it already materialized."""
+    """ADVICE(high) regression (round 8: the stored block_max column is
+    gone entirely — this test keeps the scenario that motivated
+    recompute-from-exact-scores): a rare term whose top doc sits in a
+    late block of a multi-segment-shaped row must survive WAND pruning
+    when a stopword-grade sibling term seeds a high theta. Bounds must
+    come from the exact scores the kernel already materialized."""
     cfg = BuildConfig(block_size=128)
     N, avgdl, k = 1_000_000, 10.0, 1
 
     # term A (rare, idf ~8.3): bridge doc 50, filler docs 1000..1254,
     # HERO doc 1999 with tf=100/dl=1 — the true top-1 (score ~18.1).
-    # Stored uppers deliberately stale-tiny, as a segment-local build
-    # with a much smaller N would have produced.
     a_docs = [50] + list(range(1000, 1255)) + [1999]
     a_tfs = [1] + [1] * 255 + [100]
     a_dls = [1] + [10] * 255 + [1]
-    stale = [{"upper": 1e-3, "last_doc": int(a_docs[127])},
-             {"upper": 1e-3, "last_doc": int(a_docs[255])},
-             {"upper": 1e-3, "last_doc": 1999}]
     # term B (stopword-grade: declared df=300k over the full corpus, the
     # decoded rows are the segment's subset — idf ~1.2): docs 0..99 so
     # phase-1 seeds from B alone (>=64). The bridge doc 50 is in BOTH
-    # terms with best-in-B score, so theta ~15.0 exceeds
-    # stale_upper + umax(B) ~1.9 and the old trust-stored-bounds code
-    # pruned ALL of A's blocks, hero included.
+    # terms with best-in-B score, so theta ~15.0 far exceeds every
+    # filler entry of A — only exact per-block bounds keep the hero.
     b_docs = list(range(100))
     b_tfs = [1] * 100
     b_dls = [100] * 50 + [1] + [100] * 49
 
     pdf = pd.DataFrame([
-        _posting_row(0, "aaa", a_docs, a_tfs, a_dls, k, 2, stale),
-        _posting_row(0, "bbb", b_docs, b_tfs, b_dls, k, 2, None,
+        _posting_row(0, "aaa", a_docs, a_tfs, a_dls, k, 2),
+        _posting_row(0, "bbb", b_docs, b_tfs, b_dls, k, 2,
                      df=300_000),
     ])
     pruned = _score_query_kernel(pdf, N, avgdl, cfg, prune=True)
@@ -264,18 +258,17 @@ def test_distributed_df_not_inflated_by_shared_terms(built_index, spark):
         assert np.allclose(g.score, w.score, atol=1e-9), qid
 
 
-def test_posting_rows_blockmax_with_interleaved_partials():
-    """Regression: the vectorized block-max reduceat must not absorb the
-    entries of a hot/partial term interleaved between two normal terms
-    into the preceding term's last block upper."""
-    from capsbm25.postings import _posting_rows
-    from capsbm25.scoring import term_scores as ts
-    from capsbm25.scoring import upper_f32
+def test_posting_rows_no_blockmax_interleaved_partials():
+    """Round 8: _posting_rows no longer computes/stores block_max (no
+    query path read it — the kernel recomputes exact bounds). The
+    schema must carry no such column, and the encode of normal terms
+    interleaved with a hot/partial term must stay intact (the shape
+    the old reduceat regression guarded)."""
+    from capsbm25.codec import decode_varints as dv
+    from capsbm25.postings import POSTINGS_COLS, _posting_rows
 
     cfg = BuildConfig(block_size=4)
     N, avgdl = 1000, 10.0
-    # normal 'aaa' (6 docs -> 2 blocks), partial hot 'mmm' with HUGE tf
-    # (would inflate aaa's last block upper if absorbed), normal 'zzz'
     flushes = [
         ("aaa", np.arange(6, dtype=np.int64), np.ones(6, dtype=np.int64),
          np.full(6, 10, dtype=np.int64), 0),
@@ -285,20 +278,19 @@ def test_posting_rows_blockmax_with_interleaved_partials():
          np.ones(3, dtype=np.int64), np.full(3, 10, dtype=np.int64), 2),
     ]
     out = _posting_rows(flushes, N, avgdl, cfg, hot_terms={"mmm"})
+    assert "block_max" not in POSTINGS_COLS
+    assert "block_max" not in out.columns
     rows = {r["term"]: r for _, r in out.iterrows()}
-    assert rows["mmm"]["partial"] and rows["mmm"]["block_max"] == []
-    for term, n_docs, tf in (("aaa", 6, 1), ("zzz", 3, 1)):
-        exact = upper_f32(ts(np.full(n_docs, tf, dtype=np.int64),
-                             np.full(n_docs, 10, dtype=np.int64),
-                             float(idf_fn(N, n_docs)), avgdl,
-                             cfg.k1, cfg.b))
-        bm = rows[term]["block_max"]
-        B = cfg.block_size
-        assert len(bm) == -(-n_docs // B)
-        for i, blk in enumerate(bm):
-            assert blk["upper"] == float(exact[i * B:(i + 1) * B].max()), (
-                term, i
-            )
+    assert rows["mmm"]["partial"] and not rows["aaa"]["partial"]
+    for term, docs, tfs, dls, _pid in flushes:
+        r = rows[term]
+        assert r["df"] == docs.size and r["cf"] == int(tfs.sum())
+        np.testing.assert_array_equal(
+            np.cumsum(dv(r["doc_ids"]).astype(np.int64)), docs)
+        np.testing.assert_array_equal(
+            dv(r["tfs"]).astype(np.int64), tfs)
+        np.testing.assert_array_equal(
+            dv(r["dls"]).astype(np.int64), dls)
 
 
 def test_compaction_generations_and_id_retention(spark, tmp_path):
