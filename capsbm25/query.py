@@ -2925,15 +2925,19 @@ def _expansion_matched(
         if has_part:
             part_ids = sorted(
                 {int(p) for lst in pairs_pdf["_pids"] for p in lst})
-        return _pruned_pair_join(spark, posts, pairs_pdf, has_part,
-                                 part_ids=part_ids)
+        matched = _pruned_pair_join(spark, posts, pairs_pdf, has_part,
+                                    part_ids=part_ids)
+        _tag_expansion_mass(matched, pairs_pdf)
+        return matched
 
     pairs_pdf = arrow_collect(dm.select(*sel_cols).limit(
         MAX_EXPANSION_COLLECT + 1))
     if len(pairs_pdf) <= MAX_EXPANSION_COLLECT:
         if pairs_pdf.empty:
             return None
-        return _pruned_pair_join(spark, posts, pairs_pdf, has_part)
+        matched = _pruned_pair_join(spark, posts, pairs_pdf, has_part)
+        _tag_expansion_mass(matched, pairs_pdf)
+        return matched
     _logger.info(
         "unbounded term expansion over %d matched pairs exceeds "
         "MAX_EXPANSION_COLLECT=%d — distributed term equi-join engaged",
@@ -2944,6 +2948,19 @@ def _expansion_matched(
             ["term", "query_id"]),
         "term",
     )
+
+
+def _tag_expansion_mass(matched, pairs_pdf) -> None:
+    """Record the batch's raw df mass (Σ df over (query, term) clause
+    pairs — already driver-side in the collected pairs) on the matched
+    frame, so the ranked tail can size-route to the fused combine+topk
+    without an extra aggregate job. A plain python attribute: the tail
+    receives this exact object; consumers that restructure the frame
+    simply fall back to the legacy tail (getattr default None)."""
+    try:
+        matched.expansion_df_mass = int(pairs_pdf["df"].sum())
+    except Exception:
+        pass
 
 
 def _pruned_pair_join(spark, posts, pairs_pdf, has_part, part_ids=None):
@@ -3070,9 +3087,9 @@ def _term_expansion_topk(matched, doc_filter, doc_exclude) -> DataFrame:
             )
 
     # explicit projection: Catalyst cannot prune columns through the
-    # mapInPandas black box, so without this the dls/block_max/cf
-    # payload columns are read from parquet AND shipped through Arrow
-    # just to be ignored (~1/3 of expansion payload bytes)
+    # mapInPandas black box, so without this the dls/cf payload columns
+    # are read from parquet AND shipped through Arrow just to be
+    # ignored (~1/3 of expansion payload bytes)
     c = matched.select("query_id", "k", "doc_ids", "tfs").mapInPandas(
         doc_rows, schema="query_id int, doc_id long, tf long, k int"
     )
@@ -3080,6 +3097,23 @@ def _term_expansion_topk(matched, doc_filter, doc_exclude) -> DataFrame:
         c = c.join(doc_filter, "doc_id", "semi")
     if doc_exclude is not None and excl_bc is None:
         c = c.join(doc_exclude, "doc_id", "anti")
+    # size-routed fused tail (round 8, the _run_distributed idiom): a
+    # Zipf-head expansion's combined frame is distinct-docs-sized but
+    # still tens of millions of rows at 10M+ turns, and the legacy tail
+    # shuffles it TWICE (groupBy hash agg, then the salt window) plus a
+    # Tungsten sort per salt partition. One applyInPandas over
+    # (query, doc-salt) groups sums per doc and keeps the group-local
+    # top-k — identical output (tf sums are integers < 2^53, so double
+    # addition is exact in any order; same boundary-tie resolution).
+    # The raw df mass rides the matched frame from _expansion_matched
+    # (driver-side, no extra job); below the threshold the JVM tail's
+    # constants win (same crossover as the distributed path).
+    mass = getattr(matched, "expansion_df_mass", None)
+    if mass is not None and mass >= _FUSED_TOPK_MIN_ROWS:
+        c2 = c.withColumn("contrib", F.col("tf").cast("double")) \
+              .withColumn("off", F.lit(0)).drop("tf")
+        return _fused_combine_topk(c2, conjunctive=False) \
+            .orderBy("query_id", "rank")
     scored = c.groupBy("query_id", "doc_id").agg(
         F.sum("tf").cast("double").alias("score"),
         F.first("k").alias("k"),

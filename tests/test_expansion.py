@@ -668,3 +668,42 @@ def test_expansion_docs_only_respects_filters(built_index, spark):
                     max_edits=2, docs_only=True,
                     doc_exclude=fex).toPandas()
     assert sorted(fr.doc_id) == fdocs[1:]
+
+
+def test_expansion_fused_tail_rank_identical(built_index, spark,
+                                             monkeypatch):
+    """Round-8 fused tail: forcing _FUSED_TOPK_MIN_ROWS=0 routes the
+    expansion ranked tail through _fused_combine_topk; wildcard and
+    fuzzy results must be identical to the legacy groupBy +
+    _window_topk tail (tf sums are integers, so double addition is
+    exact in any order)."""
+    import numpy as np
+    import pandas as pd
+
+    import capsbm25.query as Q
+
+    res, cfg = built_index["res"], built_index["cfg"]
+    queries = pd.DataFrame(
+        {"query_id": np.arange(3, dtype=np.int32),
+         "text": ["w00*", "w0?01", "w*"],
+         "k": np.array([10, 10, 10], dtype=np.int32)})
+    fq = pd.DataFrame(
+        {"query_id": np.arange(2, dtype=np.int32),
+         "text": ["w0001", "w0100"],
+         "k": np.array([10, 10], dtype=np.int32)})
+    legacy_w = wildcard_topk(
+        spark, built_index["postings"], queries, cfg).toPandas()
+    legacy_f = fuzzy_topk(
+        spark, built_index["postings"], fq, cfg, max_edits=1).toPandas()
+    monkeypatch.setattr(Q, "_FUSED_TOPK_MIN_ROWS", 0)
+    fused_w = wildcard_topk(
+        spark, built_index["postings"], queries, cfg).toPandas()
+    fused_f = fuzzy_topk(
+        spark, built_index["postings"], fq, cfg, max_edits=1).toPandas()
+    for legacy, fused in ((legacy_w, fused_w), (legacy_f, fused_f)):
+        legacy = legacy.sort_values(["query_id", "rank"],
+                                    ignore_index=True)
+        fused = fused.sort_values(["query_id", "rank"],
+                                  ignore_index=True)
+        assert len(legacy) > 0
+        pd.testing.assert_frame_equal(fused, legacy)

@@ -768,3 +768,29 @@ def test_operator_keywords_match_explicit_form(ps_index):
             drop=True)
         assert list(a.doc_id) == list(b.doc_id)
         assert np.allclose(a.score, b.score)
+
+
+def test_fused_combine_rank_identical(ps_index, monkeypatch):
+    """Round-8 fused tail: forcing _QS_FUSED_MIN_ROWS=0 routes the
+    combine through _qs_fused_combine (one exchange + numpy combine);
+    results must be identical to the legacy groupBy + _salted_topk
+    tail on a batch exercising must/should/not, wildcard, range and
+    boost clauses."""
+    import capsbm25.parser as P
+
+    texts = [
+        "+w0000 w0001 w0002 w00*",
+        "w0001 w0002^2 -w0003",
+        "+(w0004 w0005) [w0000 TO w0002]",
+        "w000?",
+    ]
+    legacy = _run(ps_index, texts)
+    monkeypatch.setattr(P, "_QS_FUSED_MIN_ROWS", 0)
+    fused = _run(ps_index, texts)
+    legacy = legacy.sort_values(["query_id", "rank"], ignore_index=True)
+    fused = fused.sort_values(["query_id", "rank"], ignore_index=True)
+    assert list(fused.query_id) == list(legacy.query_id)
+    assert list(fused.doc_id) == list(legacy.doc_id)
+    assert list(fused["rank"]) == list(legacy["rank"])
+    np.testing.assert_allclose(fused.score.to_numpy(),
+                               legacy.score.to_numpy(), rtol=1e-12)
