@@ -63,9 +63,14 @@ spark.stop()
 
 for rep in range(reps):
     for tree in (tree_a, tree_b):
+        # PYTHONPATH + cwd pin BOTH sides of the boundary to the tree:
+        # the driver imports via sys.path, but executor python workers
+        # resolve capsbm25 from PYTHONPATH/cwd — without this a child
+        # mixes tree-A planning with tree-B kernels
+        env = dict(os.environ, PYTHONPATH=tree)
         r = subprocess.run(
             [sys.executable, "-c", CHILD, tree, idx],
-            capture_output=True, text=True)
+            capture_output=True, text=True, env=env, cwd=tree)
         for ln in r.stdout.splitlines():
             if ln.startswith("ABLINE"):
                 print(f"rep{rep} {ln}", flush=True)
