@@ -281,6 +281,15 @@ def parse_query_string(
             # the lexer emits it as a separate token, so it behaves
             # exactly like the - prefix
             sign = "-"
+            if chunk.startswith(("+", "-")):
+                # '!-a' / '!+a': without this the inner modifier was
+                # re-analyzed as the chunk's own sign and NOT(-a)
+                # silently parsed as -a — every other glued double
+                # modifier raises (round-7 advice)
+                raise ValueError(
+                    f"double modifier on !{chunk!r}: one "
+                    "modifier per clause (Lucene's grammar)"
+                )
         if chunk.startswith("!"):
             raise ValueError(
                 f"double modifier on {sign}{chunk!r}: one "

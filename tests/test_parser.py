@@ -92,7 +92,10 @@ def test_parse_rejects_unsupported():
                 # text: with a nested field prefix
                 'conv_id:', ':x', '9x:a', 'a:b:c', 'conv_id:"a b"',
                 'conv_id:v*', 'conv_id:v~1', 'conv_id:v^0',
-                'text:conv_id:v'):
+                'text:conv_id:v',
+                # glued double modifiers all raise — incl. '!-a'/'!+a',
+                # which previously slipped through as -a (r7 advice)
+                '!-a', '!+a', '!!a', '-!a', 'NOT -a'):
         with pytest.raises(ValueError):
             parse_query_string(bad, CFG)
     with pytest.raises(ValueError, match="default_operator"):
