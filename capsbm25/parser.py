@@ -745,6 +745,19 @@ def _term_contribs(spark, postings, rows: pd.DataFrame, N, avgdl, cfg,
 # hash agg + salted windows beat the python-worker constants)
 _QS_FUSED_MIN_ROWS = 4_000_000
 
+# required-clause pushdown gate (round 8, measured on one index at two
+# scales — BENCH/r08/qs_filter_gate_exp.log): the mask's cost is
+# CAPPED (<= 4M-id collect + a searchsorted per entry) while the
+# expansion membership it prunes grows with the corpus, so above
+# _QS_FILTER_MIN_N turns the filter wins even at modest selectivity
+# (10.5M turns, 35%-of-corpus must union: 11.8-20.5s closed ->
+# 10.8-11.8s open). Below it the membership is small enough that the
+# collect+mask overhead shows (1.05M: 4.0-4.7 closed vs 4.45-4.6
+# open), so mid-size corpora keep the strict N/_QS_FILTER_N_DIV
+# selectivity requirement.
+_QS_FILTER_N_DIV = 16
+_QS_FILTER_MIN_N = 4_000_000
+
 
 def _popcount64(v: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit popcount (SWAR) — the numpy twin of the JVM
@@ -1058,12 +1071,12 @@ def query_string_topk(
                            key=lambda ts: sum(dfm.get(t, 0) for t in ts))
                 chosen.update(best)
             est = sum(dfm.get(t, 0) for t in chosen)
-            # selectivity gate (measured at 1.05M turns): the filter
-            # costs one bounded collect + a per-entry mask in the
-            # expansion kernel, so it must actually be narrow — a
-            # must-union near corpus scale (e.g. a hot term) keeps
-            # most membership rows and loses outright
-            if 0 < est <= min(4_000_000, N // 16):
+            # selectivity gate — see the constants' comment above: the
+            # bounded mask always wins at large corpora, and only at
+            # strong selectivity below them
+            if 0 < est <= 4_000_000 and (
+                    est <= N // _QS_FILTER_N_DIV
+                    or N >= _QS_FILTER_MIN_N):
                 # collect the id union ONCE (Arrow-batched) and pass
                 # the ARRAY down: the lazy plan would re-run its scan
                 # + bounded collect inside EVERY expansion sub-call's
