@@ -155,12 +155,14 @@ def compute_id_plan(df: DataFrame, cfg: BuildConfig) -> IdPlan:
     target = n_parts * cfg.samples_per_part
     obs = Observation()
     pri = F.xxhash64("conv_id", "turn_idx", F.lit(cfg.seed))
-    # the limit has a 64k floor (a bounded ~2.6 MB driver fetch): when
+    # the limit has a 256k floor (a bounded ~10 MB driver fetch): when
     # the corpus fits under it the "sample" IS the complete key set and
     # the per-part counts job below is skipped — the whole id plan
-    # becomes ONE job (the dominant fixed cost of small side-index
-    # builds, e.g. the per-entry documents indexes)
-    lim = max(int(target * 1.2), 65536)
+    # becomes ONE job. Driver-side cost at the floor is ~0.2 s (numpy
+    # sort + searchsorted over 256k keys) vs ~0.6 s for the counts job
+    # it replaces; per-task top-k heaps hold <= 10 MB. Covers the
+    # per-entry documents side-indexes AND the sf0.1 bench corpus.
+    lim = max(int(target * 1.2), 262_144)
     sample = arrow_collect(
         df.select("conv_id", "turn_idx")
         .observe(obs, F.count(F.lit(1)).alias("n"))
