@@ -1083,12 +1083,24 @@ def query_string_topk(
                 # _prep_doc_sets (up to three concurrent identical
                 # jobs), and a LocalRelation round-trip would pay a
                 # driver->JVM serialize per sub-call — an ndarray
-                # doc_filter broadcasts straight from the driver
-                ids = np.unique(arrow_collect(
-                    term_doc_ids(postings, sorted(chosen))
-                )["doc_id"].to_numpy(np.int64))
-                if ids.size:
-                    exp_filter = ids
+                # doc_filter broadcasts straight from the driver.
+                # ASYNC (round 8): the decode + collect is seconds at
+                # 10M+ turns and only the EXPANSION thunks consume it
+                # — building it on a thread lets the term-contribs
+                # cascade start immediately; the expansion thunks
+                # resolve it lazily (_prep_doc_sets), AFTER their
+                # own eager dictionary match — both overlap the build
+                def _build_exp_filter(chosen=frozenset(chosen)):
+                    ids = np.unique(arrow_collect(
+                        term_doc_ids(postings, sorted(chosen))
+                    )["doc_id"].to_numpy(np.int64))
+                    return ids if ids.size else None
+
+                from concurrent.futures import ThreadPoolExecutor
+
+                _filter_pool = ThreadPoolExecutor(max_workers=1)
+                exp_filter = _filter_pool.submit(_build_exp_filter)
+                _filter_pool.shutdown(wait=False)
 
     # each thunk builds one clause-kind's contribution frame(s); they
     # run on a small thread pool (round 7) because every sub-surface

@@ -586,6 +586,8 @@ def _prep_doc_sets(spark, mode, doc_filter, doc_exclude,
     max_kernel_filter + 1 rows per set; oversized sets demote auto
     mode to distributed and make explicit kernel mode raise
     (collecting an unbounded id set on the driver is never silent)."""
+    from concurrent.futures import Future
+
     cols: list = [None, None]
     bcs: list = [None, None]
     empty = False
@@ -594,6 +596,19 @@ def _prep_doc_sets(spark, mode, doc_filter, doc_exclude,
     for i, (name, df, join_kind) in enumerate(sets):
         if df is None:
             continue
+        if isinstance(df, Future):
+            # an id set still being BUILT on another driver thread
+            # (the query-string must-union pushdown): a normalization
+            # pass keeps the future lazy so the caller's own eager
+            # steps (the expansion dictionary match) overlap the
+            # build; any pass that actually consumes the set resolves
+            # it here
+            if mode == "distributed" and max_kernel_filter <= 0:
+                cols[i] = df
+                continue
+            df = df.result()
+            if df is None:
+                continue
         if isinstance(df, np.ndarray):
             if mode == "distributed" and max_kernel_filter <= 0:
                 # normalization pass of an expansion entry point (its
