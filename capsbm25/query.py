@@ -4070,6 +4070,15 @@ def date_histogram(
     Docs with a NULL timestamp count nowhere (ES drops unmapped dates).
     Queries with no matching docs return no buckets.
 
+    SUB-DAY intervals on an LTZ column are NTZ-recommended (round-7
+    advice): across a DST spring-forward the driver-side zero-fill
+    steps naive session-wall times, so a minute/hour range spanning
+    the gap can emit nonexistent wall times that cast to the post-gap
+    instant (phantom/duplicate bucket) and disagree with the
+    instant-based bucket-count guard. Day-and-coarser intervals and
+    NTZ columns are unaffected; store sub-day analytics timestamps as
+    TIMESTAMP_NTZ (or run the session in a DST-free zone like UTC).
+
     Returns (query_id, bucket timestamp, n_docs).
 
     Scale shape: the shared narrow membership pass, one metadata join,
