@@ -71,6 +71,68 @@ def ids_frame(spark: SparkSession, ids: np.ndarray) -> DataFrame:
                                             np.asarray(ids, np.int64)}))
 
 
+def pdf_frame(spark: SparkSession, pdf: pd.DataFrame,
+              ddl: str | None = None) -> DataFrame:
+    """Driver pandas -> DataFrame for the SMALL hot-path frames (query
+    terms, expansion pairs, clause metadata), via Arrow batches but
+    PRESERVING the pickle path's inferred schema (integer columns
+    widen to long, floats to double) so every call site keeps its
+    previous downstream schema bit-for-bit.
+
+    Why not plain createDataFrame(pandas): it pickles the rows into a
+    defaultParallelism-sliced python RDD, and every EVALUATION of the
+    frame — each broadcast build, each join — then runs a python-worker
+    job whose floor is ~0.15s + ~3ms/slice on this hardware (measured:
+    a 2-row frame costs 0.26-0.31s per use on local[32]; the Arrow form
+    0.03s). The constant is paid once per query call, per frame, on
+    nearly every query surface.
+
+    ddl: explicit schema for frames whose columns inference cannot type
+    (all-None object columns, empty lists) — the Arrow table is built
+    against the equivalent pyarrow schema, so declared types win and no
+    widening applies. Falls back to the pickle path whenever Arrow
+    would NOT reproduce it exactly: NaN floats (Arrow maps NaN to null,
+    pickle keeps NaN), datetime/timedelta columns (tz semantics
+    differ), or a runtime without DataFrame.toArrow."""
+
+    def _legacy():
+        return (spark.createDataFrame(pdf, schema=ddl) if ddl
+                else spark.createDataFrame(pdf))
+
+    if not hasattr(DataFrame, "toArrow"):  # pragma: no cover
+        return _legacy()
+    import pyarrow as pa
+
+    cast: dict = {}
+    for c in pdf.columns:
+        dt = pdf.dtypes[c]
+        kind = getattr(dt, "kind", "O")
+        if kind in "mM":
+            return _legacy()
+        if kind == "f":
+            if pdf[c].isna().any():
+                return _legacy()
+            if ddl is None and dt != np.float64:
+                cast[c] = np.float64
+        elif kind in "iu" and ddl is None and dt != np.int64:
+            cast[c] = np.int64
+    if cast:
+        pdf = pdf.astype(cast)
+    if ddl is None:
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    else:
+        try:
+            from pyspark.sql.pandas.types import to_arrow_schema
+            from pyspark.sql.types import StructType
+
+            tbl = pa.Table.from_pandas(
+                pdf, schema=to_arrow_schema(StructType.fromDDL(ddl)),
+                preserve_index=False)
+        except Exception:  # pragma: no cover - internal-API drift
+            return _legacy()
+    return spark.createDataFrame(tbl)
+
+
 def is_table_ident(dest: str) -> bool:
     """Heuristic: catalog table ident vs filesystem path."""
     return "/" not in dest and not dest.endswith(".parquet") and "." in dest

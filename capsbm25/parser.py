@@ -133,7 +133,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from capsbm25.catalog import arrow_collect
+from capsbm25.catalog import arrow_collect, pdf_frame
 from capsbm25.codec import delta_decode
 from capsbm25.config import BuildConfig
 from capsbm25.query import (
@@ -662,7 +662,7 @@ def _term_contribs(spark, postings, rows: pd.DataFrame, N, avgdl, cfg,
     the prohibited flag pre-OR'd into `xn` — so the combine stage is
     one plain sum/bit_or/max aggregate over distinct-doc rows instead
     of two count_distincts over one row per (clause, posting entry)."""
-    qdf = spark.createDataFrame(rows)
+    qdf = pdf_frame(spark, rows)
     terms = sorted(rows["term"].unique().tolist())
     filtered = postings.where(F.col("term").isin(terms))
     if "pos" in filtered.columns:
@@ -893,7 +893,7 @@ def _subcall_contribs(spark, result: DataFrame, sid_map: pd.DataFrame,
     clause's must bit (0 unless role=must), xn = 1 for MUST_NOT. The
     sub-call results are already distinct per (sid, doc), so no
     further in-task combine is needed."""
-    mdf = F.broadcast(spark.createDataFrame(sid_map).select(
+    mdf = F.broadcast(pdf_frame(spark, sid_map).select(
         F.col("sid").cast("int"), F.col("orig_qid").cast("int"),
         "role", F.col("mbit").cast("long").alias("mbit"),
         F.col("cbit").cast("long").alias("cbit"),
@@ -1309,11 +1309,12 @@ def query_string_topk(
         return _qs_fused_combine(contribs, meta_by_qid)
     # explicit schema: cboosts is all-empty when no constant-score
     # clauses exist in the batch and inference can't type []
-    qmeta = F.broadcast(spark.createDataFrame(
+    qmeta = F.broadcast(pdf_frame(
+        spark,
         pd.DataFrame(meta,
                      columns=["query_id", "n_must", "k", "cboosts"]),
-        schema="query_id int, n_must long, k long, "
-               "cboosts array<double>"))
+        ddl="query_id int, n_must long, k long, "
+            "cboosts array<double>"))
     # fused combine (round 7): the producers pre-summed contributions
     # and pre-OR'd the per-doc MUST-group bitmask and prohibited flag,
     # so this is one plain hash aggregate — popcount(bit_or) replaces

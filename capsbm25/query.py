@@ -43,7 +43,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from capsbm25.catalog import arrow_collect, arrow_frame, ids_frame
+from capsbm25.catalog import (arrow_collect, arrow_frame, ids_frame,
+                              pdf_frame)
 from capsbm25.codec import decode_varints, delta_decode, sorted_member_mask
 from capsbm25.config import BuildConfig
 from capsbm25.scoring import idf as idf_fn
@@ -482,7 +483,7 @@ def bm25_topk(
                        max_kernel_filter)
     if empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    qdf = spark.createDataFrame(qt)
+    qdf = pdf_frame(spark, qt)
     # isin pre-filter: pushed to the parquet scan (PushedFilters: In(term))
     # so row groups without query terms are skipped entirely — the
     # broadcast join alone would still scan every posting row.
@@ -1149,12 +1150,13 @@ def _run_distributed(matched, df_map, N, avgdl, cfg, conjunctive,
         cur = (qt[["query_id", "after_score", "after_doc"]]
                .drop_duplicates("query_id"))
         cur = cur[cur["after_score"].notna()]
-        cdf = matched.sparkSession.createDataFrame(
+        cdf = pdf_frame(
+            matched.sparkSession,
             pd.DataFrame(
                 {"query_id": cur["query_id"].astype("int32"),
                  "a_s": cur["after_score"].astype("float64"),
                  "a_d": cur["after_doc"].astype("int64")}),
-            schema="query_id int, a_s double, a_d long")
+            ddl="query_id int, a_s double, a_d long")
         scored = (
             scored.join(F.broadcast(cdf), "query_id", "left")
             .where(F.col("a_s").isNull()
@@ -1203,7 +1205,7 @@ def explain_scores(
     if not rows:
         return spark.createDataFrame([], EXPLAIN_SCHEMA)
     qt = pd.DataFrame(rows, columns=["query_id", "term", "want"])
-    qdf = spark.createDataFrame(qt)
+    qdf = pdf_frame(spark, qt)
     terms = sorted(qt["term"].unique().tolist())
     filtered = postings.where(F.col("term").isin(terms))
     if "pos" in filtered.columns:
@@ -1272,11 +1274,11 @@ def hit_count(
         "query_id": queries["query_id"].astype(np.int32)})
     # createDataFrame's pandas inference widens int32 -> long; the
     # result contract is int query_id (matches every other surface)
-    base = spark.createDataFrame(qids).select(
+    base = pdf_frame(spark, qids).select(
         F.col("query_id").cast("int"))
     if qt.empty:
         return base.withColumn("n_hits", F.lit(0).cast("long"))
-    qdf = spark.createDataFrame(qt[["query_id", "term", "n_query_terms"]])
+    qdf = pdf_frame(spark, qt[["query_id", "term", "n_query_terms"]])
     terms = sorted(qt["term"].unique().tolist())
     filtered = postings.where(F.col("term").isin(terms))
     # ReadSchema prunes to the two columns the count needs — tf/dl/pos
@@ -1391,8 +1393,8 @@ def sorted_topk(
                  if c in queries.columns]], cfg)
     if qt.empty:
         return spark.createDataFrame([], schema)
-    qdf = spark.createDataFrame(
-        qt[["query_id", "term", "k", "n_query_terms"]])
+    qdf = pdf_frame(
+        spark, qt[["query_id", "term", "k", "n_query_terms"]])
     terms = sorted(qt["term"].unique().tolist())
     filtered = postings.where(F.col("term").isin(terms))
     matched = filtered.select("term", "doc_ids").join(
@@ -1541,7 +1543,7 @@ def synonym_topk(
     qt = _synonym_groups_pdf(queries, cfg)
     if qt.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    qdf = spark.createDataFrame(qt)
+    qdf = pdf_frame(spark, qt)
     terms = sorted(qt["term"].unique().tolist())
     filtered = postings.where(F.col("term").isin(terms))
     if "pos" in filtered.columns:
@@ -1553,8 +1555,8 @@ def synonym_topk(
         qt.assign(tdf=qt["term"].map(df_map).fillna(0).astype(np.int64))
         .groupby(["query_id", "gid"], as_index=False)["tdf"].max()
     )
-    gidf = spark.createDataFrame(
-        gdf.assign(idf=[float(idf_fn(N, int(d))) for d in gdf["tdf"]])
+    gidf = pdf_frame(
+        spark, gdf.assign(idf=[float(idf_fn(N, int(d))) for d in gdf["tdf"]])
         [["query_id", "gid", "idf"]]
     )
     matched = filtered.join(F.broadcast(qdf), "term")
@@ -1693,7 +1695,7 @@ def boolean_topk(
                        max_kernel_filter)
     if empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    qdf = spark.createDataFrame(qt)
+    qdf = pdf_frame(spark, qt)
     terms = sorted(qt["term"].unique().tolist())
     filtered = postings.where(F.col("term").isin(terms))
     if "pos" in filtered.columns:
@@ -2013,7 +2015,7 @@ def phrase_topk(
     qt = pd.DataFrame(rows, columns=["query_id", "term", "k", "phrase"])
     if qt.empty:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    qdf = spark.createDataFrame(qt)
+    qdf = pdf_frame(spark, qt)
     terms = sorted(qt["term"].unique().tolist())
     filtered = postings.where(F.col("term").isin(terms))
     matched = filtered.join(F.broadcast(qdf), "term")
@@ -2325,7 +2327,7 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
     qmeta = qt.drop_duplicates(subset=["query_id"])[
         ["query_id", "k", "phrase"]].copy()
     qmeta["n_distinct"] = [len(set(p)) for p in qmeta["phrase"]]
-    qmeta_df = F.broadcast(session.createDataFrame(qmeta))
+    qmeta_df = F.broadcast(pdf_frame(session, qmeta))
 
     def narrow_rows(it):
         for pdf in it:
@@ -2438,8 +2440,8 @@ def _run_phrase_distributed(matched, df_map, N, avgdl, cfg,
             "(%d candidate rows > MAX_CAND_COLLECT=%d, chunk span %d)",
             n_cand, MAX_CAND_COLLECT, CAND_CHUNK_SPAN,
         )
-        qterm = F.broadcast(session.createDataFrame(
-            qt[["query_id", "term"]].drop_duplicates()))
+        qterm = F.broadcast(pdf_frame(
+            session, qt[["query_id", "term"]].drop_duplicates()))
         chunked = and_docs.select("query_id", "doc_id").withColumn(
             "cand_chunk",
             F.floor(F.col("doc_id") / F.lit(int(CAND_CHUNK_SPAN))),
@@ -2703,8 +2705,8 @@ def more_like_this(
 
     got = bm25_topk(spark, postings, queries, N, avgdl, cfg, mode=mode,
                     doc_filter=doc_filter, doc_exclude=doc_exclude)
-    src_df = F.broadcast(spark.createDataFrame(
-        pd.DataFrame({"query_id": pd.Series(list(src_of), dtype=np.int32),
+    src_df = F.broadcast(pdf_frame(
+        spark, pd.DataFrame({"query_id": pd.Series(list(src_of), dtype=np.int32),
                       "src_doc_id": pd.Series([src_of[q] for q in src_of],
                                               dtype=np.int64)})))
     w = Window.partitionBy("query_id").orderBy("rank")
@@ -2808,7 +2810,7 @@ def prefix_topk(
     for p in prefixes[1:]:
         cond = cond | F.col("term").startswith(p)
     matched = _expansion_matched(
-        spark, postings, dictionary, spark.createDataFrame(qpdf),
+        spark, postings, dictionary, pdf_frame(spark, qpdf),
         F.col("term").startswith(F.col("prefix")), scan_cond=cond,
         max_expansions=max_expansions,
     )
@@ -2995,10 +2997,10 @@ def _pruned_pair_join(spark, posts, pairs_pdf, has_part, part_ids=None):
     if len(terms) <= _ISIN_MAX_TERMS:
         pruned = posts.where(F.col("term").isin(terms))
     else:
-        tdf = spark.createDataFrame(pd.DataFrame({"term": terms}))
+        tdf = pdf_frame(spark, pd.DataFrame({"term": terms}))
         pruned = posts.join(F.broadcast(tdf), "term", "semi")
-    pairs = spark.createDataFrame(
-        pairs_pdf[["term", "query_id", "k"]].drop_duplicates())
+    pairs = pdf_frame(
+        spark, pairs_pdf[["term", "query_id", "k"]].drop_duplicates())
     return pruned.join(F.broadcast(pairs), "term")
 
 
@@ -3391,8 +3393,8 @@ def fuzzy_topk(
         dist_col = F.levenshtein(F.col("term"), F.col("qterm"), me)
     matched = _expansion_matched(
         spark, postings, dictionary,
-        spark.createDataFrame(qpdf.drop(columns=["pfx"])
-                              if prefix_len <= 0 else qpdf),
+        pdf_frame(spark, qpdf.drop(columns=["pfx"])
+                  if prefix_len <= 0 else qpdf),
         join_cond, scan_cond=scan_cond,
         max_expansions=max_expansions,
         rank_cols=[("dist", True), ("df", False), ("term", True)],
@@ -3474,7 +3476,7 @@ def wildcard_topk(
     # through the SQL expression form (same LIKE semantics)
     matched = _expansion_matched(
         spark, postings, dictionary,
-        spark.createDataFrame(qpdf.drop(columns=["pat"])),
+        pdf_frame(spark, qpdf.drop(columns=["pat"])),
         F.expr("term LIKE like_pat"), scan_cond=scan_cond,
         max_expansions=max_expansions,
     )
@@ -3603,7 +3605,7 @@ def regexp_topk(
             scan_cond = scan_cond | F.col("term").startswith(p_)
     matched = _expansion_matched(
         spark, postings, dictionary,
-        spark.createDataFrame(qpdf.drop(columns=["pat"])),
+        pdf_frame(spark, qpdf.drop(columns=["pat"])),
         F.expr("term RLIKE rx"), scan_cond=scan_cond,
         max_expansions=max_expansions,
     )
@@ -3696,10 +3698,10 @@ def term_range_topk(
     # explicit schema: a batch open on the same side everywhere makes
     # lo/hi an all-None column, which createDataFrame's inference
     # rejects (CANNOT_DETERMINE_TYPE)
-    qdf = spark.createDataFrame(
-        qpdf.astype({"lo": object, "hi": object}),
-        schema="query_id long, lo string, hi string, inc_lo boolean, "
-               "inc_hi boolean, k long",
+    qdf = pdf_frame(
+        spark, qpdf.astype({"lo": object, "hi": object}),
+        ddl="query_id long, lo string, hi string, inc_lo boolean, "
+            "inc_hi boolean, k long",
     )
     matched = _expansion_matched(
         spark, postings, dictionary, qdf,
@@ -3769,8 +3771,8 @@ def _match_docs(spark, postings, queries: pd.DataFrame, cfg,
     qt = _query_terms_pdf(queries, cfg, require_k=False)
     if qt.empty:
         return None
-    qdf = spark.createDataFrame(
-        qt[["query_id", "term", "n_query_terms"]])
+    qdf = pdf_frame(
+        spark, qt[["query_id", "term", "n_query_terms"]])
     terms = sorted(qt["term"].unique().tolist())
     # select BEFORE the join so ReadSchema prunes to (term, doc_ids) —
     # tf/dl/pos/block_max are never read for a membership count (and
@@ -3841,9 +3843,10 @@ def range_facet_counts(
     # when no matching doc lands there (or the query has no terms)
     qids = pd.DataFrame(
         {"query_id": queries["query_id"].astype("int32")})
-    base = spark.createDataFrame(
-        qids.merge(pd.DataFrame({"range_label": labels}), how="cross"),
-        schema="query_id int, range_label string")
+    base = pdf_frame(
+        spark, qids.merge(pd.DataFrame({"range_label": labels}),
+                          how="cross"),
+        ddl="query_id int, range_label string")
     docs = _match_docs(spark, postings, queries, cfg, conjunctive)
     if docs is None:
         return base.select(
@@ -3993,10 +3996,11 @@ def rescore_topk(
     wdf = arrow_frame(
         spark, win_pdf[["query_id", "doc_id", "score"]]
         .rename(columns={"score": "base_s"}))
-    kdf = F.broadcast(spark.createDataFrame(
-        pd.DataFrame({"query_id": queries["query_id"].astype("int32"),
-                      "k": queries["k"].astype("int32")}),
-        schema="query_id int, k int"))
+    kdf = F.broadcast(pdf_frame(
+        spark, pd.DataFrame(
+            {"query_id": queries["query_id"].astype("int32"),
+             "k": queries["k"].astype("int32")}),
+        ddl="query_id int, k int"))
     out = (
         wdf.join(ph.select("query_id", "doc_id",
                            F.col("score").alias("ph_s")),

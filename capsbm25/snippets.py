@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from capsbm25.catalog import pdf_frame
 from capsbm25.config import BuildConfig
 from capsbm25.tokenize import tokenize_py
 
@@ -82,7 +83,7 @@ def kwic_snippets(
     docs = (
         corpus.where(F.col("conv_id").isin(convs))
         .select("conv_id", "turn_idx", "text")
-        .join(F.broadcast(spark.createDataFrame(md_pdf)),
+        .join(F.broadcast(pdf_frame(spark, md_pdf)),
               ["conv_id", "turn_idx"])
         .select("doc_id", "text")
     )

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from capsbm25.catalog import pdf_frame
 from capsbm25.config import BuildConfig
 from capsbm25.query import _fuzzy_scan_cond, _salted_topk
 from capsbm25.tokenize import tokenize_py
@@ -110,7 +111,7 @@ def suggest_terms(
     scan_cond = F.col("term").startswith(prefixes[0])
     for p in prefixes[1:]:
         scan_cond = scan_cond | F.col("term").startswith(p)
-    qdf = spark.createDataFrame(qpdf).select(
+    qdf = pdf_frame(spark, qpdf).select(
         F.col("query_id").cast("int"), "prefix", F.col("k").cast("int"))
     matched = (
         _dictionary_terms(postings, dictionary)
@@ -181,7 +182,7 @@ def suggest_spelling(
     if qpdf.empty:
         return spark.createDataFrame([], SPELL_SCHEMA)
     me = int(max_edits)
-    qdf = spark.createDataFrame(qpdf).select(
+    qdf = pdf_frame(spark, qpdf).select(
         F.col("query_id").cast("int"), "qterm", F.col("k").cast("int"))
     # join on the cheap per-pair length band; the banded levenshtein
     # (the expensive predicate) is evaluated ONCE per in-band pair and
