@@ -5,19 +5,23 @@ partition-grained checkpoint/resume, lineage, and build metrics.
 
 Stages (each records a manifest row; resume skips rows marked done):
 
-  docs        doc-id plan (splitters + offsets, persisted: lineage) and
-              the doc_stats artifact — NARROW columns only; the text
-              column is never staged to disk (round 3: the staged-docs
-              corpus rewrite was the largest fixed build cost)
   plan        seeded sample -> PartitionPlan, persisted verbatim
-              into the manifest (lineage: the exact shuffle plan)
-  pairs       FUSED id-assignment + run packing: one exchange moves the
-              corpus text from the scan into run packing, ids assigned
-              from the persisted id plan inside the same Arrow pass
-              (identical ids to the docs stage — differential-tested);
-              runs staged to <out>/pairs partitioned by wave — the
-              double-buffer analog (Suffix_Array.hpp:33-34) and the
-              resume anchor
+              into the manifest (lineage: the exact shuffle plan; the
+              doc-id plan — splitters + offsets — rides this record
+              too)
+  pairs       FUSED id-assignment + run packing + doc-stats emission:
+              one exchange moves the corpus text from the scan into
+              run packing, ids assigned from the persisted id plan
+              inside the same Arrow pass (identical ids to
+              assign_doc_ids — differential-tested); the pass also
+              emits packed per-doc (conv_id, turn_idx, dl) rows under
+              pairs/wave=-1, so no second full-corpus tokenize pass
+              exists. Runs staged to <out>/pairs partitioned by wave —
+              the double-buffer analog (Suffix_Array.hpp:33-34) and
+              the resume anchor
+  docs        unpack pairs/wave=-1 into the doc_stats artifact — a
+              cheap narrow job overlapped with the waves (N and avgdl
+              are already exact from the pairs observation)
   wave=K      range shuffle + sort + assemble for part_ids in wave K,
               written to <out>/postings/wave=K; independent, idempotent,
               individually checkpointed Spark jobs
@@ -174,23 +178,24 @@ def build_index(
     pairs_path = os.path.join(out_dir, "pairs")
     postings_path = os.path.join(out_dir, "postings")
 
-    # --- stage: docs (id plan + NARROW doc_stats; the corpus text never
-    #     hits disk — dl is computed map-side pre-shuffle so only
-    #     (conv_id, turn_idx, dl) cross the id exchange; N and sum(dl)
-    #     captured by an Observation during the write).
+    # --- doc-id plan (driver-side; one bounded job over the key
+    #     columns). Persisted in the plan AND docs manifest records so
+    #     resumed builds reuse the exact plan; compute_id_plan is
+    #     deterministic on an unchanged corpus either way, and the
+    #     pairs observation cross-checks the row count. ---
     #
-    #     Round 8: split for wall-clock overlap (guide §2.6 — overlap
-    #     independent jobs). The id plan (key sample + per-part counts)
-    #     gates everything, but the doc_stats WRITE (the dl tokenize
-    #     pass + id shuffle) feeds no later build stage: N is already
-    #     exact in the id plan (n_rows — the same full count, observed
-    #     on the sample scan) and avgdl is first consumed by the waves.
-    #     So the write runs on a driver thread overlapped with the plan
-    #     sample and the pairs exchange; Spark's FIFO scheduler
-    #     back-fills its tasks into those stages' idle slots. The
-    #     manifest record is appended only when the write finishes, so
-    #     a crash mid-overlap resumes exactly as before (docs re-runs,
-    #     deterministic ids). ---
+    #     Round 8 (session 2): the separate doc_stats pass is GONE on
+    #     the common corpus shape. extract_runs already tokenizes every
+    #     doc post-id-exchange, and conv_id/turn_idx are that exchange's
+    #     sort keys (it carries them anyway) — so the pairs pass now
+    #     emits packed per-segment doc-stats rows (part_id=-1, staged
+    #     under pairs/wave=-1; postings._doc_stats_frame) and a cheap
+    #     unpack job — overlapped with the waves on a pool thread —
+    #     writes the doc_stats table. One full-corpus scan + tokenize
+    #     (the old dl pass) removed per build (guide §1.2 step 1:
+    #     remove passes; §2.3: the id exchange sheds its second run).
+    #     N/avgdl come from an Observation on the pairs write, so they
+    #     are known before the waves exactly as before.
     from capsbm25.docids import IdPlan, compute_id_plan
 
     docs_rec = man.done("docs")
@@ -198,22 +203,48 @@ def build_index(
     corpus: dict | None = None
     pool = ThreadPoolExecutor(max_workers=2)
     try:
+        t_idplan = time.time()
+        id_plan = None
+        if resume:
+            for rec in (man.done("plan"), docs_rec):
+                if rec and rec.get("id_plan"):
+                    id_plan = IdPlan.from_json(rec["id_plan"])
+                    break
+        if id_plan is None:
+            id_plan = compute_id_plan(transcripts, cfg)
+        metrics["id_plan"] = {"sec": round(time.time() - t_idplan, 3)}
+
         if resume and docs_rec:
             metrics["docs"] = {"skipped": True}
-            if "id_plan" not in docs_rec:
-                raise RuntimeError(
-                    f"manifest at {out_dir} predates the fused build (its "
-                    "docs stage has no persisted id_plan) — this layout "
-                    "cannot be resumed; rebuild with resume=False"
-                )
-            id_plan = IdPlan.from_json(docs_rec["id_plan"])
             with open(os.path.join(out_dir, "corpus_stats.json")) as f:
                 corpus = json.load(f)
-        else:
-            t_docs = time.time()
-            id_plan = compute_id_plan(transcripts, cfg)
 
-            def stage_docs() -> dict:
+        # the fused doc-stats emission packs conv_id as \x00-joined
+        # strings and turn_idx as int64 — reproducible only for these
+        # source dtypes (every engine corpus today); anything else
+        # falls back to the legacy separate dl pass
+        src_fields = {f.name: f.dataType.simpleString()
+                      for f in transcripts.schema.fields}
+        fused_stats = (
+            src_fields.get("conv_id") == "string"
+            and src_fields.get("turn_idx") in
+            ("tinyint", "smallint", "int", "bigint")
+        )
+
+        # adaptive partitioning resolves HERE, the first point N is known
+        # (resume-safe: a fresh build reads N off the id plan's exact
+        # count, a resumed build off the persisted corpus_stats — the
+        # same number, so both resolve to the identical part count)
+        N = corpus["N"] if corpus is not None else id_plan.n_rows
+        cfg = cfg.resolve_parts(N)
+
+        if not fused_stats and corpus is None:
+            # legacy dl pass (non-string conv_id / non-integral
+            # turn_idx): tokenize-count + id shuffle + write, exactly
+            # the pre-session-2 docs stage
+            t_docs = time.time()
+
+            def stage_docs_legacy() -> dict:
                 from pyspark.sql import Observation
 
                 from capsbm25.docids import make_dl_udf
@@ -248,31 +279,7 @@ def build_index(
                     "sec": round(rec["finished_ts"] - t_docs, 3), "rows": n}
                 return corp
 
-            # Overlap policy (guide §2.6: overlap fills IDLE capacity
-            # only): the doc_stats write and the pairs exchange are
-            # both full-width text passes. Below ~512 rows per task
-            # slot their jobs are fixed-overhead-bound (scheduling +
-            # python-worker round trips dominate the sub-second
-            # compute) and overlapping them back-fills idle slots —
-            # measured −0.9s on the 5k-row documents builds. At corpus
-            # scale each pass saturates every slot and overlap only
-            # adds contention (measured +1.4s at 211k turns on
-            # local[32]) — run the write synchronously there. The
-            # threshold scales with cluster width, not a local
-            # constant; override via cfg.extra["docs_overlap_max_rows"].
-            slots = spark.sparkContext.defaultParallelism
-            overlap_max = int(cfg.extra.get("docs_overlap_max_rows",
-                                            512 * slots))
-            if id_plan.n_rows <= overlap_max:
-                docs_future = pool.submit(stage_docs)
-            else:
-                corpus = stage_docs()
-        # adaptive partitioning resolves HERE, the first point N is known
-        # (resume-safe: a fresh build reads N off the id plan's exact
-        # count, a resumed build off the persisted corpus_stats — the
-        # same number, so both resolve to the identical part count)
-        N = corpus["N"] if corpus is not None else id_plan.n_rows
-        cfg = cfg.resolve_parts(N)
+            corpus = stage_docs_legacy()
 
         # --- stage: plan (samplesort splitters + hot terms; lineage) ---
         def stage_plan():
@@ -288,7 +295,11 @@ def build_index(
             sample = extract_pairs(sample_src, cfg)
             plan = plan_from_sample(
                 arrow_collect(sample.select("term", "tf")), cfg)
-            return {"plan": plan.to_json(), "sample_fraction": frac}
+            # id_plan persisted here too (it is computed before this
+            # stage): a resume whose crash predates the docs record
+            # still reuses the exact id plan
+            return {"plan": plan.to_json(), "sample_fraction": frac,
+                    "id_plan": id_plan.to_json()}
 
         timed("plan", stage_plan)
         plan = PartitionPlan.from_json(man.done("plan")["plan"])
@@ -309,36 +320,135 @@ def build_index(
             # (run-count-heavy), salted hot parts carry few fat runs
             # (pair-mass-heavy) — contiguous blocks put all of one kind
             # in one wave and the wave durations skewed ~6x at 10M
-            # turns; interleaving balances both axes
+            # turns; interleaving balances both axes.
+            # fused_stats: doc-stats rows ride part_id=-1 -> wave=-1,
+            # a staging dir the wave loop below never assembles
             pw = extract_runs(
                 transcripts.select("conv_id", "turn_idx", "text"),
                 cfg, plan=plan, id_plan=id_plan,
+                emit_doc_stats=fused_stats,
             ).withColumn(
-                "wave", (F.col("part_id") % cfg.num_waves).cast("int")
+                "wave",
+                F.when(F.col("part_id") < 0, F.lit(-1))
+                .otherwise(F.col("part_id") % cfg.num_waves).cast("int"),
             )
             obs = Observation("pairs")
-            pw = pw.observe(obs, F.count(F.lit(1)).alias("runs"),
-                            F.sum("n").alias("pairs"))
+            real = F.col("part_id") >= 0
+            pw = pw.observe(
+                obs,
+                F.count(F.when(real, F.lit(1))).alias("runs"),
+                F.sum(F.when(real, F.col("n"))).alias("pairs"),
+                F.sum(F.when(~real, F.col("n"))).alias("n_docs"),
+                F.sum(F.when(~real, F.col("last_doc"))).alias("sum_dl"),
+            )
             write_table(pw, pairs_path, partition_by=["wave"])
             m = obs.get
-            return {"rows": int(m["pairs"] or 0), "runs": int(m["runs"])}
+            rec = {"rows": int(m["pairs"] or 0), "runs": int(m["runs"] or 0)}
+            if fused_stats:
+                n = int(m["n_docs"] or 0)
+                if n != id_plan.n_rows:
+                    raise RuntimeError(
+                        f"corpus changed mid-build: id plan counted "
+                        f"{id_plan.n_rows} rows, the run extraction saw {n}"
+                    )
+                corp = {"N": n,
+                        "avgdl": (m["sum_dl"] or 0) / n if n else 0.0,
+                        "config": cfg.persist_dict()}
+                with open(os.path.join(out_dir, "corpus_stats.json"),
+                          "w") as f:
+                    json.dump(corp, f)
+                rec.update(n_docs=n, sum_dl=int(m["sum_dl"] or 0))
+            return rec
 
         timed("pairs", stage_pairs)
 
-        # the deferred doc_stats write must be in before the waves:
-        # avgdl (its observation) feeds block-max scoring in assembly
-        if docs_future is not None:
-            corpus = docs_future.result()
+        if corpus is None:
+            # fused path: stage_pairs wrote corpus_stats.json before its
+            # manifest record (a completed pairs stage implies the json
+            # exists — also the resume source when docs is not yet done)
+            with open(os.path.join(out_dir, "corpus_stats.json")) as f:
+                corpus = json.load(f)
         N, avgdl = corpus["N"], corpus["avgdl"]
+
+        # --- stage: docs (fused path: unpack pairs/wave=-1 into the
+        #     doc_stats table — a cheap narrow job, overlapped with the
+        #     waves on a pool thread; joined before return and before
+        #     any early stop_after_wave exit) ---
+        if fused_stats and not (resume and docs_rec):
+            t_docs = time.time()
+            stats_src = os.path.join(pairs_path, "wave=-1")
+            turn_ddl = src_fields["turn_idx"]
+            turn_np = {"tinyint": "int8", "smallint": "int16",
+                       "int": "int32", "bigint": "int64"}[turn_ddl]
+            stats_ddl = (f"doc_id long, conv_id string, "
+                         f"turn_idx {turn_ddl}, dl long")
+
+            def stage_docs_unpack():
+                import numpy as np
+                import pandas as pd
+                from pyspark.sql import Observation
+
+                if corpus["N"] > 0 and not os.path.isdir(stats_src):
+                    raise RuntimeError(
+                        f"pairs staging at {pairs_path} predates the "
+                        "fused doc-stats layout (no wave=-1) — rebuild "
+                        "with resume=False"
+                    )
+                if os.path.isdir(stats_src):
+                    def unpack(it):
+                        for pdf in it:
+                            for r in pdf.itertuples(index=False):
+                                n = int(r.n)
+                                ids = np.frombuffer(r.doc_ids, np.int64)
+                                turns = np.frombuffer(r.tfs, np.int64)
+                                dls = np.frombuffer(r.dls, np.int64)
+                                convs = (r.pos.decode("utf-8")
+                                         .split("\x00") if n else [])
+                                if not (len(ids) == len(turns) == len(dls)
+                                        == len(convs) == n):
+                                    raise ValueError(
+                                        "packed doc-stats row is "
+                                        f"inconsistent: n={n} ids="
+                                        f"{len(ids)} convs={len(convs)}")
+                                yield pd.DataFrame({
+                                    "doc_id": ids,
+                                    "conv_id": convs,
+                                    "turn_idx": turns.astype(turn_np),
+                                    "dl": dls,
+                                })
+
+                    stats = spark.read.parquet(stats_src).mapInPandas(
+                        unpack, schema=stats_ddl)
+                else:  # empty corpus: no stats rows were emitted
+                    stats = spark.createDataFrame([], schema=stats_ddl)
+                obs = Observation("docs")
+                stats = stats.observe(obs, F.count(F.lit(1)).alias("n"))
+                write_table(stats, stats_path)
+                n = int(obs.get["n"])
+                if n != corpus["N"]:
+                    raise RuntimeError(
+                        f"doc_stats unpack wrote {n} rows for a "
+                        f"{corpus['N']}-row corpus"
+                    )
+                rec = man.add("docs", "done", t_docs, rows=n, **corpus,
+                              id_plan=id_plan.to_json())
+                metrics["docs"] = {
+                    "sec": round(rec["finished_ts"] - t_docs, 3), "rows": n}
+
+            docs_future = pool.submit(stage_docs_unpack)
 
         # --- stages: per-wave assembly (independent, idempotent) ---
         # (an all-empty corpus produces no wave dirs — valid, zero
         # postings)
         waves = sorted(
-            int(d.split("=")[1])
-            for d in (os.listdir(pairs_path)
-                      if os.path.isdir(pairs_path) else [])
-            if d.startswith("wave=")
+            w
+            for w in (
+                int(d.split("=")[1])
+                for d in (os.listdir(pairs_path)
+                          if os.path.isdir(pairs_path) else [])
+                if d.startswith("wave=")
+            )
+            if w >= 0  # wave=-1 is the packed doc-stats staging dir
         )
 
         def make_stage_wave(w):
@@ -392,6 +502,8 @@ def build_index(
             for w in waves:
                 timed(f"wave={w}", make_stage_wave(w))
                 if w >= stop_after_wave:
+                    if docs_future is not None:
+                        docs_future.result()
                     return BuildResult(out_dir, N, avgdl, plan, metrics)
         elif wave_conc > 1:
             with ThreadPoolExecutor(max_workers=wave_conc) as wpool:
@@ -537,10 +649,13 @@ def build_index(
             return {}
 
         timed("dictionary", stage_dict)
-        # join the deferred checksum/record threads (error propagation:
-        # a failed read-back still fails the build)
+        # join the deferred checksum/record threads and the overlapped
+        # doc_stats unpack (error propagation: a failed read-back or
+        # unpack still fails the build)
         for f in wave_futs:
             f.result()
+        if docs_future is not None:
+            docs_future.result()
         return BuildResult(out_dir, N, avgdl, plan, metrics)
     finally:
         # joins the async doc_stats write on every exit path, so a

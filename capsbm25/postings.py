@@ -94,6 +94,7 @@ def _batch_pairs(
     pdf: pd.DataFrame,
     tok,
     with_pos: bool = False,
+    with_doc_lens: bool = False,
 ):
     """Vectorized (term, doc_id, tf, dl) extraction for one Arrow batch.
     tok: Series -> Series-of-token-lists from
@@ -106,7 +107,13 @@ def _batch_pairs(
     rows (pair i owns positions[cumtf[i-1]:cumtf[i]], each strictly
     increasing) — the payload for phrase queries (in chargram mode,
     position == char offset, which makes phrase machinery over
-    chargrams exact substring search)."""
+    chargrams exact substring search).
+
+    with_doc_lens=True returns (out, posflat_or_None, doc_lens) where
+    doc_lens is the per-INPUT-ROW token count (dl for every doc,
+    including zero-token docs that produce no pairs) — the fused
+    doc_stats emission reads it so the build never tokenizes the
+    corpus a second time just to count."""
     toks = tok(pdf["text"])
     lens = toks.map(len).to_numpy(dtype=np.int64)
     total = int(lens.sum())
@@ -115,6 +122,8 @@ def _batch_pairs(
             {"term": pd.Series(dtype=object), "doc_id": pd.Series(dtype=np.int64),
              "tf": pd.Series(dtype=np.int32), "dl": pd.Series(dtype=np.int32)}
         )
+        if with_doc_lens:
+            return out, (np.zeros(0, dtype=np.int64) if with_pos else None), lens
         return (out, np.zeros(0, dtype=np.int64)) if with_pos else out
     flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
     rows = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
@@ -136,12 +145,12 @@ def _batch_pairs(
         }
     )
     if not with_pos:
-        return out
+        return (out, None, lens) if with_doc_lens else out
     # in-doc position of each token; lexsort is stable, so within one
     # (row, code) pair group the original (ascending) order is preserved
     row_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
     pos = (np.arange(total, dtype=np.int64) - row_start[rows])[order]
-    return out, pos
+    return (out, pos, lens) if with_doc_lens else (out, pos)
 
 
 def extract_pairs(
@@ -174,12 +183,44 @@ def extract_pairs(
     return docs.select("doc_id", "text").mapInPandas(kernel, schema=schema)
 
 
+def _doc_stats_frame(seg: pd.DataFrame, lens: np.ndarray) -> pd.DataFrame:
+    """Pack one RUNS-schema row carrying a segment's doc stats — the
+    fused doc_stats emission (build.py stages it under pairs/wave=-1
+    and a cheap overlapped job unpacks it into the doc_stats table, so
+    the build never pays a second full-corpus tokenize pass just for
+    dl). Field repurposing, local to this staging row kind:
+    term="" (impossible for a real token), part_id=-1 (below every
+    plan part), doc_ids/tfs/dls hold RAW little-endian int64 doc_id /
+    turn_idx / dl arrays (not varints — turn_idx carries no sign or
+    monotonicity guarantee), pos holds the \\x00-joined conv_id
+    strings, n the doc count, last_doc the segment's summed dl."""
+    ids = seg["doc_id"].to_numpy(dtype=np.int64)
+    turns = seg["turn_idx"].to_numpy(dtype=np.int64)
+    convs = seg["conv_id"]
+    if convs.isna().any():
+        raise ValueError(
+            "null conv_id unsupported by the fused doc_stats emission")
+    joined = "\x00".join(convs.astype(str))
+    if joined.count("\x00") != len(seg) - 1:
+        raise ValueError(
+            "conv_id contains a NUL codepoint — unsupported (the doc-id "
+            "key separator must sort below every conv_id character)")
+    return pd.DataFrame([{
+        "term": "", "part_id": -1,
+        "first_doc": int(ids[0]), "last_doc": int(lens.sum()),
+        "n": len(seg),
+        "doc_ids": ids.tobytes(), "tfs": turns.tobytes(),
+        "dls": lens.tobytes(), "pos": joined.encode("utf-8"),
+    }], columns=RUNS_COLS)
+
+
 def extract_runs(
     docs: DataFrame,
     cfg: BuildConfig | None = None,
     plan: PartitionPlan | None = None,
     flush_pairs: int = 4_000_000,
     id_plan=None,
+    emit_doc_stats: bool = False,
 ) -> DataFrame:
     """docs(doc_id, text) -> packed sorted RUNS (see RUNS_SCHEMA).
 
@@ -210,8 +251,17 @@ def extract_runs(
     boundaries, so restarts can occur MID-batch and are split into
     monotonic segments) forces a flush, preserving the strictly-
     increasing-per-run invariant.
+
+    emit_doc_stats=True (fused mode only): the same pass additionally
+    yields one packed doc-stats row per segment (see _doc_stats_frame)
+    under part_id=-1 — per-doc dl comes from the token lists this pass
+    computes anyway, and conv_id/turn_idx ride the id exchange for
+    free (they are its sort keys, so the exchange already carries
+    them). This removes the build's separate full-corpus dl pass.
     """
     cfg = cfg or BuildConfig()
+    if emit_doc_stats and id_plan is None:
+        raise ValueError("emit_doc_stats requires fused id_plan mode")
     from capsbm25.tokenize import make_series_tokenizer
 
     tok = make_series_tokenizer(cfg)
@@ -323,7 +373,13 @@ def extract_runs(
             bounds = np.concatenate(([0], restarts, [len(pdf)])).astype(np.int64)
             for si in range(len(bounds) - 1):
                 seg = pdf.iloc[bounds[si]:bounds[si + 1]]
-                if with_pos:
+                if not len(seg):
+                    continue
+                if emit_doc_stats:
+                    out, posflat, seg_lens = _batch_pairs(
+                        seg, tok, with_pos=with_pos, with_doc_lens=True)
+                    yield _doc_stats_frame(seg, seg_lens)
+                elif with_pos:
                     out, posflat = _batch_pairs(seg, tok, with_pos=True)
                 else:
                     out, posflat = _batch_pairs(seg, tok), None
@@ -342,6 +398,8 @@ def extract_runs(
     if id_plan is not None:
         from capsbm25.docids import batch_id_assigner
 
+        keep = (["part_id", "conv_id", "turn_idx", "text"]
+                if emit_doc_stats else ["part_id", "text"])
         src = (
             docs.withColumn(
                 "part_id", id_plan.part_of_udf()("conv_id", "turn_idx")
@@ -351,7 +409,7 @@ def extract_runs(
                 "part_id",
             )
             .sortWithinPartitions("part_id", "conv_id", "turn_idx")
-            .select("part_id", "text")
+            .select(*keep)
         )
 
         def kernel_fused(it):
@@ -359,12 +417,14 @@ def extract_runs(
 
             def with_ids():
                 for pdf in it:
-                    yield pd.DataFrame(
-                        {
-                            "doc_id": ider(pdf["part_id"].to_numpy()),
-                            "text": pdf["text"].to_numpy(),
-                        }
-                    )
+                    cols = {
+                        "doc_id": ider(pdf["part_id"].to_numpy()),
+                        "text": pdf["text"].to_numpy(),
+                    }
+                    if emit_doc_stats:
+                        cols["conv_id"] = pdf["conv_id"].to_numpy()
+                        cols["turn_idx"] = pdf["turn_idx"].to_numpy()
+                    yield pd.DataFrame(cols)
 
             yield from kernel(with_ids())
 
