@@ -371,11 +371,15 @@ def build_index(
         N, avgdl = corpus["N"], corpus["avgdl"]
 
         # --- stage: docs (fused path: unpack pairs/wave=-1 into the
-        #     doc_stats table — a cheap narrow job, overlapped with the
-        #     waves on a pool thread; joined before return and before
-        #     any early stop_after_wave exit) ---
+        #     doc_stats table — a cheap narrow job, submitted to a pool
+        #     thread AFTER the waves so it back-fills the hot_merge /
+        #     dictionary / checksum tail (small jobs that leave idle
+        #     slots) instead of contending with the core-saturated wave
+        #     exchanges (measured: wave0 +0.2s at 211k, +1-2s at 1.05M
+        #     when submitted before the waves); joined before return
+        #     and run synchronously on the stop_after_wave exit) ---
+        stage_docs_unpack = None
         if fused_stats and not (resume and docs_rec):
-            t_docs = time.time()
             stats_src = os.path.join(pairs_path, "wave=-1")
             turn_ddl = src_fields["turn_idx"]
             turn_np = {"tinyint": "int8", "smallint": "int16",
@@ -388,6 +392,7 @@ def build_index(
                 import pandas as pd
                 from pyspark.sql import Observation
 
+                t_docs = time.time()
                 if corpus["N"] > 0 and not os.path.isdir(stats_src):
                     raise RuntimeError(
                         f"pairs staging at {pairs_path} predates the "
@@ -434,8 +439,6 @@ def build_index(
                               id_plan=id_plan.to_json())
                 metrics["docs"] = {
                     "sec": round(rec["finished_ts"] - t_docs, 3), "rows": n}
-
-            docs_future = pool.submit(stage_docs_unpack)
 
         # --- stages: per-wave assembly (independent, idempotent) ---
         # (an all-empty corpus produces no wave dirs — valid, zero
@@ -502,8 +505,8 @@ def build_index(
             for w in waves:
                 timed(f"wave={w}", make_stage_wave(w))
                 if w >= stop_after_wave:
-                    if docs_future is not None:
-                        docs_future.result()
+                    if stage_docs_unpack is not None:
+                        stage_docs_unpack()
                     return BuildResult(out_dir, N, avgdl, plan, metrics)
         elif wave_conc > 1:
             with ThreadPoolExecutor(max_workers=wave_conc) as wpool:
@@ -551,6 +554,12 @@ def build_index(
                         "sec": round(rec["finished_ts"] - t0, 3), **kw}
 
                 wave_futs.append(pool.submit(finish))
+
+        # the doc_stats unpack rides the hot_merge/dictionary/checksum
+        # tail (fixed-overhead-bound jobs that leave executor slots
+        # idle) — see the stage comment above
+        if stage_docs_unpack is not None:
+            docs_future = pool.submit(stage_docs_unpack)
 
         # --- stage: hot-term partial merge (boundary fix-up) ---
         # The merge reads the waves' persisted files (written above,
